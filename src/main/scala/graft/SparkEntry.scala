@@ -1,13 +1,350 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 has an entry in
+  * `queries`; SQL-expressible ones also have a DuckDB oracle in
+  * `oracleSql` (column names aliased identically on both sides — the
+  * driver sorts columns by name before hashing). Queries whose
+  * semantics depend on engine-specific hash functions (minhash /
+  * simhash / LSH / HLL / generator) are rows-only checked and verified
+  * by ScalaTest specs instead.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    KpiQueries.kpiDaily(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.3 reference-parity KPI aggregations (A1-A8) + §2.2 scalars
+    "q_kpi_daily" -> (KpiQueries.kpiDaily _),
+    "q_kpi_total" -> (KpiQueries.kpiTotal _),
+    "q_events_clean" -> (KpiQueries.eventsClean _),
+    "q_events_hourly" -> (KpiQueries.eventsHourly _),
+    "q_events_rollup" -> (KpiQueries.eventsRollup _),
+    "q_events_props_json" -> (KpiQueries.eventsPropsJson _),
+    "q_exists_fresh" -> (KpiQueries.existsFresh _),
+    "q_sessionize" -> (KpiQueries.sessionize _),
+    "q_approx_distinct" -> (KpiQueries.approxDistinct _),
+    // §2.4 joins / §2.5 windows / §2.6 sorts / §2.7 set ops
+    "q1_pricing_summary" -> (TpchQueries.q1PricingSummary _),
+    "q3_shipping_priority" -> (TpchQueries.q3ShippingPriority _),
+    "q5_local_supplier" -> (TpchQueries.q5LocalSupplier _),
+    "q_join_semi" -> (TpchQueries.joinSemi _),
+    "q_join_anti" -> (TpchQueries.joinAnti _),
+    "q_join_outer_counts" -> (TpchQueries.joinOuterCounts _),
+    "q_topk_orders" -> (TpchQueries.topkOrders _),
+    "q_window_top_per_customer" -> (TpchQueries.windowTopPerCustomer _),
+    "q_window_running_sum" -> (TpchQueries.windowRunningSum _),
+    "q_window_lag" -> (TpchQueries.windowLag _),
+    "q_set_ops" -> (TpchQueries.setOps _),
+    "q_distinct_brand_type" -> (TpchQueries.distinctBrandType _),
+    "q_agg_stats" -> (TpchQueries.aggStats _),
+    "q_string_funcs" -> (TpchQueries.stringFuncs _),
+    "q_date_funcs" -> (TpchQueries.dateFuncs _),
+    "q_above_avg_orders" -> (TpchQueries.aboveAvgOrders _),
+    // §2.11 E1/E2/E4 text & dedup
+    "q_dedup_exact" -> (TextQueries.dedupExact _),
+    "q_dedup_wordset" -> (TextQueries.dedupWordset _),
+    "q_token_count" -> (TextQueries.tokenCount _),
+    "q_text_quality" -> (TextQueries.textQuality _),
+    "q_lang_id" -> (TextQueries.langId _),
+    "q_fingerprint" -> (TextQueries.fingerprint _),
+    "q_ngram_jaccard" -> (TextQueries.ngramJaccard _),
+    "q_minhash_dedup" -> (TextQueries.minhashDedup _),
+    "q_simhash" -> (TextQueries.simhash _),
+    "q_source_minhash" -> (TextQueries.sourceMinhash _),
+    // §2.11 E5 multimodal binary columns
+    "q_media_stats" -> (MultimodalQueries.mediaStats _),
+    "q_frame_sample" -> (MultimodalQueries.frameSample _),
+    "q_media_features" -> (MultimodalQueries.mediaFeatures _),
+    // §3 end-to-end pipeline (EP2 streaming ingest / EP3 raw-zone KPIs)
+    "q_raw_kpis" -> (PipelineQueries.rawKpis _),
+    "q_stream_hourly" -> (PipelineQueries.streamHourly _),
+    // §2.11 E3 vectors
+    "q_knn_brute" -> (VectorQueries.knnBrute _),
+    "q_vec_norms" -> (VectorQueries.vecNorms _),
+    "q_cosine_dedup" -> (VectorQueries.cosineDedup _),
+    "q_ann_lsh" -> (VectorQueries.annLsh _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q_kpi_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |  count(*) AS total_events,
+        |  count(DISTINCT user_id) AS unique_users,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('view','pageview','page_view','click') THEN 1 ELSE 0 END) AS BIGINT) AS pageviews,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  round(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS revenue_usd
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_kpi_total" ->
+      """SELECT count(*) AS total_events,
+        |  count(DISTINCT user_id) AS unique_users,
+        |  count(DISTINCT event_type) AS unique_event_types,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('view','pageview','page_view','click') THEN 1 ELSE 0 END) AS BIGINT) AS pageviews,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  round(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS revenue_usd
+        |FROM events""".stripMargin,
+    "q_events_clean" ->
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS dt,
+        |  CAST(extract(hour FROM ts) AS INT) AS hh,
+        |  lower(coalesce(event_type, '')) AS event_type,
+        |  coalesce(CAST(value AS DOUBLE), 0.0) AS value, user_id
+        |FROM events
+        |WHERE lower(coalesce(event_type, '')) IN ('view','click','purchase')
+        |ORDER BY event_id""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |  CAST(extract(hour FROM ts) AS INT) AS hh,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS unique_users
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_rollup" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+        |  count(*) AS n_events,
+        |  round(sum(coalesce(value, 0)), 2) AS total_value
+        |FROM events GROUP BY ROLLUP(1, 2)
+        |ORDER BY dt NULLS FIRST, event_type NULLS FIRST""".stripMargin,
+    "q_events_props_json" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 2) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_exists_fresh" ->
+      """SELECT (SELECT count(*) FROM (
+        |  SELECT 1 FROM events
+        |  WHERE ts >= (SELECT max(ts) - INTERVAL 20 MINUTE FROM events)
+        |  LIMIT 1)) > 0 AS fresh""".stripMargin,
+    "q_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(new_sess) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_raw_kpis" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |  count(*) AS total_events,
+        |  count(DISTINCT user_id) AS unique_users,
+        |  count(DISTINCT event_id) AS unique_sessions,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('page_view','pageview','view') THEN 1 ELSE 0 END) AS BIGINT) AS pageviews,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  round(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS revenue_usd
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, strftime(ts, '%H') AS hh,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 2) AS avg_qty,
+        |  round(avg(l_extendedprice), 2) AS avg_price,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_outer_counts" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(sum(coalesce(o_totalprice, 0)), 2) AS total_spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_window_top_per_customer" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rn
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q_window_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_window_lag" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(date_diff('day',
+        |    CAST(lag(l_shipdate) OVER (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DATE),
+        |    CAST(l_shipdate AS DATE)) AS INT) AS days_since_prev
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "q_set_ops" ->
+      """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |  w_orders AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
+        |SELECT c_custkey, 'union' AS op FROM (SELECT c_custkey FROM building UNION SELECT c_custkey FROM w_orders)
+        |UNION ALL
+        |SELECT c_custkey, 'intersect' AS op FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM w_orders)
+        |UNION ALL
+        |SELECT c_custkey, 'except' AS op FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM w_orders)
+        |ORDER BY op, c_custkey""".stripMargin,
+    "q_distinct_brand_type" ->
+      """SELECT DISTINCT p_brand, p_type FROM part ORDER BY 1, 2""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(min(c_acctbal), 2) AS min_bal,
+        |  round(max(c_acctbal), 2) AS max_bal,
+        |  round(avg(c_acctbal), 2) AS avg_bal,
+        |  round(stddev_samp(c_acctbal), 2) AS sd_bal,
+        |  round(quantile_cont(c_acctbal, 0.5), 2) AS median_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_uc,
+        |  substring(p_name, 1, 8) AS name_prefix,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  regexp_extract(p_type, '^(\w+)', 1) AS type_head,
+        |  replace(p_brand, '#', '_') AS brand_us,
+        |  concat_ws('|', p_brand, p_type) AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS month_rev
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_above_avg_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders o
+        |JOIN (SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price
+        |      FROM orders GROUP BY 1) a ON o.o_custkey = a.ck
+        |WHERE o_totalprice > avg_price * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_dedup_exact" ->
+      """WITH g AS (SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
+        |  FROM documents GROUP BY 1)
+        |SELECT count(*) AS n_distinct_texts, CAST(sum(n) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_redundant
+        |FROM g""".stripMargin,
+    "q_dedup_wordset" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(
+        |    regexp_split_to_array(text, '\s+'))), ' ')) AS key,
+        |  count(*) AS n, min(doc_id) AS keep_id, max(doc_id) AS max_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY key""".stripMargin,
+    "q_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_tokens,
+        |  round(avg(len(regexp_split_to_array(text, '\s+'))), 2) AS avg_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+        |  round(len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 4) AS ttr,
+        |  round((length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE), 2) AS avg_word_len,
+        |  round(len(list_filter(toks, t -> t IN ('the','a','of','and','to'))) / CAST(len(toks) AS DOUBLE), 4) AS stopword_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (SELECT lang, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |s AS (SELECT lang,
+        |  len(list_filter(toks, t -> t IN ('the','and','of','to','is'))) AS s_en,
+        |  len(list_filter(toks, t -> t IN ('le','la','et','les','des'))) AS s_fr,
+        |  len(list_filter(toks, t -> t IN ('el','los','las','una','es'))) AS s_es,
+        |  len(list_filter(toks, t -> t IN ('der','die','das','und','ist'))) AS s_de
+        |  FROM t),
+        |p AS (SELECT lang, CASE
+        |  WHEN greatest(s_en, s_fr, s_es, s_de) = 0 THEN 'unknown'
+        |  WHEN s_en = greatest(s_en, s_fr, s_es, s_de) THEN 'en'
+        |  WHEN s_fr = greatest(s_en, s_fr, s_es, s_de) THEN 'fr'
+        |  WHEN s_es = greatest(s_en, s_fr, s_es, s_de) THEN 'es'
+        |  ELSE 'de' END AS pred FROM s)
+        |SELECT lang, pred, count(*) AS n FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT), list_transform(
+        |    regexp_split_to_array(text, '\s+'),
+        |    t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
+        |  (acc, x) -> (acc * 31 + x) % 1000003) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, lang, regexp_split_to_array(text, '\s+') AS toks
+        |  FROM documents),
+        |bgs AS (
+        |  SELECT doc_id, source, lang, list_distinct(list_transform(
+        |    range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bg
+        |  FROM d WHERE len(toks) >= 2)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  round(len(list_intersect(a.bg, b.bg)) /
+        |    CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE), 6) AS jaccard
+        |FROM bgs a JOIN bgs b
+        |  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.bg, b.bg)) /
+        |  CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE) >= 0.05
+        |ORDER BY a_id, b_id""".stripMargin,
+    "q_media_stats" ->
+      """WITH m AS (SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  100 + doc_id % 50 AS n_bytes FROM documents)
+        |SELECT kind, count(*) AS n_media,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(min(n_bytes) AS INT) AS min_bytes,
+        |  CAST(max(n_bytes) AS INT) AS max_bytes
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_frame_sample" ->
+      """SELECT doc_id,
+        |  CAST((1000 + doc_id % 9000) // 1000 + 1 AS BIGINT) AS n_frames,
+        |  CAST(((1000 + doc_id % 9000) // 1000) * 1000 AS BIGINT) AS last_ts_ms
+        |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+    "q_knn_brute" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e ORDER BY vec_id LIMIT 1)
+        |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos
+        |FROM e, q WHERE e.vec_id <> q.q_id
+        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q_vec_norms" ->
+      """SELECT label, count(*) AS n,
+        |  round(avg(sqrt(list_sum(list_transform(
+        |    CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
+        |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cosine_dedup" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin,
+  )
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+
+/** Fixture-table loader (TESTDATA.md): one parquet file per table under
+  * an sf dir. Central so every query resolves tables the same way and a
+  * future move to a real catalog/bucketed layout is one change.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** The `events` fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's TimestampType (µs) cannot read directly
+    * ([PARQUET_TYPE_ILLEGAL]). We read it as raw long nanos
+    * (legacy.parquet.nanosAsLong) and truncate to µs — every declared
+    * query derives second-or-coarser values, so truncation is
+    * oracle-safe. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    graft.functions.GraftFunctions.install(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+
+  /** Builds the standard SparkSession used by mains. local[32] mirrors a
+    * 32-slot executor; shuffle partitions match cores (not default 200)
+    * so small-SF runs don't pay 200 empty-task overheads while the same
+    * code scales by config on a real cluster.
+    */
+  def session(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.GraftFunctions.install(spark)
+    spark
+  }
+}

@@ -1,0 +1,66 @@
+package graft.batch
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.EventSchema
+
+/** Reference-parity daily KPI job over raw JSONL
+  * (reference: airflow/dags/daily_kpis.py — partition-pruned scan →
+  * single-pass fold → one KPI row per day → snappy parquet).
+  *
+  * Spark-first restatement (SURVEY.md §3 EP3):
+  *  - the per-day Airflow run (`catchup=True`, ≤16 parallel day-runs)
+  *    becomes ONE distributed job grouped by event date — per-day
+  *    parallelism becomes intra-job partition parallelism;
+  *  - the S3-prefix partition prune (daily_kpis.py:155-156) becomes a
+  *    partition-column filter Catalyst pushes into the file scan;
+  *  - malformed JSON lines are dropped via PERMISSIVE mode +
+  *    corrupt-record filter — count-identical to the reference's
+  *    `except: continue` (daily_kpis.py:104-107);
+  *  - revenue is `bround` (HALF_EVEN) matching Python `round`
+  *    (daily_kpis.py:139).
+  */
+object DailyKpis {
+
+  /** Read raw JSONL (optionally Hive-partitioned by date=/hour=). */
+  def readRaw(spark: SparkSession, rawPath: String): DataFrame =
+    spark.read
+      .schema(EventSchema.schemaWithCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", EventSchema.CorruptCol)
+      .json(rawPath)
+
+  private def isPageview(c: org.apache.spark.sql.Column) =
+    lower(coalesce(c, lit(""))).isin("page_view", "pageview", "view")
+  private def isPurchase(c: org.apache.spark.sql.Column) =
+    lower(coalesce(c, lit(""))).isin("purchase", "order", "checkout")
+
+  /** All-days KPI table: one row per event-date present in the input.
+    * `day = Some(d)` reproduces the reference's single-day run via a
+    * partition-prunable filter. */
+  def compute(spark: SparkSession, rawPath: String, day: Option[String] = None): DataFrame = {
+    val raw = readRaw(spark, rawPath)
+      // reference drops lines that fail json.loads (daily_kpis.py:104-107);
+      // PERMISSIVE mode yields all-null rows w/ corrupt sidecar for those
+      .where(col(EventSchema.CorruptCol).isNull)
+      .drop(EventSchema.CorruptCol)
+      .withColumn("ts", to_timestamp(col("event_ts")))
+    val pruned = day.fold(raw)(d => raw.where(to_date(col("ts")) === lit(d)))
+    pruned
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countDistinct(col("user_id")).as("unique_users"),
+        countDistinct(col("session_id")).as("unique_sessions"),
+        sum(when(isPageview(col("event_type")), 1L).otherwise(0L)).as("pageviews"),
+        sum(when(isPurchase(col("event_type")), 1L).otherwise(0L)).as("purchases"),
+        bround(sum(when(isPurchase(col("event_type")),
+          coalesce(col("price"), lit(0.0))).otherwise(0.0)), 2).as("revenue_usd"))
+      .orderBy(col("dt"))
+  }
+
+  /** KPI sink (reference: daily_kpis.py:165-172 — snappy parquet under
+    * kpis/daily/dt=<day>/). Snappy is Spark's parquet default. */
+  def write(kpis: DataFrame, outPath: String): Unit =
+    kpis.write.mode("overwrite").partitionBy("dt").parquet(outPath)
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, IntegerLiteral}
+
+/** Registration of graft's native Catalyst expressions as SQL
+  * functions, usable two ways:
+  *
+  *  - `spark.sql.extensions=graft.GraftExtensions` (or
+  *    `.withExtensions`) — the idiomatic cluster path;
+  *  - `GraftFunctions.install(spark)` — imperative, idempotent; called
+  *    by the query entry points so any session works.
+  *
+  * Int parameters (numHashes/bands) must be literals — they size
+  * per-row loops, not data.
+  */
+object GraftFunctions {
+
+  private def intArg(fn: String, e: Expression): Int = e match {
+    case IntegerLiteral(v) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $other")
+  }
+
+  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "simhash64" -> (args => SimHash64(args.head)),
+    "minhash_sig" -> (args =>
+      MinHashSig(args.head, intArg("minhash_sig", args(1)))),
+    "minhash_band_hashes" -> (args => MinHashBandHashes(args.head,
+      intArg("minhash_band_hashes", args(1)),
+      intArg("minhash_band_hashes", args(2)))),
+    "cosine_sim" -> (args => CosineSim(args.head, args(1))),
+    "l2_norm" -> (args => L2Norm(args.head)),
+    "round_bin" -> (args => RoundBin(args.head, args(1))),
+    "minhash_union" -> (args =>
+      MinHashUnionAgg(args.head, intArg("minhash_union", args(1)))),
+  )
+
+  /** Idempotent per-session registration. */
+  def install(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      if (!reg.functionExists(FunctionIdentifier(name)))
+        reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  def inject(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.Sketches", name), builder))
+    }
+}

@@ -1,0 +1,293 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst kernels for the sketch/vector operators (SURVEY.md
+  * §2.11 E2/E3, §4 "custom Catalyst work is needed only for
+  * extensions").
+  *
+  * Why custom expressions instead of SQL higher-order functions: HOF
+  * lambdas are interpreted (no whole-stage codegen) and projection
+  * collapse duplicates a referenced HOF column into every consumer —
+  * a 64-bit SimHash written with `transform`/`aggregate` re-evaluated
+  * its vote-vector 64×. These expressions are single-pass imperative
+  * loops over the array data, called from generated code via a static
+  * method, so the surrounding plan stays inside one codegen span and
+  * each input row is touched exactly once.
+  */
+
+/** 64-bit SimHash over a token array: per-token xxhash64 votes per bit,
+  * vote sign → bit (Charikar 2002 random-hyperplane sketch on the
+  * token-set feature space). */
+case class SimHash64(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.simhash64(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** MinHash signature over a shingle array: `numHashes` independent
+  * permutations approximated by seeded xxhash64; sig[p] = min over
+  * shingles of h_p(shingle). Returns array<long> of length numHashes
+  * (Broder 1997). Null/empty shingle arrays yield Long.MaxValue
+  * entries. */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.minhashSig($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** LSH band hashes from a token/shingle array in ONE pass: computes the
+  * `numHashes`-perm MinHash signature, then hashes each of `bands`
+  * contiguous rows-per-band slices. posexplode over the result gives
+  * (band_index, band_hash) bucket keys — the candidate-join key for
+  * near-dup detection at scale. */
+case class MinHashBandHashes(child: Expression, numHashes: Int, bands: Int)
+    extends UnaryExpression {
+  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.minhashBandHashes(input.asInstanceOf[ArrayData], numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sketches.minhashBandHashes($c, $numHashes, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBandHashes =
+    copy(child = newChild)
+}
+
+/** Cosine similarity between two float-array embeddings — fused
+  * dot/norm/norm single loop, no intermediate arrays (vs. the
+  * zip_with+aggregate HOF formulation which allocates per row and runs
+  * interpreted). Null if either side is null, lengths differ, or a
+  * norm is zero. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<float>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.cosineSim(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  // cosineSim returns a boxed Double or null (length mismatch / zero
+  // norm), so the generated code must null-check the result rather
+  // than assign a primitive.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""java.lang.Double r = graft.functions.Sketches.cosineSim($a, $b);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): CosineSim =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L2 norm of a float-array embedding. */
+case class L2Norm(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_norm"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.l2Norm(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.l2Norm($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): L2Norm =
+    copy(child = newChild)
+}
+
+/** round-half-away-from-zero on the BINARY double value — the
+  * C/DuckDB/Postgres `round(double, n)` convention: scale by 10^n
+  * (IEEE multiply), round the resulting binary value half away from
+  * zero, divide back. Spark's builtin `round` instead rounds the
+  * shortest DECIMAL STRING repr (BigDecimal.valueOf), so the two
+  * diverge whenever the shortest repr displays an exact half that the
+  * binary value sits just below (e.g. 189/40 → "4.725" → Spark 4.73,
+  * C/DuckDB 4.72). Declared queries round with THIS expression so
+  * results hash-match a DuckDB oracle bit-for-bit (SURVEY.md §7 risk
+  * register: rounding parity). */
+case class RoundBin(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (DoubleType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (double, int), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "round_bin"
+
+  override def nullSafeEval(x: Any, s: Any): Any =
+    Sketches.roundBin(x.asInstanceOf[Double], s.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, s) => s"graft.functions.Sketches.roundBin($x, $s)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): RoundBin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Static kernels shared by interpreted eval and generated code. */
+object Sketches {
+  private final val XxSeed = 42L
+
+  private def hashString(s: UTF8String, seed: Long): Long =
+    XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
+
+  def simhash64(tokens: ArrayData): Long = {
+    val votes = new Array[Int](64)
+    val n = tokens.numElements()
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val h = hashString(tokens.getUTF8String(i), XxSeed)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Golden-ratio-stepped seeds give independent-enough permutations
+    * without shipping permutation state. */
+  private def permSeed(p: Int): Long = XxSeed + p.toLong * 0x9E3779B97F4A7C15L
+
+  def minhashSigArray(shingles: ArrayData, numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = shingles.numElements()
+    var i = 0
+    while (i < n) {
+      if (!shingles.isNullAt(i)) {
+        val s = shingles.getUTF8String(i)
+        var p = 0
+        while (p < numHashes) {
+          val h = hashString(s, permSeed(p))
+          if (h < sig(p)) sig(p) = h
+          p += 1
+        }
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData =
+    new GenericArrayData(minhashSigArray(shingles, numHashes))
+
+  def minhashBandHashes(shingles: ArrayData, numHashes: Int, bands: Int): ArrayData = {
+    val sig = minhashSigArray(shingles, numHashes)
+    val rows = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      // order-sensitive combine of the band's signature rows
+      var acc = XXH64.hashLong(b.toLong, XxSeed)
+      var r = 0
+      while (r < rows) {
+        acc = XXH64.hashLong(sig(b * rows + r) ^ acc, XxSeed)
+        r += 1
+      }
+      out(b) = acc
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def cosineSim(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  def roundBin(x: Double, scale: Int): Double = {
+    if (java.lang.Double.isNaN(x) || java.lang.Double.isInfinite(x)) return x
+    val power = math.pow(10.0, scale.toDouble)
+    val scaled = x * power
+    if (java.lang.Double.isInfinite(scaled)) return x
+    // exact half-away-from-zero of the binary value of `scaled`
+    // (naive floor(x+0.5) double-rounds near the boundary)
+    val r = new java.math.BigDecimal(math.abs(scaled))
+      .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    math.copySign(r, x) / power
+  }
+
+  def l2Norm(a: ArrayData): Double = {
+    var na = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
+    math.sqrt(na)
+  }
+}

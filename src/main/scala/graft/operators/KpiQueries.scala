@@ -1,0 +1,161 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Reference-parity KPI queries over the `events` fixture table.
+  *
+  * Mirrors the reference's daily-KPI semantics (reference:
+  * airflow/dags/daily_kpis.py:109-140 — single-pass fold computing
+  * count / exact-distinct / conditional counts / conditional sum) as
+  * declarative Spark aggregates so Catalyst gets partial aggregation,
+  * whole-stage codegen and (at scale) partition-pruned scans for free.
+  *
+  * Fixture schema (FIXTURES.md): event_id i64, ts timestamp, user_id
+  * i64, event_type string {click,purchase,error,signup,view}, value
+  * double, props string(JSON).
+  *
+  * Scale notes (100 TB): all aggregates here are algebraic (map-side
+  * partial agg); the only shuffle is on the grouping key. Exact
+  * distincts expand to a two-phase plan; `q_approx_distinct` is the
+  * declared-accuracy HLL variant for the 100 TB path
+  * (reference daily_kpis.py:111 uses exact in-memory sets, which cannot
+  * scale past one node).
+  */
+object KpiQueries {
+  import graft.Tables.load
+
+  private def isPageview(c: Column): Column =
+    lower(coalesce(c, lit(""))).isin("view", "pageview", "page_view", "click")
+  private def isPurchase(c: Column): Column =
+    lower(coalesce(c, lit(""))).isin("purchase", "order", "checkout")
+
+  /** Daily KPI rollup — the reference's flagship computation
+    * (daily_kpis.py:142-172), generalized from one-day-per-run to
+    * all-days-in-one-job (SURVEY.md §2.3 A6): the per-day Airflow
+    * backfill parallelism becomes intra-job shuffle parallelism.
+    */
+  def kpiDaily(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    ev.groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countDistinct(col("user_id")).as("unique_users"),
+        sum(when(isPageview(col("event_type")), 1L).otherwise(0L)).as("pageviews"),
+        sum(when(isPurchase(col("event_type")), 1L).otherwise(0L)).as("purchases"),
+        F.roundBin(sum(when(isPurchase(col("event_type")),
+          coalesce(col("value"), lit(0.0))).otherwise(0.0)), 2).as("revenue_usd"))
+      .orderBy(col("dt"))
+  }
+
+  /** Whole-range KPI totals — the one-row shape the reference writes
+    * per day (daily_kpis.py:133-140). */
+  def kpiTotal(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    ev.agg(
+      count(lit(1)).as("total_events"),
+      countDistinct(col("user_id")).as("unique_users"),
+      countDistinct(col("event_type")).as("unique_event_types"),
+      sum(when(isPageview(col("event_type")), 1L).otherwise(0L)).as("pageviews"),
+      sum(when(isPurchase(col("event_type")), 1L).otherwise(0L)).as("purchases"),
+      F.roundBin(sum(when(isPurchase(col("event_type")),
+        coalesce(col("value"), lit(0.0))).otherwise(0.0)), 2).as("revenue_usd"))
+  }
+
+  /** Projection / scalar-expression parity row query: null-safe lower
+    * (daily_kpis.py:123), null-to-zero coercion (daily_kpis.py:128-131),
+    * set-membership predicate (daily_kpis.py:124-126), date/hour
+    * derivation (ingest_clickstream_to_s3.py:39-40). */
+  def eventsClean(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    ev.select(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        hour(col("ts")).as("hh"),
+        lower(coalesce(col("event_type"), lit(""))).as("event_type"),
+        coalesce(col("value").cast("double"), lit(0.0)).as("value"),
+        col("user_id"))
+      .where(col("event_type").isin("view", "click", "purchase"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Group-by-(day,hour) — the ingest stage's bucketing
+    * (ingest_clickstream_to_s3.py:41) expressed as an aggregation. */
+  def eventsHourly(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    ev.groupBy(
+        date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        hour(col("ts")).as("hh"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("unique_users"))
+      .orderBy(col("dt"), col("hh"))
+  }
+
+  /** ROLLUP over (day, event_type) — grouping-sets surface (SURVEY.md
+    * §2.3, "free via Catalyst"). */
+  def eventsRollup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    ev.rollup(
+        date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        F.roundBin(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
+      .orderBy(col("dt").asc_nulls_first, col("event_type").asc_nulls_first)
+  }
+
+  /** JSON field extraction from the string `props` column —
+    * schema-on-read parity (SURVEY.md §1.4, P1). */
+  def eventsPropsJson(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    ev.select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        F.roundBin(avg(col("k")), 2).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Freshness / exists early-exit (ingest_healthcheck.py:22-31):
+    * "any event within 20 minutes of the max timestamp?" — a
+    * limit-1-style existence test expressed so LimitPushDown applies. */
+  def existsFresh(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val cutoff = ev.agg((max(col("ts")) - expr("INTERVAL 20 MINUTES")).as("cut"))
+    val fresh = ev.join(broadcast(cutoff)).where(col("ts") >= col("cut")).limit(1)
+    fresh.agg((count(lit(1)) > 0).as("fresh"))
+  }
+
+  /** Gap-based sessionization (SURVEY.md §2.5 extension): a new session
+    * starts after a >30 min silence. lag window + conditional sum.
+    * At scale: single shuffle on user_id; state bounded per user. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = load(spark, dir, "events")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          .otherwise(0L))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("new_sess")).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  /** HLL++ approximate-distinct variant for the 100 TB path (SURVEY.md
+    * §2.3 A2). No DuckDB oracle — sketch estimates are
+    * implementation-defined; checked rows-only + unit-tested bounds. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    ev.groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.batch.DailyKpis
+import graft.streaming.RawIngest
+
+/** Oracle-checkable end-to-end pipeline runs (SURVEY.md §3): the
+  * fixture `events` table is re-serialized to JSONL in the reference's
+  * wire shape (producer dict → JSON line), run through the real
+  * ingest/KPI jobs, and the result is returned for the DuckDB compare
+  * against direct SQL over the same fixture rows. Malformed + blank
+  * lines are injected to exercise the skip-malformed path
+  * (reference: daily_kpis.py:101-107) — they must not change any
+  * oracle-visible number.
+  */
+object PipelineQueries {
+  import graft.Tables.load
+
+  /** Fixture rows in producer wire shape (event_ts ISO-8601 Z string,
+    * string ids, price). Second-precision timestamps: the fixture's
+    * sub-second noise is irrelevant at day/hour grain. */
+  private def asWireJson(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    ev.select(to_json(struct(
+      concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z")).as("event_ts"),
+      col("user_id").cast("string").as("user_id"),
+      col("event_id").cast("string").as("session_id"),
+      col("event_type"),
+      col("value").as("price"))).as("value"))
+  }
+
+  private def writeJsonl(spark: SparkSession, dir: String, prefix: String): String = {
+    val in = Files.createTempDirectory(prefix)
+    in.toFile.deleteOnExit()
+    asWireJson(spark, dir).coalesce(4).write.mode("overwrite").text(in.toString)
+    // reference-tolerated garbage: malformed JSON + blank lines
+    Files.writeString(in.resolve("garbage.txt"), "not json\n\n{\"event_ts\": \"broken\n")
+    in.toString
+  }
+
+  /** EP3 batch KPI job over JSONL raw — schema-on-read, PERMISSIVE
+    * corrupt-record drop, group-by-day aggregation (A1–A6 on the real
+    * raw-zone codepath rather than the parquet fixture). */
+  def rawKpis(spark: SparkSession, dir: String): DataFrame = {
+    val raw = writeJsonl(spark, dir, "graft-rawkpi")
+    DailyKpis.compute(spark, raw)
+      .select(col("dt"), col("total_events"), col("unique_users"),
+        col("unique_sessions"), col("pageviews"), col("purchases"),
+        col("revenue_usd"))
+  }
+
+  /** EP2 streaming ingest (file-source stand-in for the Kafka topic,
+    * Trigger.AvailableNow) → event-time partitioned raw zone → per-
+    * partition counts. Exercises S4/S5/ST1/ST2 under the DuckDB gate:
+    * the (date,hour) layout must exactly reflect event time. */
+  def streamHourly(spark: SparkSession, dir: String): DataFrame = {
+    val in = writeJsonl(spark, dir, "graft-ingest-in")
+    val out = Files.createTempDirectory("graft-ingest-out")
+    val ck = Files.createTempDirectory("graft-ingest-ck")
+    out.toFile.deleteOnExit(); ck.toFile.deleteOnExit()
+    RawIngest.runOnce(spark, in, out.toString, ck.toString)
+    spark.read
+      .schema(graft.model.EventSchema.schema)
+      .json(out.toString)
+      // the 3 garbage lines land in the processing-time fallback
+      // partition with all-null fields (P4); exclude rows with no
+      // parsed event_ts so the oracle sees only event-time data
+      .where(col("event_ts").isNotNull)
+      .withColumn("ts", to_timestamp(col("event_ts")))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        date_format(col("ts"), "HH").as("hh"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("dt"), col("hh"))
+  }
+}

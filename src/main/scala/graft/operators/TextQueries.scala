@@ -1,0 +1,233 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Text / dedup analysis over the `documents` fixture — the
+  * training-data-pipeline operator family (SURVEY.md §2.11 E1/E2/E4).
+  *
+  * Everything here is built from codegen'd native functions (split /
+  * transform / aggregate / filter higher-order functions) — no UDFs —
+  * so whole-stage codegen covers the hot path and the only shuffles are
+  * the final groupBys/joins on compact keys (hashes, band buckets), not
+  * on document text.
+  *
+  * Scale posture (100 TB of documents):
+  *  - exact dedup groups by a 128-bit text hash, never the raw text, so
+  *    shuffle rows are ~40 bytes regardless of document size;
+  *  - near-dup is MinHash+LSH: candidate generation is an equi-join on
+  *    (band, bandHash) buckets — linear in corpus size — and the exact
+  *    jaccard verification runs only on candidate pairs.
+  */
+object TextQueries {
+  import graft.Tables.load
+
+  /** tokens column: whitespace tokenization, shared by all queries. */
+  private def withTokens(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), "\\s+"))
+
+  /** E1 exact dedup — corpus-level summary. Hash-groupBy on md5(text):
+    * the 100 TB-safe formulation (shuffles 16-byte keys, not text). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+      .agg(
+        count(lit(1)).as("n_distinct_texts"),
+        sum(col("n")).as("n_docs"),
+        sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("n_redundant"))
+  }
+
+  /** E1 near-exact dedup on a normalized key: identical distinct-word
+    * sets (order/multiplicity-insensitive). Emits only groups with >1
+    * member: the dedup work list. */
+  def dedupWordset(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withTokens(load(spark, dir, "documents"))
+    docs.withColumn("key",
+        md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"),
+        max(col("doc_id")).as("max_id"))
+      .where(col("n") > 1)
+      .orderBy(col("key"))
+  }
+
+  /** E4 token counting per language. */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withTokens(load(spark, dir, "documents"))
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("toks")).cast("long")).as("total_tokens"),
+        F.roundBin(avg(size(col("toks"))), 2).as("avg_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  /** E4 per-document quality scoring: token counts, type-token ratio,
+    * average word length, stopword ratio. Row-parallel, no shuffle. */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withTokens(load(spark, dir, "documents"))
+    docs.select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct"),
+        F.roundBin(size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double"), 4).as("ttr"),
+        F.roundBin((length(col("text")) - size(col("toks")) + 1).cast("double") /
+          size(col("toks")).cast("double"), 2).as("avg_word_len"),
+        F.roundBin(expr(
+          "size(filter(toks, t -> t IN ('the','a','of','and','to')))").cast("double") /
+          size(col("toks")).cast("double"), 4).as("stopword_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E4 language-ID heuristic: marker-stopword hit counts per language,
+    * argmax with a fixed precedence for ties. (The fixture also carries
+    * a `lang` label; the query reports the confusion pairs.) */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withTokens(load(spark, dir, "documents"))
+    def hits(words: Seq[String]) = {
+      val lst = words.map(w => s"'$w'").mkString(",")
+      expr(s"size(filter(toks, t -> t IN ($lst)))")
+    }
+    val scored = docs
+      .withColumn("s_en", hits(Seq("the", "and", "of", "to", "is")))
+      .withColumn("s_fr", hits(Seq("le", "la", "et", "les", "des")))
+      .withColumn("s_es", hits(Seq("el", "los", "las", "una", "es")))
+      .withColumn("s_de", hits(Seq("der", "die", "das", "und", "ist")))
+      .withColumn("best",
+        greatest(col("s_en"), col("s_fr"), col("s_es"), col("s_de")))
+      .withColumn("pred",
+        when(col("best") === 0, lit("unknown"))
+          .when(col("s_en") === col("best"), lit("en"))
+          .when(col("s_fr") === col("best"), lit("fr"))
+          .when(col("s_es") === col("best"), lit("es"))
+          .otherwise(lit("de")))
+    scored.groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred"))
+  }
+
+  /** E4 document fingerprint: polynomial rolling hash over token values
+    * (ascii(first char)*131 + length), mod 1_000_003 — a deterministic,
+    * oracle-checkable stand-in for Rabin-Karp fingerprints. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withTokens(load(spark, dir, "documents"))
+    docs.select(col("doc_id"),
+        expr("""aggregate(toks, 0L,
+          (acc, t) -> pmod(acc * 31L + (ascii(t) * 131L + length(t)), 1000003L))""")
+          .as("fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E2 exact n-gram (bigram) jaccard near-dup within (source, lang)
+    * blocks. The blocked self-join bounds the pair count; the exact
+    * set-jaccard runs on deduplicated bigram arrays. */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withTokens(load(spark, dir, "documents"))
+      .where(size(col("toks")) >= 2)
+      .withColumn("bg", expr(
+        """array_distinct(transform(sequence(1, size(toks) - 1),
+             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"""))
+      .select(col("doc_id"), col("source"), col("lang"), col("bg"))
+    val a = docs.select(col("doc_id").as("a_id"), col("source"), col("lang"), col("bg").as("a_bg"))
+    val b = docs.select(col("doc_id").as("b_id"), col("source"), col("lang"), col("bg").as("b_bg"))
+    a.join(b, Seq("source", "lang"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("j",
+        size(array_intersect(col("a_bg"), col("b_bg"))).cast("double") /
+          size(array_union(col("a_bg"), col("b_bg"))).cast("double"))
+      .where(col("j") >= 0.05)
+      .select(col("a_id"), col("b_id"), F.roundBin(col("j"), 6).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val NumHashes = 16
+  private val Bands = 4
+
+  /** 3-token shingles of the token array (higher-order fns, codegen'd
+    * consumers; the sketch itself is a native expression). */
+  private val shingleExpr =
+    """array_distinct(transform(sequence(1, size(toks) - 2),
+         i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"""
+
+  /** E2 MinHash + LSH near-dup — the 100 TB path. 3-gram shingles →
+    * 16-perm MinHash signature → 4 bands → equi-join on (band,
+    * band_hash) buckets → exact jaccard verification of candidate pairs
+    * only. Signature+banding is ONE native single-pass expression
+    * (graft.functions.MinHashBandHashes) so each document's shingles
+    * are hashed exactly once; the band join carries only (doc_id, band,
+    * hash) — ~24-byte shuffle rows regardless of document size — and
+    * shingle arrays are joined back just for the candidate pairs.
+    *
+    * No SQL oracle (hash choice is engine-specific); verified by
+    * TextQueriesSpec (candidate recall + exact-jaccard agreement).
+    */
+  def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.install(spark)
+    val docs = withTokens(load(spark, dir, "documents"))
+      .where(size(col("toks")) >= 3)
+      .withColumn("sh", expr(shingleExpr))
+      .select(col("doc_id"), col("sh"))
+    val banded = docs
+      .select(col("doc_id"),
+        posexplode(expr(s"minhash_band_hashes(sh, $NumHashes, $Bands)"))
+          .as(Seq("b", "h")))
+    val l = banded.select(col("b"), col("h"), col("doc_id").as("a_id"))
+    val r = banded.select(col("b"), col("h"), col("doc_id").as("b_id"))
+    val candidates = l.join(r, Seq("b", "h"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    candidates
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
+      .withColumn("j",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))).cast("double"))
+      .where(col("j") >= 0.5)
+      .select(col("a_id"), col("b_id"), F.roundBin(col("j"), 6).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** E2/§2.10 corpus-level MinHash rollup via the custom
+    * TypedImperativeAggregate `minhash_union`: per-source union
+    * signatures, then pairwise source-similarity estimates from
+    * signature agreement (estimated jaccard of the sources' shingle
+    * sets). Constant-size aggregation state per group — the sketch
+    * pattern for 100 TB corpora. Rows-only check (engine hashes);
+    * union-exactness property verified in TextQueriesSpec. */
+  def sourceMinhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.install(spark)
+    val docs = withTokens(load(spark, dir, "documents"))
+      .where(size(col("toks")) >= 3)
+      .withColumn("sh", expr(shingleExpr))
+    val perSource = docs
+      .withColumn("sig", F.minhashSig(col("sh"), NumHashes))
+      .groupBy(col("source"))
+      .agg(F.minhashUnion(col("sig"), NumHashes).as("usig"))
+    val a = perSource.select(col("source").as("a_src"), col("usig").as("a_sig"))
+    val b = perSource.select(col("source").as("b_src"), col("usig").as("b_sig"))
+    a.join(b, col("a_src") < col("b_src"))
+      .select(col("a_src"), col("b_src"),
+        F.roundBin(expr(
+          s"size(filter(zip_with(a_sig, b_sig, (x, y) -> x = y), v -> v)) / cast($NumHashes as double)"),
+          4).as("est_jaccard"))
+      .orderBy(col("a_src"), col("b_src"))
+  }
+
+  /** E2 SimHash 64-bit fingerprints via the native single-pass
+    * expression (graft.functions.SimHash64 — the HOF formulation
+    * re-evaluated its 64-long vote vector once per output bit).
+    * Near-dup candidates = equal simhash (hamming-0). No SQL oracle
+    * (engine hash); verified by TextQueriesSpec. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.install(spark)
+    val docs = withTokens(load(spark, dir, "documents"))
+    docs.select(col("doc_id"), expr("simhash64(toks)").as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+      .where(col("n") > 1)
+      .orderBy(col("simhash"))
+  }
+}

@@ -1,0 +1,243 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import org.apache.spark.sql.expressions.Window
+
+/** Relational extension surface (SURVEY.md §2.4 joins, §2.5 windows,
+  * §2.6 sorts/top-k, §2.7 set ops) over the TPC-H-ish star-schema
+  * fixtures. The reference itself has no joins (SURVEY.md §2.4 —
+  * single-stream pipeline); these are the enrichment queries a user of
+  * the reference would add first, expressed so Catalyst picks the right
+  * physical strategy:
+  *
+  *  - dimension tables (region/nation/customer/supplier/part) are
+  *    broadcast — no shuffle of the fact side;
+  *  - fact-fact joins (lineitem ⋈ orders) shuffle on the join key once
+  *    and AQE coalesces/skew-splits at runtime;
+  *  - top-k is orderBy+limit → TakeOrderedAndProject (no total sort);
+  *  - per-group top-k is a window row_number ≤ k (single shuffle).
+  *
+  * All money outputs are rounded to 2dp — distributed double summation
+  * is order-dependent, and the oracle compare is at 2dp (SURVEY.md §7
+  * risk register).
+  */
+object TpchQueries {
+  import graft.Tables.load
+
+  /** TPC-H Q1-style pricing summary: the canonical scan→partial-agg→
+    * final-agg pipeline; whole-stage codegen end to end. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    li.where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        F.roundBin(sum(col("l_quantity")), 2).as("sum_qty"),
+        F.roundBin(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        F.roundBin(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        F.roundBin(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        F.roundBin(avg(col("l_quantity")), 2).as("avg_qty"),
+        F.roundBin(avg(col("l_extendedprice")), 2).as("avg_price"),
+        F.roundBin(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style: broadcast dim (customer) ⋈ shuffled facts
+    * (orders ⋈ lineitem), filter, aggregate, top-10 by revenue.
+    * Ordering key is the *rounded* revenue with o_orderkey tiebreak so
+    * the top-k cut is deterministic across engines. */
+  def q3ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+    val ord = load(spark, dir, "orders")
+      .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = load(spark, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"))
+      .agg(F.roundBin(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style 6-way join: three broadcast dims + one fact-fact
+    * shuffle join, grouped by nation. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val region = load(spark, dir, "region").where(col("r_name") === "ASIA")
+    val nation = load(spark, dir, "nation")
+    val cust = load(spark, dir, "customer")
+    val ord = load(spark, dir, "orders")
+    val li = load(spark, dir, "lineitem")
+    val sup = load(spark, dir, "supplier")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust),
+        col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(F.roundBin(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Left-semi join — EXISTS semantics: customers having ≥1 URGENT
+    * order. Broadcast the filtered orders-side key set when small. */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+    val urgent = load(spark, dir, "orders").where(col("o_orderpriority") === "1-URGENT")
+    cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-anti join — NOT EXISTS: customers with no orders at all. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+    val ord = load(spark, dir, "orders")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Left-outer join preserving zero-order customers, with per-customer
+    * order counts and spend. */
+  def joinOuterCounts(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+    val ord = load(spark, dir, "orders")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(
+        count(col("o_orderkey")).as("n_orders"),
+        F.roundBin(sum(coalesce(col("o_totalprice"), lit(0.0))), 2).as("total_spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Global top-k: TakeOrderedAndProject — per-partition top-k then a
+    * k-row merge on the driver; never a total sort (SURVEY.md §2.6). */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        F.roundBin(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Per-group top-k via ranking window: top-3 orders per customer.
+    * One shuffle on the partition key; deterministic tiebreak. */
+  def windowTopPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val ord = load(spark, dir, "orders")
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    ord.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"),
+        F.roundBin(col("o_totalprice"), 2).as("o_totalprice"), col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Frame-based analytics: running revenue per supplier in shipdate
+    * order (rowsBetween unboundedPreceding..current). Ordering key made
+    * unique (shipdate, orderkey, linenumber) so the running sum is
+    * deterministic. */
+  def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    li.where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        F.roundBin(sum(col("l_extendedprice")).over(w), 2).as("running_rev"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** lag/lead analytics: days since the supplier's previous shipment. */
+  def windowLag(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.where(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        datediff(col("l_shipdate"),
+          lag(col("l_shipdate"), 1).over(w)).as("days_since_prev"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Set operations (SURVEY.md §2.7): UNION / INTERSECT / EXCEPT over
+    * customer-key sets, tagged so one result covers all three. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+    val building = cust.where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val withOrders = load(spark, dir, "orders")
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val u = building.union(withOrders).distinct()
+      .withColumn("op", lit("union"))
+    val i = building.intersect(withOrders).withColumn("op", lit("intersect"))
+    val e = building.except(withOrders).withColumn("op", lit("except"))
+    u.union(i).union(e).orderBy(col("op"), col("c_custkey"))
+  }
+
+  /** DISTINCT projection (exact dedup of a key combination). */
+  def distinctBrandType(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "part")
+      .select(col("p_brand"), col("p_type")).distinct()
+      .orderBy(col("p_brand"), col("p_type"))
+
+  /** Statistical aggregates: min/max/avg/stddev/median per group. */
+  def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+    cust.groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n"),
+        F.roundBin(min(col("c_acctbal")), 2).as("min_bal"),
+        F.roundBin(max(col("c_acctbal")), 2).as("max_bal"),
+        F.roundBin(avg(col("c_acctbal")), 2).as("avg_bal"),
+        F.roundBin(stddev_samp(col("c_acctbal")), 2).as("sd_bal"),
+        F.roundBin(expr("percentile(c_acctbal, 0.5)"), 2).as("median_bal"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** String scalar-function surface (SURVEY.md §2.8): upper/substring/
+    * length/trim/replace/regexp_extract/concat. */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "part")
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_uc"),
+        substring(col("p_name"), 1, 8).as("name_prefix"),
+        length(col("p_name")).as("name_len"),
+        regexp_extract(col("p_type"), "^(\\w+)", 1).as("type_head"),
+        regexp_replace(col("p_brand"), "#", "_").as("brand_us"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Date/time scalar surface: year/month/trunc/datediff + group-by
+    * month order counts. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "orders")
+      .groupBy(
+        year(col("o_orderdate")).as("yr"),
+        month(col("o_orderdate")).as("mo"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        F.roundBin(sum(col("o_totalprice")), 2).as("month_rev"))
+      .orderBy(col("yr"), col("mo"))
+  }
+
+  /** Correlated-scalar-subquery shape: orders above their customer's
+    * average order value. Catalyst decorrelates to a join+agg. */
+  def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {
+    val ord = load(spark, dir, "orders")
+    val custAvg = ord.groupBy(col("o_custkey").as("ck"))
+      .agg(avg(col("o_totalprice")).as("avg_price"))
+    ord.join(broadcast(custAvg), col("o_custkey") === col("ck"))
+      .where(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"),
+        F.roundBin(col("o_totalprice"), 2).as("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+}

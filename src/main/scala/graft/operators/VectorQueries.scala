@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Vector similarity over the `embeddings` fixture (SURVEY.md §2.11
+  * E3): brute-force cosine top-k as the exact baseline, plus a
+  * random-hyperplane LSH bucketed variant as the 100 TB scale path.
+  *
+  * The cosine/norm kernels are native Catalyst expressions
+  * (graft.functions.CosineSim / L2Norm): a fused single loop over the
+  * raw float ArrayData, codegen-called — no per-row double-array
+  * allocation, no interpreted lambda, and the surrounding
+  * filter/project stays in one whole-stage-codegen span.
+  *
+  * Scale posture: brute-force against a single query vector is a
+  * broadcast-join + TakeOrderedAndProject — linear scan, no shuffle of
+  * the corpus, embarrassingly parallel. All-pairs work is blocked (by
+  * label / LSH bucket) so pair counts stay bounded.
+  */
+object VectorQueries {
+  import graft.Tables.load
+
+  private def emb(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.install(spark)
+    load(spark, dir, "embeddings")
+  }
+
+  /** E3 brute-force cosine top-k: 10 nearest neighbors of the vector
+    * with the smallest vec_id. Broadcast the 1-row query side; rounded
+    * score + vec_id tiebreak keeps the cut deterministic. */
+  def knnBrute(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val q = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    e.join(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"),
+        F.roundBin(expr("cosine_sim(v, qv)"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** E3 vector stats: per-label count and average L2 norm. */
+  def vecNorms(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), expr("l2_norm(embedding)").as("n2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), F.roundBin(avg(col("n2")), 4).as("avg_norm"))
+      .orderBy(col("label"))
+
+  /** E3/E2 embedding-cosine near-dup pairs, blocked by label: pairs
+    * with cosine ≥ 0.3 (fixture cosines top out ≈0.47). The label
+    * blocking bounds the self-join; at 100 TB the block key would be an
+    * LSH bucket (see annLsh). */
+  def cosineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("label"), col("vec_id"), col("embedding").as("v"))
+    val a = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("av"))
+    val b = e.select(col("label"), col("vec_id").as("b_id"), col("v").as("bv"))
+    a.join(b, Seq("label"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cos", expr("cosine_sim(av, bv)"))
+      .where(col("cos") >= 0.3)
+      .select(col("a_id"), col("b_id"), F.roundBin(col("cos"), 4).as("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Bucket-signature width. 2^6 = 64 buckets keeps each bucket
+    * populated at test SFs (sf0.01 → ~78 vecs/bucket); at real scale
+    * widen toward log2(corpus/targetBucketSize) and/or multi-probe
+    * neighboring signatures. */
+  private val SigBits = 6
+
+  /** Deterministic pseudo-random hyperplane component h[i][j] ∈ {-1,1}
+    * derived from xxhash64 parity — reproducible across runs/executors
+    * with zero state shipped. */
+  private def signBit(i: Int, j: Column): Column =
+    when(pmod(xxhash64(concat(lit(s"hp$i:"), j.cast("string"))), lit(2)) === 0, 1.0)
+      .otherwise(-1.0)
+
+  /** Signature column: SigBits sign-bits of dot(v, h_i), packed into an
+    * int bucket id. */
+  private def lshBucket(v: Column): Column = {
+    val bits = (0 until SigBits).map { i =>
+      val d = aggregate(
+        zip_with(v, sequence(lit(0), lit(63)), (x, j) => x * signBit(i, j)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** E3 scale path: random-hyperplane LSH ANN. Buckets the corpus by a
+    * 12-bit signature, then searches only the query's bucket. At 100 TB
+    * the bucketed table is written once (partitioned by bucket) and
+    * each query probes one partition — no corpus scan. No SQL oracle
+    * (hash-derived hyperplanes); verified by VectorQueriesSpec. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("bucket", lshBucket(transform(col("v"), _.cast("double"))))
+    val q = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
+    e.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"),
+        F.roundBin(expr("cosine_sim(v, qv)"), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+}

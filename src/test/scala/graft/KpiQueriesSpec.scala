@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.KpiQueries
+import java.sql.Timestamp
+
+/** Reference-parity KPI aggregates (SURVEY.md §2.3 A1–A8) checked
+  * against a plain-Scala single-pass fold over the same rows — the same
+  * shape as the reference's accumulator loop
+  * (reference: airflow/dags/daily_kpis.py:109-140).
+  */
+class KpiQueriesSpec extends SparkSpec {
+
+  private lazy val events: Seq[(Long, Timestamp, Long, String, Option[Double])] =
+    Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .collect()
+      .toSeq
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        Option(r.getString(3)).getOrElse(""), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+
+  private val pageviewSet = Set("view", "pageview", "page_view", "click")
+  private val purchaseSet = Set("purchase", "order", "checkout")
+  private val dayFmt = {
+    val f = new java.text.SimpleDateFormat("yyyy-MM-dd")
+    f.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    f
+  }
+
+  test("kpiTotal matches a hand-rolled fold (daily_kpis.py:109-140 shape)") {
+    val row = KpiQueries.kpiTotal(spark, sf).collect().head
+    assert(row.getAs[Long]("total_events") === events.size)
+    assert(row.getAs[Long]("unique_users") === events.map(_._3).distinct.size)
+    assert(row.getAs[Long]("pageviews") ===
+      events.count(e => pageviewSet(e._4.toLowerCase)))
+    assert(row.getAs[Long]("purchases") ===
+      events.count(e => purchaseSet(e._4.toLowerCase)))
+    val expRevenue = events.filter(e => purchaseSet(e._4.toLowerCase))
+      .map(_._5.getOrElse(0.0)).sum
+    assert(math.abs(row.getAs[Double]("revenue_usd") - expRevenue) < 0.01)
+  }
+
+  test("kpiDaily partitions the totals: per-day counts sum to the whole") {
+    val daily = KpiQueries.kpiDaily(spark, sf).collect()
+    assert(daily.map(_.getAs[Long]("total_events")).sum === events.size)
+    val expDays = events.map(e => dayFmt.format(e._2)).distinct.sorted
+    assert(daily.map(_.getAs[String]("dt")).toSeq === expDays)
+    // spot-check one day end-to-end
+    val d0 = expDays.head
+    val inDay = events.filter(e => dayFmt.format(e._2) == d0)
+    val r0 = daily.find(_.getAs[String]("dt") == d0).get
+    assert(r0.getAs[Long]("total_events") === inDay.size)
+    assert(r0.getAs[Long]("unique_users") === inDay.map(_._3).distinct.size)
+  }
+
+  test("eventsHourly groups are a partition of all events") {
+    val hourly = KpiQueries.eventsHourly(spark, sf).collect()
+    assert(hourly.map(_.getAs[Long]("n_events")).sum === events.size)
+    assert(hourly.forall(_.getAs[Long]("unique_users") > 0))
+  }
+
+  test("eventsRollup grand-total row equals total events") {
+    val rows = KpiQueries.eventsRollup(spark, sf).collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n_events") === events.size)
+  }
+
+  test("sessionize: session counts bounded by event counts, nulls start sessions") {
+    val rows = KpiQueries.sessionize(spark, sf).collect()
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_events")
+      val s = r.getAs[Long]("n_sessions")
+      assert(s >= 1L && s <= n, s"user ${r.get(0)}: $s sessions > $n events")
+    }
+    assert(rows.map(_.getAs[Long]("n_events")).sum === events.size)
+  }
+
+  test("approxDistinct within rtol of exact (HLL++ rsd=0.01 at tiny n)") {
+    KpiQueries.approxDistinct(spark, sf).collect().foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05)
+    }
+  }
+
+  test("existsFresh is true on a fixture that has a max-ts event") {
+    val rows = KpiQueries.existsFresh(spark, sf).collect()
+    assert(rows.length === 1 && rows.head.getAs[Boolean]("fresh"))
+  }
+}

