@@ -142,7 +142,8 @@ object SparkEntry {
     "q_stream_hourly" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt, strftime(ts, '%H') AS hh,
         |  count(*) AS n_events
-        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-06'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -42,6 +42,11 @@ object Tables {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // task-side output commit (v2): the v1 default renames every
+      // task's partition dirs sequentially on the driver at job
+      // commit — O(partitions) driver wall-clock on every partitioned
+      // write (7s for a 720-bucket write locally; hours at 100 TB)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     graft.functions.GraftFunctions.install(spark)

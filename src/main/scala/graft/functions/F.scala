@@ -33,4 +33,8 @@ object F {
     call_function("minhash_union", sig, lit(numHashes))
 
   def l2Norm(c: Column): Column = call_function("l2_norm", c)
+
+  /** Packed sign-bit LSH bucket id (see [[HyperplaneBucket]]). */
+  def hyperplaneBucket(c: Column, bits: Int): Column =
+    call_function("hyperplane_bucket", c, lit(bits))
 }

@@ -33,6 +33,8 @@ object GraftFunctions {
     "cosine_sim" -> (args => CosineSim(args.head, args(1))),
     "l2_norm" -> (args => L2Norm(args.head)),
     "round_bin" -> (args => RoundBin(args.head, args(1))),
+    "hyperplane_bucket" -> (args =>
+      HyperplaneBucket(args.head, intArg("hyperplane_bucket", args(1)))),
     "minhash_union" -> (args =>
       MinHashUnionAgg(args.head, intArg("minhash_union", args(1)))),
   )

@@ -152,6 +152,33 @@ case class L2Norm(child: Expression)
     copy(child = newChild)
 }
 
+/** Random-hyperplane LSH bucket id for a float-array embedding
+  * (Charikar 2002): `bits` sign-bits of dot(v, h_i) packed into a
+  * long, hyperplane components h_i[j] ∈ {-1,+1} derived from a seeded
+  * hash — reproducible everywhere with zero shipped state. A single
+  * native loop: the higher-order-function formulation codegens a
+  * bits×dim expression tree (compile-time blowup) and runs
+  * interpreted. */
+case class HyperplaneBucket(child: Expression, bits: Int)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_bucket"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.hyperplaneBucket(input.asInstanceOf[ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.hyperplaneBucket($c, $bits)")
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
+    copy(child = newChild)
+}
+
 /** round-half-away-from-zero on the BINARY double value — the
   * C/DuckDB/Postgres `round(double, n)` convention: scale by 10^n
   * (IEEE multiply), round the resulting binary value half away from
@@ -269,6 +296,38 @@ object Sketches {
     }
     if (na == 0.0 || nb == 0.0) null
     else java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+
+  /** Sign-matrix cache for hyperplane buckets: one bits×dim ±1 table
+    * per (bits, dim), hash-derived, built once per JVM. */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+
+  private def signs(bits: Int, dim: Int): Array[Double] =
+    signCache.computeIfAbsent((bits, dim), { case (b, d) =>
+      val m = new Array[Double](b * d)
+      var i = 0
+      while (i < b * d) {
+        m(i) = if ((XXH64.hashLong(i.toLong, XxSeed) & 1L) == 0L) 1.0 else -1.0
+        i += 1
+      }
+      m
+    })
+
+  def hyperplaneBucket(v: ArrayData, bits: Int): Long = {
+    val n = v.numElements()
+    val m = signs(bits, n)
+    var out = 0L
+    var i = 0
+    while (i < bits) {
+      var d = 0.0
+      var j = 0
+      val row = i * n
+      while (j < n) { d += v.getFloat(j) * m(row + j); j += 1 }
+      if (d > 0) out |= (1L << i)
+      i += 1
+    }
+    out
   }
 
   def roundBin(x: Double, scale: Int): Double = {

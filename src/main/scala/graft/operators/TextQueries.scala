@@ -170,6 +170,9 @@ object TextQueries {
       .where(size(col("toks")) >= 3)
       .withColumn("sh", expr(shingleExpr))
       .select(col("doc_id"), col("sh"))
+      // consumed 3× (banding + both candidate join-backs): materialize
+      // the shingle arrays once instead of re-tokenizing the corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = docs
       .select(col("doc_id"),
         posexplode(expr(s"minhash_band_hashes(sh, $NumHashes, $Bands)"))

@@ -73,34 +73,18 @@ object VectorQueries {
     * neighboring signatures. */
   private val SigBits = 6
 
-  /** Deterministic pseudo-random hyperplane component h[i][j] ∈ {-1,1}
-    * derived from xxhash64 parity — reproducible across runs/executors
-    * with zero state shipped. */
-  private def signBit(i: Int, j: Column): Column =
-    when(pmod(xxhash64(concat(lit(s"hp$i:"), j.cast("string"))), lit(2)) === 0, 1.0)
-      .otherwise(-1.0)
-
-  /** Signature column: SigBits sign-bits of dot(v, h_i), packed into an
-    * int bucket id. */
-  private def lshBucket(v: Column): Column = {
-    val bits = (0 until SigBits).map { i =>
-      val d = aggregate(
-        zip_with(v, sequence(lit(0), lit(63)), (x, j) => x * signBit(i, j)),
-        lit(0.0), (acc, x) => acc + x)
-      when(d > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  /** E3 scale path: random-hyperplane LSH ANN. Buckets the corpus by a
-    * 12-bit signature, then searches only the query's bucket. At 100 TB
-    * the bucketed table is written once (partitioned by bucket) and
-    * each query probes one partition — no corpus scan. No SQL oracle
+  /** E3 scale path: random-hyperplane LSH ANN via the native
+    * hyperplane_bucket expression (graft.functions.HyperplaneBucket —
+    * one fused loop with a cached sign matrix; the HOF formulation
+    * codegen'd a bits×dim expression tree). Buckets the corpus by the
+    * signature, then searches only the query's bucket. At 100 TB the
+    * bucketed table is written once (partitioned by bucket) and each
+    * query probes one partition — no corpus scan. No SQL oracle
     * (hash-derived hyperplanes); verified by VectorQueriesSpec. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
     val e = emb(spark, dir)
       .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("bucket", lshBucket(transform(col("v"), _.cast("double"))))
+      .withColumn("bucket", F.hyperplaneBucket(col("v"), SigBits))
     val q = e.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
     e.join(broadcast(q), Seq("bucket"))

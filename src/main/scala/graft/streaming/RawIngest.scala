@@ -57,15 +57,24 @@ object RawIngest {
     withPartitions(
       spark.readStream
         .schema(EventSchema.schema)
-        .option("maxFilesPerTrigger", 8)
         .json(inDir))
 
   /** Partitioned JSONL sink + checkpoint
     * (reference: ingest_clickstream_to_s3.py:65-81 S5). AvailableNow =
     * the reference's bounded poll window (ST1) — drain what exists,
-    * then stop; re-invocation resumes from the checkpoint. */
+    * then stop; re-invocation resumes from the checkpoint.
+    *
+    * The pre-sink repartition on the partition columns is the
+    * small-files control: without it every task writes a file into
+    * every (date,hour) dir it sees (tasks × partitions files per
+    * batch); with it each (date,hour) is written by exactly one task —
+    * the reference's one-object-per-bucket layout
+    * (ingest_clickstream_to_s3.py:71), and the difference between
+    * millions of tiny S3 objects and one per bucket at 100 TB. */
   def start(events: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
-    events.writeStream
+    events
+      .repartition(col("date"), col("hour"))
+      .writeStream
       .format("json")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
