@@ -48,10 +48,14 @@ object SparkEntry {
     "q_string_funcs" -> (TpchQueries.stringFuncs _),
     "q_date_funcs" -> (TpchQueries.dateFuncs _),
     "q_above_avg_orders" -> (TpchQueries.aboveAvgOrders _),
+    "q_asof_join" -> (TpchQueries.asofLineitemOrder _),
+    "q_cube_orders" -> (TpchQueries.cubeOrders _),
+    "q_range_join" -> (TpchQueries.rangeJoinShipments _),
     // §2.11 E1/E2/E4 text & dedup
     "q_dedup_exact" -> (TextQueries.dedupExact _),
     "q_dedup_wordset" -> (TextQueries.dedupWordset _),
     "q_token_count" -> (TextQueries.tokenCount _),
+    "q_token_bpe" -> (TextQueries.tokenBpe _),
     "q_text_quality" -> (TextQueries.textQuality _),
     "q_lang_id" -> (TextQueries.langId _),
     "q_fingerprint" -> (TextQueries.fingerprint _),
@@ -70,6 +74,7 @@ object SparkEntry {
     "q_knn_brute" -> (VectorQueries.knnBrute _),
     "q_vec_norms" -> (VectorQueries.vecNorms _),
     "q_cosine_dedup" -> (VectorQueries.cosineDedup _),
+    "q_cosine_dedup_lsh" -> (VectorQueries.cosineDedupLsh _),
     "q_ann_lsh" -> (VectorQueries.annLsh _),
   )
 
@@ -252,6 +257,30 @@ object SparkEntry {
         |      FROM orders GROUP BY 1) a ON o.o_custkey = a.ck
         |WHERE o_totalprice > avg_price * 1.5
         |ORDER BY o_orderkey""".stripMargin,
+    "q_asof_join" ->
+      """WITH r AS (
+        |  SELECT o_custkey % 10 AS k, o_orderdate AS asof_ts,
+        |    max(o_orderkey) AS asof_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (
+        |  SELECT l_orderkey, l_linenumber, CAST(l_suppkey % 10 AS INT) AS k, l_shipdate
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01')
+        |SELECT l.l_orderkey, l.l_linenumber, l.k, r.asof_orderkey,
+        |  strftime(r.asof_ts, '%Y-%m-%d') AS asof_orderdate
+        |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.l_shipdate >= r.asof_ts
+        |ORDER BY 1, 2""".stripMargin,
+    "q_range_join" ->
+      """SELECT o_orderkey, count(*) AS n_shipped_90d
+        |FROM orders JOIN lineitem
+        |  ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate < o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cube_orders" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS total_price
+        |FROM orders GROUP BY CUBE(1, 2)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_dedup_exact" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
         |  FROM documents GROUP BY 1)
@@ -267,6 +296,11 @@ object SparkEntry {
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_tokens,
         |  round(avg(len(regexp_split_to_array(text, '\s+'))), 2) AS avg_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_token_bpe" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS total_pieces,
+        |  round(avg(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\s]'))), 2) AS avg_pieces
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_text_quality" ->
       """WITH t AS (SELECT doc_id, text, regexp_split_to_array(text, '\s+') AS toks FROM documents)

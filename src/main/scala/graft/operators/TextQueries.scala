@@ -64,6 +64,22 @@ object TextQueries {
       .orderBy(col("lang"))
   }
 
+  /** E4 BPE-ish sub-word tokenization: word-pieces + punctuation via
+    * regexp_extract_all — the non-whitespace token-count variant the
+    * brief asks for (counts differ from `tokenCount` whenever
+    * punctuation abuts words). */
+  def tokenBpe(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+      .withColumn("pieces",
+        expr("""regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]', 0)"""))
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("pieces")).cast("long")).as("total_pieces"),
+        F.roundBin(avg(size(col("pieces"))), 2).as("avg_pieces"))
+      .orderBy(col("lang"))
+  }
+
   /** E4 per-document quality scoring: token counts, type-token ratio,
     * average word length, stopword ratio. Row-parallel, no shuffle. */
   def textQuality(spark: SparkSession, dir: String): DataFrame = {

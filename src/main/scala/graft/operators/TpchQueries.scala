@@ -228,6 +228,54 @@ object TpchQueries {
       .orderBy(col("yr"), col("mo"))
   }
 
+  /** As-of join (AsOfJoin union+window formulation): for each 2000+
+    * lineitem shipment, the most recent order placed on-or-before its
+    * shipdate within the same key bucket. Right side deduped to one
+    * row per (bucket, orderdate). Oracle: DuckDB's native ASOF JOIN. */
+  def asofLineitemOrder(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_suppkey"), lit(10)).cast("int").as("k"), col("l_shipdate"))
+    val ord = load(spark, dir, "orders")
+      .groupBy(pmod(col("o_custkey"), lit(10)).cast("int").as("k"),
+        col("o_orderdate").as("asof_ts"))
+      .agg(max(col("o_orderkey")).as("asof_orderkey"))
+    AsOfJoin.asOf(li, ord, Seq("k"), "l_shipdate", "asof_ts")
+      .select(col("l_orderkey"), col("l_linenumber"), col("k"),
+        col("asof_orderkey"),
+        date_format(col("asof_ts"), "yyyy-MM-dd").as("asof_orderdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+  }
+
+  /** Range join (equi + interval predicate): per order, lineitems
+    * shipped within 90 days of the order date. The equi key keeps it a
+    * hash/sort-merge join with the range as a cheap post-filter — the
+    * scalable shape (a pure inequality join would be a cross product;
+    * see AsOfJoin for the keyless temporal case). */
+  def rangeJoinShipments(spark: SparkSession, dir: String): DataFrame = {
+    val ord = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_shipdate"))
+    ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_shipped_90d"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** CUBE over (status, priority) — full grouping-sets surface
+    * (SURVEY.md §2.3: rollup/cube "free via Catalyst"). */
+  def cubeOrders(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        F.roundBin(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** Correlated-scalar-subquery shape: orders above their customer's
     * average order value. Catalyst decorrelates to a join+agg. */
   def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {

@@ -67,6 +67,25 @@ object VectorQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
+  /** E2/E3 embedding-cosine near-dup at scale: LSH-bucket blocking
+    * instead of label blocking — candidate pairs only form inside a
+    * hyperplane bucket, so pair count scales with Σ bucket² instead of
+    * corpus². Recall vs. the exact label-blocked variant is spec-
+    * checked; rows-only under the gate (hash-derived buckets). */
+  def cosineDedupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("bucket", F.hyperplaneBucket(col("v"), SigBits))
+    val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("av"))
+    val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("bv"))
+    a.join(b, Seq("bucket"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cos", F.cosineSim(col("av"), col("bv")))
+      .where(col("cos") >= 0.3)
+      .select(col("a_id"), col("b_id"), F.roundBin(col("cos"), 4).as("cos"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** Bucket-signature width. 2^6 = 64 buckets keeps each bucket
     * populated at test SFs (sf0.01 → ~78 vecs/bucket); at real scale
     * widen toward log2(corpus/targetBucketSize) and/or multi-probe

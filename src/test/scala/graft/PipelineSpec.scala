@@ -109,6 +109,59 @@ class PipelineSpec extends SparkSpec {
     assert(!Freshness.isFresh(spark, outDir.toString, "1970-01-01"))
   }
 
+  test("single-day KPI run prunes to that day and round-trips the parquet sink") {
+    val inDir = tmp("graft-day-in")
+    val kpiDir = tmp("graft-kpis")
+    val events = EventGenerator.events(spark, 1500, seed = "day")
+    events.select(to_json(struct(events.columns.map(col): _*)).as("value"))
+      .coalesce(1).write.mode("overwrite").text(inDir.toString)
+
+    val all = DailyKpis.compute(spark, inDir.toString).collect()
+    val day = all.head.getAs[String]("dt")
+    val one = DailyKpis.compute(spark, inDir.toString, Some(day)).collect()
+    assert(one.length === 1)
+    assert(one.head.toString === all.head.toString)
+
+    // S8 sink: partitioned parquet, read back intact
+    DailyKpis.write(DailyKpis.compute(spark, inDir.toString), kpiDir.toString)
+    val back = spark.read.parquet(kpiDir.toString)
+    assert(back.count() === all.length)
+    assert(back.columns.toSet === Set("total_events", "unique_users",
+      "unique_sessions", "pageviews", "purchases", "revenue_usd", "dt"))
+    val backDay = back.where(col("dt") === day).collect()
+    assert(backDay.head.getAs[Long]("total_events") ===
+      one.head.getAs[Long]("total_events"))
+  }
+
+  test("run-date resolution: precedence and multi-format parse (P10/P11)") {
+    import graft.jobs.RunDate
+    import java.time.{Instant, LocalDate, ZoneId}
+    val utc = ZoneId.of("UTC")
+    assert(RunDate.parse(" \"2024-03-05\" ") === Some(LocalDate.of(2024, 3, 5)))
+    assert(RunDate.parse("2024-03-05T10:30:00Z") === Some(LocalDate.of(2024, 3, 5)))
+    assert(RunDate.parse("2024-03-05T10:30:00") === Some(LocalDate.of(2024, 3, 5)))
+    assert(RunDate.parse("garbage") === None)
+    assert(RunDate.resolve(Some("2024-01-02"), Some("2024-01-03"),
+      Some("2024-01-04")) === LocalDate.of(2024, 1, 2))
+    assert(RunDate.resolve(None, Some("2024-01-03"),
+      Some("2024-01-04")) === LocalDate.of(2024, 1, 3))
+    assert(RunDate.resolve(Some("bad"), None,
+      Some("2024-01-04")) === LocalDate.of(2024, 1, 4))
+    assert(RunDate.resolve(None, None, None, utc,
+      () => Instant.parse("2024-06-07T23:59:00Z")) === LocalDate.of(2024, 6, 7))
+  }
+
+  test("Kafka wire format: one JSON message per event (S3 serialization)") {
+    import graft.gen.KafkaSink
+    val events = EventGenerator.events(spark, 100, seed = "kafka")
+    val msgs = KafkaSink.toMessages(events).collect().map(_.getString(0))
+    assert(msgs.length === 100)
+    msgs.foreach { m =>
+      assert(m.startsWith("{") && m.contains("\"event_ts\":") &&
+        m.contains("\"user_id\":\"u_"))
+    }
+  }
+
   test("streaming windowed KPIs (batch-mode check of the same plan)") {
     val events = EventGenerator.events(spark, 2000, seed = "win", days = 1)
     val win = StreamingKpis.windowed(events, "1 hour", "30 minutes").collect()

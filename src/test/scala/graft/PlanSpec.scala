@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.{KpiQueries, TpchQueries, VectorQueries}
+
+/** Physical-plan assertions (SURVEY.md §4): the properties that keep
+  * these operators viable at 100 TB — filter/column pushdown into the
+  * parquet scan, broadcast joins for dimensions, TakeOrderedAndProject
+  * for top-k, no accidental cartesian products — asserted against the
+  * executed plan so a regression in plan shape fails CI, not a
+  * cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q1: shipdate filter + column pruning reach the parquet scan") {
+    val p = plan(TpchQueries.q1PricingSummary(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"no pushed filter:\n$p")
+    // projection pruned to the 7 used columns — partkey/suppkey/comment
+    // must not be read
+    assert(p.contains("ReadSchema") && !p.contains("l_partkey"), "column pruning lost")
+  }
+
+  test("q3: dimension joins broadcast; no cartesian product") {
+    val p = plan(TpchQueries.q3ShippingPriority(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q5: 6-way join keeps all dimensions broadcast") {
+    val p = plan(TpchQueries.q5LocalSupplier(spark, sf))
+    assert(p.split("BroadcastHashJoin").length >= 4,
+      s"expected >=4 broadcast joins (supplier/customer/nation/region):\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("topk: TakeOrderedAndProject, not a total sort") {
+    val p = plan(TpchQueries.topkOrders(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k should not total-sort:\n$p")
+  }
+
+  test("kpiDaily: partial aggregation before the shuffle") {
+    val p = plan(KpiQueries.kpiDaily(spark, sf))
+    assert(p.contains("HashAggregate"), p)
+    // partial + final pair: at least two HashAggregate nodes
+    assert(p.split("HashAggregate").length >= 3, s"no map-side partial agg:\n$p")
+  }
+
+  test("knnBrute: corpus side is not shuffled (broadcast 1-row query)") {
+    val p = plan(VectorQueries.knnBrute(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query vector should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("whole-stage codegen covers the q1 aggregation pipeline") {
+    // AQE shows codegen stages only in the final (executed) plan
+    val df = TpchQueries.q1PricingSummary(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // executed-plan toString marks codegen stages with "*(n)"
+    assert(p.contains("*("), s"codegen disabled?:\n$p")
+  }
+}

@@ -29,6 +29,18 @@ class TextQueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_docs")).sum === docs.size)
   }
 
+  test("tokenBpe: piece counts >= whitespace token counts, docs partitioned") {
+    val ws = graft.operators.TextQueries.tokenCount(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("total_tokens")).toMap
+    val bpe = graft.operators.TextQueries.tokenBpe(spark, sf).collect()
+    assert(bpe.map(_.getAs[Long]("n_docs")).sum === docs.size)
+    bpe.foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getAs[Long]("total_pieces") >= ws(lang),
+        s"$lang: sub-word pieces should not be fewer than whitespace tokens")
+    }
+  }
+
   test("textQuality: ttr in (0,1], n_distinct <= n_tokens") {
     val rows = TextQueries.textQuality(spark, sf).collect()
     assert(rows.length === docs.size)

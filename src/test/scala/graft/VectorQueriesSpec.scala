@@ -49,6 +49,21 @@ class VectorQueriesSpec extends SparkSpec {
     }
   }
 
+  test("cosineDedupLsh: true scores; subset of all-pairs >= 0.3") {
+    val allPairs = vecs.toSeq.combinations(2).collect {
+      case Seq((a, va), (b, vb)) if cos(va, vb) >= 0.3 =>
+        (math.min(a, b), math.max(a, b))
+    }.toSet
+    val got = VectorQueries.cosineDedupLsh(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, c) =>
+      assert(a < b && allPairs.contains((a, b)), s"($a,$b) not a true near-dup")
+      val expected = math.rint(cos(vecs(a), vecs(b)) * 1e4) / 1e4
+      assert(math.abs(c - expected) < 1e-9)
+    }
+  }
+
   test("annLsh: results are true cosine scores; candidates come from one bucket") {
     val qId = vecs.keys.min
     val qv = vecs(qId)
