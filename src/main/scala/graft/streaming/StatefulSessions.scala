@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Custom-state sessionization via `flatMapGroupsWithState` (SURVEY.md
+  * §2.9 ST7): explicit per-user session state with event-time
+  * timeouts, for session semantics the built-in `session_window`
+  * can't express (emit-on-close with custom payloads, caps, counters).
+  *
+  * State is one open session per user — constant size per key; closed
+  * sessions are emitted as soon as a gap is observed in-stream, and
+  * trailing sessions are flushed by event-time timeout when the
+  * watermark passes session_end + gap. Works identically under
+  * repeated Trigger.AvailableNow runs (state and watermark persist in
+  * the checkpoint).
+  */
+object StatefulSessions {
+
+  case class SessionEvent(user_id: String, ts: Timestamp)
+  case class SessionOut(user_id: String, session_start: Timestamp,
+                        session_end: Timestamp, n_events: Long)
+  /** open-session state: bounds per-key state to 24 bytes. */
+  case class OpenSession(start: Long, last: Long, n: Long)
+
+  def sessionize(events: Dataset[SessionEvent], gapSeconds: Long,
+                 lateness: String = "0 seconds"): Dataset[SessionOut] = {
+    implicit val outEnc = Encoders.product[SessionOut]
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val strEnc = Encoders.STRING
+
+    def close(uid: String, s: OpenSession): SessionOut =
+      SessionOut(uid, new Timestamp(s.start), new Timestamp(s.last), s.n)
+
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid, it: Iterator[SessionEvent], state: GroupState[OpenSession]) =>
+          if (it.isEmpty && state.hasTimedOut) {
+            // watermark passed last_event + gap: flush the open session
+            val out = state.getOption.map(close(uid, _)).toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val sorted = it.map(_.ts.getTime).toArray.sorted
+            val gapMs = gapSeconds * 1000L
+            var open = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { t =>
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) =>
+                  closed += close(uid, s)
+                  open = Some(OpenSession(t, t, 1))
+                case None =>
+                  open = Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}
