@@ -76,6 +76,7 @@ object SparkEntry {
     "q_cosine_dedup" -> (VectorQueries.cosineDedup _),
     "q_cosine_dedup_lsh" -> (VectorQueries.cosineDedupLsh _),
     "q_ann_lsh" -> (VectorQueries.annLsh _),
+    "q_ann_ivf" -> ((s, d) => VectorQueries.annIvf(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -46,7 +46,14 @@ object DailyKpis {
       .drop(EventSchema.CorruptCol)
       .withColumn("ts", to_timestamp(col("event_ts")))
     val pruned = day.fold(raw)(d => raw.where(to_date(col("ts")) === lit(d)))
-    pruned
+    aggregateEvents(pruned)
+  }
+
+  /** The KPI fold itself (daily_kpis.py:109-140) over any DataFrame
+    * with (ts, user_id, session_id, event_type, price). Exposed so
+    * properties of the fold are testable on arbitrary inputs. */
+  def aggregateEvents(events: DataFrame): DataFrame =
+    events
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
       .agg(
         count(lit(1)).as("total_events"),
@@ -57,7 +64,6 @@ object DailyKpis {
         bround(sum(when(isPurchase(col("event_type")),
           coalesce(col("price"), lit(0.0))).otherwise(0.0)), 2).as("revenue_usd"))
       .orderBy(col("dt"))
-  }
 
   /** KPI sink (reference: daily_kpis.py:165-172 — snappy parquet under
     * kpis/daily/dt=<day>/). Snappy is Spark's parquet default. */

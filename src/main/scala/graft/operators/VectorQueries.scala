@@ -92,6 +92,47 @@ object VectorQueries {
     * neighboring signatures. */
   private val SigBits = 6
 
+  /** E3 scale path #2: IVF (inverted-file) ANN. Coarse quantizer =
+    * `nlist` deterministic seed centroids (the lowest-vec_id vectors —
+    * a stand-in for k-means that keeps the fixture pipeline seedless);
+    * every vector is assigned to its nearest centroid by cosine
+    * (broadcast centroids, map-side, no shuffle of the corpus), and a
+    * query scans only the `nprobe` lists nearest to it. At 100 TB the
+    * assignment is written once partitioned by list id; each query
+    * reads nprobe/nlist of the corpus. Rows-only under the gate
+    * (centroid choice is engine-defined); recall vs knnBrute is
+    * spec-checked. */
+  def annIvf(spark: SparkSession, dir: String,
+             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val centroids = e.orderBy(col("vec_id")).limit(nlist)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    // assignment: argmax cosine over broadcast centroids — one
+    // map-side pass, corpus never shuffles
+    val assigned = e.join(broadcast(centroids))
+      .withColumn("c_cos", F.cosineSim(col("v"), col("cv")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("c_cos").desc, col("c_id"))))
+      .where(col("rk") === 1)
+      .select(col("vec_id"), col("v"), col("c_id").as("list_id"))
+    val q = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    // probe set: the nprobe centroid lists nearest to the query
+    val probes = centroids.join(broadcast(q))
+      .select(col("c_id"),
+        F.cosineSim(col("cv"), col("qv")).as("qc"))
+      .orderBy(col("qc").desc, col("c_id")).limit(nprobe)
+      .select(col("c_id").as("list_id"))
+    assigned.join(broadcast(probes), Seq("list_id"))
+      .join(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"),
+        F.roundBin(F.cosineSim(col("v"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
   /** E3 scale path: random-hyperplane LSH ANN via the native
     * hyperplane_bucket expression (graft.functions.HyperplaneBucket —
     * one fused loop with a cached sign matrix; the HOF formulation

@@ -64,6 +64,26 @@ class VectorQueriesSpec extends SparkSpec {
     }
   }
 
+  test("annIvf: true scores, sorted, and decent recall vs brute force") {
+    val qId = vecs.keys.min
+    val qv = vecs(qId)
+    val got = VectorQueries.annIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, c) =>
+      val expected = math.rint(cos(qv, vecs(id)) * 1e4) / 1e4
+      assert(math.abs(c - expected) < 1e-9)
+    }
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+    // recall@10 against exact top-10: nprobe=4/16 lists should catch
+    // a reasonable share on the fixture
+    val exact = vecs.toSeq.filter(_._1 != qId)
+      .map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val recall = got.map(_._1).count(exact).toDouble / 10.0
+    assert(recall >= 0.2, s"recall@10 = $recall")
+  }
+
   test("annLsh: results are true cosine scores; candidates come from one bucket") {
     val qId = vecs.keys.min
     val qv = vecs(qId)
