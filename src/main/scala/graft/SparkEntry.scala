@@ -70,6 +70,8 @@ object SparkEntry {
     // §3 end-to-end pipeline (EP2 streaming ingest / EP3 raw-zone KPIs)
     "q_raw_kpis" -> (PipelineQueries.rawKpis _),
     "q_stream_hourly" -> (PipelineQueries.streamHourly _),
+    "q_salted_join" -> (PipelineQueries.saltedJoin _),
+    "q_stateful_sessions" -> (PipelineQueries.statefulSessions _),
     // §2.11 E3 vectors
     "q_knn_brute" -> (VectorQueries.knnBrute _),
     "q_vec_norms" -> (VectorQueries.vecNorms _),
@@ -150,6 +152,20 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-06'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_salted_join" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stateful_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

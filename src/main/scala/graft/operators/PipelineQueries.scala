@@ -54,6 +54,58 @@ object PipelineQueries {
         col("revenue_usd"))
   }
 
+  /** Skew-salted join under the oracle gate: the salted fact⋈dim join
+    * must produce exactly the plain join's result (the oracle IS the
+    * plain SQL join), while spreading each hot key over 8 reducers. */
+  def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+    val ord = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    SaltedJoin.join(li, ord, "l_orderkey", "o_orderkey",
+        saltFactor = 8, saltOn = Seq(col("l_orderkey"), col("l_linenumber")))
+      .groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n_items"),
+        graft.functions.F.roundBin(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** flatMapGroupsWithState sessionization under the oracle gate: the
+    * fixture events plus one far-future sentinel per user are streamed
+    * through StatefulSessions; the sentinel closes every real session
+    * (its own session stays open and unemitted), so emitted counts
+    * must equal a SQL lag-gap sessionization of the fixture. */
+  def statefulSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.streaming.StatefulSessions
+    val in = Files.createTempDirectory("graft-sess-in")
+    val ck = Files.createTempDirectory("graft-sess-ck")
+    val out = Files.createTempDirectory("graft-sess-out")
+    Seq(in, ck, out).foreach(_.toFile.deleteOnExit())
+    val ev = load(spark, dir, "events")
+      .select(col("user_id").cast("string").as("user_id"), col("ts"))
+    // one GLOBAL sentinel timestamp: per-user sentinels would let the
+    // watermark (global max) time out and emit other users' sentinel
+    // sessions when the source splits into multiple batches
+    val flushTs = ev.agg((max(col("ts")) + expr("INTERVAL 365 DAYS")).as("ts"))
+    val sentinels = ev.select(col("user_id")).distinct().crossJoin(flushTs)
+    ev.unionByName(sentinels)
+      .select(to_json(struct(col("user_id"), col("ts"))).as("value"))
+      .coalesce(2).write.mode("overwrite").text(in.toString)
+    val src = spark.readStream.schema("user_id STRING, ts TIMESTAMP")
+      .json(in.toString).as[StatefulSessions.SessionEvent]
+    val q = StatefulSessions.sessionize(src, gapSeconds = 1800)
+      .writeStream.format("parquet").option("path", out.toString)
+      .outputMode("append").option("checkpointLocation", ck.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.parquet(out.toString)
+      .groupBy(col("user_id").cast("long").as("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
   /** EP2 streaming ingest (file-source stand-in for the Kafka topic,
     * Trigger.AvailableNow) → event-time partitioned raw zone → per-
     * partition counts. Exercises S4/S5/ST1/ST2 under the DuckDB gate:
