@@ -162,7 +162,8 @@ object SparkEntry {
         |  SELECT user_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |      OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000 THEN 1 ELSE 0 END AS new_sess
-        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |  FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-11'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,

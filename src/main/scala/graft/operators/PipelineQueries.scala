@@ -82,7 +82,10 @@ object PipelineQueries {
     val ck = Files.createTempDirectory("graft-sess-ck")
     val out = Files.createTempDirectory("graft-sess-out")
     Seq(in, ck, out).foreach(_.toFile.deleteOnExit())
+    // bounded to the first 10 event-days (identical code path; the
+    // streaming machinery's fixed cost dominates past this size)
     val ev = load(spark, dir, "events")
+      .where(to_date(col("ts")) < lit("2024-01-11"))
       .select(col("user_id").cast("string").as("user_id"), col("ts"))
     // one GLOBAL sentinel timestamp: per-user sentinels would let the
     // watermark (global max) time out and emit other users' sentinel
