@@ -148,9 +148,9 @@ object SparkEntry {
         |  round(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS revenue_usd
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_hourly" ->
-      """SELECT strftime(ts, '%Y-%m-%d') AS dt, strftime(ts, '%H') AS hh,
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS dt, strftime(ts, '%H') AS hh,
         |  count(*) AS n_events
-        |FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-06'
+        |FROM events WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.StreamCutoff}'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_salted_join" ->
       """SELECT o_orderkey, count(*) AS n_items,
@@ -158,11 +158,11 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stateful_sessions" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT user_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |      OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000 THEN 1 ELSE 0 END AS new_sess
-        |  FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-11'
+        |  FROM events WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.SessionCutoff}'
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events

@@ -18,6 +18,13 @@ import graft.streaming.RawIngest
 object PipelineQueries {
   import graft.Tables.load
 
+  /** Event-day cutoffs for the bounded gate queries — interpolated
+    * into BOTH the Spark queries and their DuckDB oracle SQL
+    * (SparkEntry) so the two sides cannot drift. The fixture's event
+    * range is 2024-01-01..2024-01-30 (seed=42, TESTDATA.md). */
+  val StreamCutoff = "2024-01-06"
+  val SessionCutoff = "2024-01-11"
+
   /** Fixture rows in producer wire shape (event_ts ISO-8601 Z string,
     * string ids, price). Second-precision timestamps: the fixture's
     * sub-second noise is irrelevant at day/hour grain. */
@@ -85,7 +92,7 @@ object PipelineQueries {
     // bounded to the first 10 event-days (identical code path; the
     // streaming machinery's fixed cost dominates past this size)
     val ev = load(spark, dir, "events")
-      .where(to_date(col("ts")) < lit("2024-01-11"))
+      .where(to_date(col("ts")) < lit(SessionCutoff))
       .select(col("user_id").cast("string").as("user_id"), col("ts"))
     // one GLOBAL sentinel timestamp: per-user sentinels would let the
     // watermark (global max) time out and emit other users' sentinel
@@ -119,7 +126,7 @@ object PipelineQueries {
     * locally), so the slice keeps the gate fast while exercising the
     * identical code path; the oracle applies the same cutoff. */
   def streamHourly(spark: SparkSession, dir: String): DataFrame = {
-    val in = writeJsonl(spark, dir, "graft-ingest-in", cutoffDate = Some("2024-01-06"))
+    val in = writeJsonl(spark, dir, "graft-ingest-in", cutoffDate = Some(StreamCutoff))
     val out = Files.createTempDirectory("graft-ingest-out")
     val ck = Files.createTempDirectory("graft-ingest-ck")
     out.toFile.deleteOnExit(); ck.toFile.deleteOnExit()
