@@ -48,6 +48,9 @@ object SparkEntry {
     "q_string_funcs" -> (TpchQueries.stringFuncs _),
     "q_date_funcs" -> (TpchQueries.dateFuncs _),
     "q_above_avg_orders" -> (TpchQueries.aboveAvgOrders _),
+    "q6_forecast_revenue" -> (TpchQueries.q6ForecastRevenue _),
+    "q12_priority" -> (TpchQueries.q12Priority _),
+    "q14_promo_share" -> (TpchQueries.q14PromoShare _),
     "q_asof_join" -> (TpchQueries.asofLineitemOrder _),
     "q_cube_orders" -> (TpchQueries.cubeOrders _),
     "q_range_join" -> (TpchQueries.rangeJoinShipments _),
@@ -275,6 +278,23 @@ object SparkEntry {
         |      FROM orders GROUP BY 1) a ON o.o_custkey = a.ck
         |WHERE o_totalprice > avg_price * 1.5
         |ORDER BY o_orderkey""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q12_priority" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS ship_yr,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0 /
+        |  sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
     "q_asof_join" ->
       """WITH r AS (
         |  SELECT o_custkey % 10 AS k, o_orderdate AS asof_ts,

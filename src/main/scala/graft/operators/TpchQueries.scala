@@ -228,6 +228,46 @@ object TpchQueries {
       .orderBy(col("yr"), col("mo"))
   }
 
+  /** TPC-H Q6-style forecast revenue: pure scan→filter→agg, the
+    * simplest full-pushdown pipeline (every predicate reaches the
+    * parquet scan; single partial+final agg, no shuffle of data rows). */
+  def q6ForecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    li.where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.03, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(F.roundBin(sum(col("l_extendedprice") * col("l_discount")), 2)
+        .as("revenue"))
+  }
+
+  /** TPC-H Q12-style: orders by priority class per lineitem ship year —
+    * join + conditional aggregation (CASE inside sum). */
+  def q12Priority(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val ord = load(spark, dir, "orders")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("l_shipdate")).as("ship_yr"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("low_line_count"))
+      .orderBy(col("ship_yr"))
+  }
+
+  /** TPC-H Q14-style promo revenue share: broadcast dim join +
+    * ratio of conditional to total aggregate. */
+  def q14PromoShare(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val part = load(spark, dir, "part")
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .agg(F.roundBin(
+        sum(when(col("p_type").startsWith("PROMO"), rev).otherwise(0.0)) * 100.0 /
+          sum(rev), 4).as("promo_pct"))
+  }
+
   /** As-of join (AsOfJoin union+window formulation): for each 2000+
     * lineitem shipment, the most recent order placed on-or-before its
     * shipdate within the same key bucket. Right side deduped to one
