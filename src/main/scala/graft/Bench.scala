@@ -8,20 +8,28 @@ package graft
   * amortize to zero on a long-lived 100 TB engine), then once timed.
   */
 object Bench {
+  /** Fully evaluates every row and column of the plan. `count()` would
+    * let Catalyst prune projections and eliminate sorts under the
+    * aggregate, so pure-projection queries would time only a pruned
+    * parquet scan instead of the declared operator.
+    */
+  private def forceEval(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.session()
     spark.sparkContext.setLogLevel("WARN")
     (1 to 2).foreach { _ =>
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, sfDir).count() catch { case _: Throwable => }
+        try forceEval(fn(spark, sfDir)) catch { case _: Throwable => }
       }
     }
     spark.catalog.clearCache() // drop warmup-accumulated cached RDDs
     System.gc()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try forceEval(fn(spark, sfDir)) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

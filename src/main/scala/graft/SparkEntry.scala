@@ -91,7 +91,7 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d') AS dt,
         |  count(*) AS total_events,
         |  count(DISTINCT user_id) AS unique_users,
-        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('view','pageview','page_view','click') THEN 1 ELSE 0 END) AS BIGINT) AS pageviews,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('view','pageview','page_view') THEN 1 ELSE 0 END) AS BIGINT) AS pageviews,
         |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
         |  round(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS revenue_usd
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -99,7 +99,7 @@ object SparkEntry {
       """SELECT count(*) AS total_events,
         |  count(DISTINCT user_id) AS unique_users,
         |  count(DISTINCT event_type) AS unique_event_types,
-        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('view','pageview','page_view','click') THEN 1 ELSE 0 END) AS BIGINT) AS pageviews,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('view','pageview','page_view') THEN 1 ELSE 0 END) AS BIGINT) AS pageviews,
         |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
         |  round(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS revenue_usd
         |FROM events""".stripMargin,

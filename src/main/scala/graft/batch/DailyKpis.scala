@@ -17,8 +17,12 @@ import graft.model.EventSchema
   *  - malformed JSON lines are dropped via PERMISSIVE mode +
   *    corrupt-record filter — count-identical to the reference's
   *    `except: continue` (daily_kpis.py:104-107);
-  *  - revenue is `bround` (HALF_EVEN) matching Python `round`
-  *    (daily_kpis.py:139).
+  *  - revenue rounding uses F.roundBin (round-half-up on the binary
+  *    double, matching DuckDB/SQL `round()`), a documented deviation
+  *    from Python's `round` (daily_kpis.py:139, HALF_EVEN on the
+  *    shortest decimal repr) — bround here would diverge from the
+  *    q_raw_kpis oracle on sums whose shortest repr shows x.xx5 while
+  *    the binary value sits below the half.
   */
 object DailyKpis {
 
@@ -61,7 +65,7 @@ object DailyKpis {
         countDistinct(col("session_id")).as("unique_sessions"),
         sum(when(isPageview(col("event_type")), 1L).otherwise(0L)).as("pageviews"),
         sum(when(isPurchase(col("event_type")), 1L).otherwise(0L)).as("purchases"),
-        bround(sum(when(isPurchase(col("event_type")),
+        graft.functions.F.roundBin(sum(when(isPurchase(col("event_type")),
           coalesce(col("price"), lit(0.0))).otherwise(0.0)), 2).as("revenue_usd"))
       .orderBy(col("dt"))
 

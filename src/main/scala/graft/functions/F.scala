@@ -34,6 +34,11 @@ object F {
 
   def l2Norm(c: Column): Column = call_function("l2_norm", c)
 
+  /** IVF assignment: nearest centroid id by cosine (see
+    * [[NearestCentroid]]); `cents` is array<struct<c_id,cv>>. */
+  def nearestCentroid(v: Column, cents: Column): Column =
+    call_function("nearest_centroid", v, cents)
+
   /** Packed sign-bit LSH bucket id (see [[HyperplaneBucket]]). */
   def hyperplaneBucket(c: Column, bits: Int): Column =
     call_function("hyperplane_bucket", c, lit(bits))

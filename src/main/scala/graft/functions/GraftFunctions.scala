@@ -35,6 +35,7 @@ object GraftFunctions {
     "round_bin" -> (args => RoundBin(args.head, args(1))),
     "hyperplane_bucket" -> (args =>
       HyperplaneBucket(args.head, intArg("hyperplane_bucket", args(1)))),
+    "nearest_centroid" -> (args => NearestCentroid(args.head, args(1))),
     "minhash_union" -> (args =>
       MinHashUnionAgg(args.head, intArg("minhash_union", args(1)))),
   )

@@ -179,6 +179,45 @@ case class HyperplaneBucket(child: Expression, bits: Int)
     copy(child = newChild)
 }
 
+/** IVF coarse-quantizer assignment: id of the nearest centroid (by
+  * cosine) to a vector, over a centroid list carried as an
+  * `array<struct<c_id: long, cv: array<float>>>` column. One fused
+  * loop over nlist centroids per row — the map-side replacement for
+  * the corpus×nlist expand + per-vec_id window argmax, which shuffled
+  * the whole corpus (VERDICT r1 finding #1). Ties break to the
+  * earliest list entry (keep the list sorted by c_id). Null if either
+  * side is null or no centroid has a defined cosine. */
+case class NearestCentroid(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _),
+            ArrayType(StructType(Array(f0, f1)), _))
+          if f0.dataType == LongType &&
+             f1.dataType.isInstanceOf[ArrayType] &&
+             f1.dataType.asInstanceOf[ArrayType].elementType == FloatType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<struct<long, array<float>>>), got $other")
+    }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override def nullSafeEval(v: Any, cents: Any): Any =
+    Sketches.nearestCentroid(v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      s"""java.lang.Long r = graft.functions.Sketches.nearestCentroid($v, $c);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NearestCentroid =
+    copy(left = newLeft, right = newRight)
+}
+
 /** round-half-away-from-zero on the BINARY double value — the
   * C/DuckDB/Postgres `round(double, n)` convention: scale by 10^n
   * (IEEE multiply), round the resulting binary value half away from
@@ -340,6 +379,27 @@ object Sketches {
     val r = new java.math.BigDecimal(math.abs(scaled))
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
     math.copySign(r, x) / power
+  }
+
+  def nearestCentroid(v: ArrayData, cents: ArrayData): java.lang.Long = {
+    val n = cents.numElements()
+    var bestId: java.lang.Long = null
+    var best = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      if (!cents.isNullAt(i)) {
+        val row = cents.getStruct(i, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val c = cosineSim(v, row.getArray(1))
+          if (c != null && c.doubleValue() > best) {
+            best = c.doubleValue()
+            bestId = java.lang.Long.valueOf(row.getLong(0))
+          }
+        }
+      }
+      i += 1
+    }
+    bestId
   }
 
   def l2Norm(a: ArrayData): Double = {

@@ -26,8 +26,11 @@ import graft.functions.F
 object KpiQueries {
   import graft.Tables.load
 
+  // Matches the reference's pageview set exactly (daily_kpis.py:124:
+  // page_view/pageview/view) and DailyKpis.isPageview — 'click' is NOT
+  // a pageview there, so it isn't one here either.
   private def isPageview(c: Column): Column =
-    lower(coalesce(c, lit(""))).isin("view", "pageview", "page_view", "click")
+    lower(coalesce(c, lit(""))).isin("view", "pageview", "page_view")
   private def isPurchase(c: Column): Column =
     lower(coalesce(c, lit(""))).isin("purchase", "order", "checkout")
 

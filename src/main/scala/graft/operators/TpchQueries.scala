@@ -195,7 +195,10 @@ object TpchQueries {
         F.roundBin(min(col("c_acctbal")), 2).as("min_bal"),
         F.roundBin(max(col("c_acctbal")), 2).as("max_bal"),
         F.roundBin(avg(col("c_acctbal")), 2).as("avg_bal"),
-        F.roundBin(stddev_samp(col("c_acctbal")), 2).as("sd_bal"),
+        // Singleton groups: Spark's stddev_samp yields NaN but DuckDB
+        // yields NULL — gate on n > 1 so both sides agree.
+        when(count(lit(1)) > 1, F.roundBin(stddev_samp(col("c_acctbal")), 2))
+          .as("sd_bal"),
         F.roundBin(expr("percentile(c_acctbal, 0.5)"), 2).as("median_bal"))
       .orderBy(col("c_mktsegment"))
   }

@@ -107,15 +107,19 @@ object VectorQueries {
     val e = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
     val centroids = e.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    // assignment: argmax cosine over broadcast centroids — one
-    // map-side pass, corpus never shuffles
-    val assigned = e.join(broadcast(centroids))
-      .withColumn("c_cos", F.cosineSim(col("v"), col("cv")))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-          .orderBy(col("c_cos").desc, col("c_id"))))
-      .where(col("rk") === 1)
-      .select(col("vec_id"), col("v"), col("c_id").as("list_id"))
+    // assignment: argmax cosine over the broadcast centroid LIST — the
+    // nlist centroids collapse to one array<struct> row (sort_array →
+    // ties break to lowest c_id inside nearest_centroid), broadcast-
+    // nested-loop-joined onto the corpus, and the native
+    // nearest_centroid kernel picks the list in a single fused loop.
+    // Truly map-side: the corpus branch has no Exchange (asserted in
+    // PlanSpec); the r1 formulation (corpus×nlist expand + per-vec_id
+    // row_number window) shuffled 16× the corpus on vec_id.
+    val centroidList = centroids
+      .agg(sort_array(collect_list(struct(col("c_id"), col("cv")))).as("cents"))
+    val assigned = e.join(broadcast(centroidList))
+      .select(col("vec_id"), col("v"),
+        F.nearestCentroid(col("v"), col("cents")).as("list_id"))
     val q = e.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
     // probe set: the nprobe centroid lists nearest to the query

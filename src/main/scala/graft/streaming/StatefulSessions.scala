@@ -52,7 +52,10 @@ object StatefulSessions {
             sorted.foreach { t =>
               open match {
                 case Some(s) if t - s.last <= gapMs =>
-                  open = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                  // out-of-order (lateness > 0): a late event may both
+                  // extend the session backwards and arrive unsorted
+                  open = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), n = s.n + 1))
                 case Some(s) =>
                   closed += close(uid, s)
                   open = Some(OpenSession(t, t, 1))
@@ -62,7 +65,10 @@ object StatefulSessions {
             }
             open.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // With lateness > gap, last + gap can land at/behind the
+              // watermark (setTimeoutTimestamp throws); clamp above it.
+              state.setTimeoutTimestamp(
+                math.max(s.last + gapMs, state.getCurrentWatermarkMs() + 1))
             }
             closed.result().iterator
           }

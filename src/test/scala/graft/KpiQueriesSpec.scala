@@ -18,7 +18,7 @@ class KpiQueriesSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
         Option(r.getString(3)).getOrElse(""), if (r.isNullAt(4)) None else Some(r.getDouble(4))))
 
-  private val pageviewSet = Set("view", "pageview", "page_view", "click")
+  private val pageviewSet = Set("view", "pageview", "page_view")
   private val purchaseSet = Set("purchase", "order", "checkout")
   private val dayFmt = {
     val f = new java.text.SimpleDateFormat("yyyy-MM-dd")

@@ -55,6 +55,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("annIvf: centroid assignment is map-side — no shuffle exchange in the plan") {
+    // r1 regression guard (VERDICT finding #1): the corpus×nlist expand
+    // + per-vec_id row_number window shuffled 16× the corpus. The
+    // nearest_centroid formulation broadcasts the centroid list; the
+    // only exchanges allowed anywhere in the plan are broadcasts.
+    val p = plan(VectorQueries.annIvf(spark, sf))
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"),
+      s"corpus must not shuffle for IVF assignment:\n$p")
+    assert(p.contains("nearest_centroid"), s"native assignment kernel missing:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("whole-stage codegen covers the q1 aggregation pipeline") {
     // AQE shows codegen stages only in the final (executed) plan
     val df = TpchQueries.q1PricingSummary(spark, sf)
