@@ -16,8 +16,9 @@ object Prof {
       if (sys.env.contains("PROF_EXPLAIN")) fn(spark, sfDir).explain("formatted")
       (1 to reps).foreach { i =>
         val t0 = System.nanoTime()
-        val n = fn(spark, sfDir).count()
-        println(f"[prof] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2fs ($n rows)")
+        // full evaluation, same as Bench (count() lets Catalyst prune)
+        fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
+        println(f"[prof] $name rep$i: ${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
     }
     spark.stop()

@@ -141,6 +141,12 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_events,
         |  CAST(sum(new_sess) AS BIGINT) AS n_sessions
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // HLL accuracy gate: the estimate itself is engine-defined, but the
+    // 5%-accuracy CLAIM is oracle-checkable (deterministic per input).
+    "q_approx_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_raw_kpis" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt,
         |  count(*) AS total_events,

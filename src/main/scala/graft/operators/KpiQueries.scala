@@ -151,14 +151,28 @@ object KpiQueries {
   }
 
   /** HLL++ approximate-distinct variant for the 100 TB path (SURVEY.md
-    * §2.3 A2). No DuckDB oracle — sketch estimates are
-    * implementation-defined; checked rows-only + unit-tested bounds. */
+    * §2.3 A2), oracle-gated on accuracy: emits
+    * `within_5pct = |approx - exact| <= 5% * exact`, which the SQL
+    * oracle asserts as TRUE (HLL at rsd=0.01 is deterministic for a
+    * given input, so this is a stable gate, ~5 sigma of slack).
+    *
+    * The approx and exact aggregates run as SEPARATE aggregations
+    * joined on the key: placing approx_count_distinct in the same
+    * Aggregate as count(DISTINCT) makes RewriteDistinctAggregates
+    * evaluate the HLL partial per (key, user_id) group — one
+    * 2^p-register sketch buffer PER USER (gigabytes at scale) instead
+    * of per key. Split, each side is a plain two-phase agg; the join
+    * is 5 rows. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
     val ev = load(spark, dir, "events")
-    ev.groupBy(col("event_type"))
-      .agg(
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
+    val approx = ev.groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    exact.join(approx, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("within_5pct"))
       .orderBy(col("event_type"))
   }
 }
