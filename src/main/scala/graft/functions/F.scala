@@ -1,45 +1,47 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.graftshim.ColumnShim.{aggColumn, column, expression => expr}
 
 /** Typed Column facade over graft's native Catalyst expressions.
   *
-  * Uses the public `call_function` API against the SQL names
-  * registered by [[GraftFunctions]]; graft.Tables.load installs them
-  * into any session it touches (and `spark.sql.extensions=
-  * graft.GraftExtensions` covers externally-built sessions), so these
-  * helpers are safe anywhere fixture data is in play.
+  * Builds each Catalyst expression DIRECTLY (via the graftshim
+  * Column bridge), so these helpers resolve on any SparkSession —
+  * no dependency on [[GraftFunctions]] registration. The SQL-name
+  * registry still exists (for `spark.sql("... round_bin(x,2) ...")`
+  * users via `spark.sql.extensions=graft.GraftExtensions`), but no
+  * Scala call site goes through it.
   */
 object F {
   /** DuckDB/C-convention binary-value rounding (see [[RoundBin]]).
     * Use this — not functions.round — for every oracle-compared double
     * column. */
   def roundBin(c: Column, scale: Int): Column =
-    call_function("round_bin", c.cast("double"), lit(scale))
+    column(RoundBin(expr(c.cast("double")), expr(org.apache.spark.sql.functions.lit(scale))))
 
-  def simhash64(c: Column): Column = call_function("simhash64", c)
+  def simhash64(c: Column): Column = column(SimHash64(expr(c)))
 
   def minhashSig(c: Column, numHashes: Int): Column =
-    call_function("minhash_sig", c, lit(numHashes))
+    column(MinHashSig(expr(c), numHashes))
 
   def minhashBandHashes(c: Column, numHashes: Int, bands: Int): Column =
-    call_function("minhash_band_hashes", c, lit(numHashes), lit(bands))
+    column(MinHashBandHashes(expr(c), numHashes, bands))
 
-  def cosineSim(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSim(expr(a), expr(b)))
 
   /** Aggregate: element-wise-min union of MinHash signatures. */
   def minhashUnion(sig: Column, numHashes: Int): Column =
-    call_function("minhash_union", sig, lit(numHashes))
+    aggColumn(MinHashUnionAgg(expr(sig), numHashes))
 
-  def l2Norm(c: Column): Column = call_function("l2_norm", c)
+  def l2Norm(c: Column): Column = column(L2Norm(expr(c)))
 
   /** IVF assignment: nearest centroid id by cosine (see
     * [[NearestCentroid]]); `cents` is array<struct<c_id,cv>>. */
   def nearestCentroid(v: Column, cents: Column): Column =
-    call_function("nearest_centroid", v, cents)
+    column(NearestCentroid(expr(v), expr(cents)))
 
   /** Packed sign-bit LSH bucket id (see [[HyperplaneBucket]]). */
   def hyperplaneBucket(c: Column, bits: Int): Column =
-    call_function("hyperplane_bucket", c, lit(bits))
+    column(HyperplaneBucket(expr(c), bits))
 }

@@ -76,10 +76,11 @@ class KpiQueriesSpec extends SparkSpec {
   }
 
   test("approxDistinct within rtol of exact (HLL++ rsd=0.01 at tiny n)") {
-    KpiQueries.approxDistinct(spark, sf).collect().foreach { r =>
-      val approx = r.getAs[Long]("approx_users").toDouble
-      val exact = r.getAs[Long]("exact_users").toDouble
-      assert(math.abs(approx - exact) / exact < 0.05)
+    val rows = KpiQueries.approxDistinct(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_5pct"),
+        s"event_type ${r.get(0)}: approx distinct off by >5% of exact")
     }
   }
 
