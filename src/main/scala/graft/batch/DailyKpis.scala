@@ -34,10 +34,7 @@ object DailyKpis {
       .option("columnNameOfCorruptRecord", EventSchema.CorruptCol)
       .json(rawPath)
 
-  private def isPageview(c: org.apache.spark.sql.Column) =
-    lower(coalesce(c, lit(""))).isin("page_view", "pageview", "view")
-  private def isPurchase(c: org.apache.spark.sql.Column) =
-    lower(coalesce(c, lit(""))).isin("purchase", "order", "checkout")
+  import graft.model.EventPredicates.{isPageview, isPurchase}
 
   /** All-days KPI table: one row per event-date present in the input.
     * `day = Some(d)` reproduces the reference's single-day run via a

@@ -26,13 +26,7 @@ import graft.functions.F
 object KpiQueries {
   import graft.Tables.load
 
-  // Matches the reference's pageview set exactly (daily_kpis.py:124:
-  // page_view/pageview/view) and DailyKpis.isPageview — 'click' is NOT
-  // a pageview there, so it isn't one here either.
-  private def isPageview(c: Column): Column =
-    lower(coalesce(c, lit(""))).isin("view", "pageview", "page_view")
-  private def isPurchase(c: Column): Column =
-    lower(coalesce(c, lit(""))).isin("purchase", "order", "checkout")
+  import graft.model.EventPredicates.{isPageview, isPurchase}
 
   /** Daily KPI rollup — the reference's flagship computation
     * (daily_kpis.py:142-172), generalized from one-day-per-run to
@@ -169,7 +163,10 @@ object KpiQueries {
       .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
     val exact = ev.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("exact_users"))
-    exact.join(approx, Seq("event_type"))
+    // null-safe join key: a NULL event_type group must survive the
+    // exact⋈approx join just as the oracle's GROUP BY retains it
+    exact.join(approx, exact("event_type") <=> approx("event_type"))
+      .drop(approx("event_type"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=
           col("exact_users") * lit(0.05)).as("within_5pct"))

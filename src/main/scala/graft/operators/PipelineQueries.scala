@@ -63,14 +63,19 @@ object PipelineQueries {
 
   /** Skew-salted join under the oracle gate: the salted fact⋈dim join
     * must produce exactly the plain join's result (the oracle IS the
-    * plain SQL join), while spreading each hot key over 8 reducers. */
+    * plain SQL join). Hot-key-only: the threshold of 6 makes the
+    * fixture's largest orders (6-7 lineitems) "hot" so both the salted
+    * and the pass-through path are exercised, while the bulk of the
+    * data joins unreplicated — at production scale the threshold is
+    * millions of rows and only true skew pays the fan-out. */
   def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
     val ord = load(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_totalprice"))
     SaltedJoin.join(li, ord, "l_orderkey", "o_orderkey",
-        saltFactor = 8, saltOn = Seq(col("l_orderkey"), col("l_linenumber")))
+        saltFactor = 8, saltOn = Seq(col("l_orderkey"), col("l_linenumber")),
+        hotKeyThreshold = 6L)
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_items"),
         graft.functions.F.roundBin(sum(col("l_quantity")), 2).as("sum_qty"))

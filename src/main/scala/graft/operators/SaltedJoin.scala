@@ -1,33 +1,68 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Skew-mitigating join (SURVEY.md §4 "salting for skew"): when one
   * join key carries a disproportionate share of the fact rows, a plain
   * shuffle join sends that key's entire volume to ONE reducer — the
-  * straggler that dominates job wall-clock at 100 TB. Salting splits
-  * each fact key into `saltFactor` sub-keys (deterministic hash of the
-  * row, NOT rand() — retries/speculative tasks must re-produce
-  * identical rows) and replicates the small side once per salt, so the
-  * hot key fans out over `saltFactor` reducers.
+  * straggler that dominates job wall-clock at 100 TB.
   *
-  * AQE's skewedJoin optimization handles sort-merge skew adaptively at
-  * runtime; explicit salting remains the tool for hash-partitioned
-  * aggregations and for engines/paths AQE doesn't cover. Equivalence
-  * with the unsalted join is property-tested in SaltedJoinSpec.
+  * This is HOT-KEY-ONLY salting, two logical passes over the fact:
+  *
+  *  1. Frequency pass: aggregate fact-row counts per key (map-side
+  *     partial agg collapses even a hot key to ≤ one row per input
+  *     partition, so this pass is itself skew-immune) and keep keys
+  *     with ≥ `hotKeyThreshold` rows. By construction that set has at
+  *     most |fact| / hotKeyThreshold keys — small enough to broadcast.
+  *  2. Join pass (single fact scan): broadcast the hot-key set onto
+  *     both sides. Hot fact rows get a deterministic salt in
+  *     [0, saltFactor) (hash of the row, NOT rand() — retries and
+  *     speculative tasks must reproduce identical rows); cold rows get
+  *     salt 0. Dim rows are replicated saltFactor× ONLY for hot keys;
+  *     cold dim rows pass through once. One equi-join on
+  *     (key, salt) then does the work: each hot key fans out over
+  *     saltFactor reducers, everything else joins exactly as the
+  *     plain join would.
+  *
+  * With no key above threshold (uniform data) the plan degenerates to
+  * the plain shuffle join plus a broadcast of an empty set — no
+  * replication, no blow-up. AQE's skewedJoin handles sort-merge skew
+  * adaptively at runtime; explicit salting remains the tool for
+  * hash-partitioned aggregations and paths AQE doesn't cover.
+  * Equivalence with the unsalted join (skewed and uniform fixtures) is
+  * property-tested in SaltedJoinSpec.
   */
 object SaltedJoin {
 
-  /** Inner-join `fact ⋈ dim` on `fact(factKey) = dim(dimKey)` with the
-    * fact side salted `saltFactor` ways. `dim` is replicated
-    * saltFactor× — keep it the small side. */
+  /** Inner-join `fact ⋈ dim` on `fact(factKey) = dim(dimKey)`, salting
+    * only keys with ≥ `hotKeyThreshold` fact rows `saltFactor` ways.
+    * Dim rows are replicated saltFactor× only for those hot keys —
+    * keep `dim` the smaller side. */
   def join(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
-           saltFactor: Int, saltOn: Seq[Column]): DataFrame = {
-    val salted = fact.withColumn("__salt",
-      pmod(xxhash64(saltOn: _*), lit(saltFactor.toLong)).cast("int"))
+           saltFactor: Int, saltOn: Seq[Column],
+           hotKeyThreshold: Long = 1000000L): DataFrame = {
+    val hot = broadcast(
+      fact.groupBy(col(factKey)).agg(count(lit(1)).as("__cnt"))
+        .where(col("__cnt") >= hotKeyThreshold)
+        .select(col(factKey).as("__hot_key")))
+
+    val salted = fact
+      .join(hot, fact(factKey) === hot("__hot_key"), "left")
+      .withColumn("__salt",
+        when(col("__hot_key").isNotNull,
+          pmod(xxhash64(saltOn: _*), lit(saltFactor.toLong)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("__hot_key")
+
     val replicated = dim
-      .withColumn("__salt", explode(sequence(lit(0), lit(saltFactor - 1))))
+      .join(hot, dim(dimKey) === hot("__hot_key"), "left")
+      .withColumn("__salt",
+        explode(when(col("__hot_key").isNotNull,
+          sequence(lit(0), lit(saltFactor - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("__hot_key")
+
     salted.join(replicated,
       salted(factKey) === replicated(dimKey) &&
         salted("__salt") === replicated("__salt"))

@@ -196,9 +196,11 @@ object TpchQueries {
         F.roundBin(max(col("c_acctbal")), 2).as("max_bal"),
         F.roundBin(avg(col("c_acctbal")), 2).as("avg_bal"),
         // Singleton groups: Spark's stddev_samp yields NaN but DuckDB
-        // yields NULL — gate on n > 1 so both sides agree.
-        when(count(lit(1)) > 1, F.roundBin(stddev_samp(col("c_acctbal")), 2))
-          .as("sd_bal"),
+        // yields NULL — gate on the NON-NULL input count (stddev_samp
+        // ignores nulls, so a 2-row group with one null balance is
+        // still a singleton for this purpose).
+        when(count(col("c_acctbal")) > 1,
+          F.roundBin(stddev_samp(col("c_acctbal")), 2)).as("sd_bal"),
         F.roundBin(expr("percentile(c_acctbal, 0.5)"), 2).as("median_bal"))
       .orderBy(col("c_mktsegment"))
   }

@@ -16,10 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object StreamingKpis {
 
-  private def isPageview(c: Column) =
-    lower(coalesce(c, lit(""))).isin("page_view", "pageview", "view")
-  private def isPurchase(c: Column) =
-    lower(coalesce(c, lit(""))).isin("purchase", "order", "checkout")
+  import graft.model.EventPredicates.{isPageview, isPurchase}
 
   /** Tumbling event-time window KPIs with allowed lateness
     * (ST3/ST6). Input: any DataFrame (stream or batch) with the event
