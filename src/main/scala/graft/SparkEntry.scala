@@ -74,6 +74,7 @@ object SparkEntry {
     "q_raw_kpis" -> (PipelineQueries.rawKpis _),
     "q_stream_hourly" -> (PipelineQueries.streamHourly _),
     "q_salted_join" -> (PipelineQueries.saltedJoin _),
+    "q_pruned_kpis" -> (PipelineQueries.prunedKpis _),
     "q_stateful_sessions" -> (PipelineQueries.statefulSessions _),
     // §2.11 E3 vectors
     "q_knn_brute" -> (VectorQueries.knnBrute _),
@@ -165,6 +166,17 @@ object SparkEntry {
       """SELECT o_orderkey, count(*) AS n_items,
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pruned_kpis" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |  count(*) AS total_events,
+        |  count(DISTINCT user_id) AS unique_users,
+        |  count(DISTINCT event_id) AS unique_sessions,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('page_view','pageview','view') THEN 1 ELSE 0 END) AS BIGINT) AS pageviews,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  round(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS revenue_usd
+        |FROM events
+        |WHERE strftime(ts, '%Y-%m-%d') = '${operators.PipelineQueries.PruneDay}'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stateful_sessions" ->
       s"""WITH g AS (

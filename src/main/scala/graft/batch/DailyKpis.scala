@@ -37,17 +37,28 @@ object DailyKpis {
   import graft.model.EventPredicates.{isPageview, isPurchase}
 
   /** All-days KPI table: one row per event-date present in the input.
-    * `day = Some(d)` reproduces the reference's single-day run via a
-    * partition-prunable filter. */
+    * `day = Some(d)` reproduces the reference's single-day run: when
+    * the raw zone is Hive-partitioned (`date=YYYY-MM-DD/hour=HH`, the
+    * RawIngest layout), the filter lands on the `date` PARTITION
+    * column, so Catalyst prunes the listing to one directory — the
+    * Spark restatement of the reference's S3 prefix prune
+    * (daily_kpis.py:155-156); only a flat un-partitioned dir falls
+    * back to the row filter on the parsed timestamp. Asserted as
+    * non-empty `PartitionFilters` in PlanSpec. */
   def compute(spark: SparkSession, rawPath: String, day: Option[String] = None): DataFrame = {
-    val raw = readRaw(spark, rawPath)
+    val rawAll = readRaw(spark, rawPath)
+    val partitioned = rawAll.columns.contains("date")
+    val raw = rawAll
       // reference drops lines that fail json.loads (daily_kpis.py:104-107);
       // PERMISSIVE mode yields all-null rows w/ corrupt sidecar for those
       .where(col(EventSchema.CorruptCol).isNull)
       .drop(EventSchema.CorruptCol)
       .withColumn("ts", to_timestamp(col("event_ts")))
-    val pruned = day.fold(raw)(d => raw.where(to_date(col("ts")) === lit(d)))
-    aggregateEvents(pruned)
+    val pruned = day.fold(raw) { d =>
+      if (partitioned) raw.where(col("date") === lit(d))
+      else raw.where(to_date(col("ts")) === lit(d))
+    }
+    aggregateEvents(pruned.drop("date", "hour"))
   }
 
   /** The KPI fold itself (daily_kpis.py:109-140) over any DataFrame

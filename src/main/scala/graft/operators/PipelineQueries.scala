@@ -61,6 +61,47 @@ object PipelineQueries {
         col("revenue_usd"))
   }
 
+  /** The single day prunedKpis answers for (within the StreamCutoff
+    * zone; interpolated into the oracle SQL too). */
+  val PruneDay = "2024-01-03"
+
+  /** Fixture events (days < StreamCutoff) written as a
+    * `date=YYYY-MM-DD/hour=HH`-partitioned JSONL raw zone — the
+    * RawIngest sink layout (S5), produced by a plain batch write so
+    * the partition-prune gate times the SCAN, not ingest machinery. */
+  private[graft] def writePartitionedZone(spark: SparkSession, dir: String): String = {
+    val out = Files.createTempDirectory("graft-rawzone")
+    out.toFile.deleteOnExit()
+    load(spark, dir, "events")
+      .where(to_date(col("ts")) < lit(StreamCutoff))
+      .select(
+        concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z")).as("event_ts"),
+        col("user_id").cast("string").as("user_id"),
+        col("event_id").cast("string").as("session_id"),
+        col("event_type"),
+        col("value").as("price"),
+        date_format(col("ts"), "yyyy-MM-dd").as("date"),
+        date_format(col("ts"), "HH").as("hour"))
+      .repartition(col("date"), col("hour"))
+      .write.mode("overwrite").partitionBy("date", "hour")
+      .format("json").save(out.toString)
+    out.toString
+  }
+
+  /** S6 Hive-layout partition-pruned scan under the oracle gate
+    * (reference: daily_kpis.py:155-156 S3 prefix prune): the KPI job
+    * runs against the partitioned raw zone with `day=PruneDay`; the
+    * filter must land on the `date` partition column (PlanSpec asserts
+    * non-empty PartitionFilters) and the one-day KPI row must match
+    * direct SQL over the fixture. */
+  def prunedKpis(spark: SparkSession, dir: String): DataFrame = {
+    val zone = writePartitionedZone(spark, dir)
+    DailyKpis.compute(spark, zone, day = Some(PruneDay))
+      .select(col("dt"), col("total_events"), col("unique_users"),
+        col("unique_sessions"), col("pageviews"), col("purchases"),
+        col("revenue_usd"))
+  }
+
   /** Skew-salted join under the oracle gate: the salted fact⋈dim join
     * must produce exactly the plain join's result (the oracle IS the
     * plain SQL join). Hot-key-only: the threshold of 6 makes the

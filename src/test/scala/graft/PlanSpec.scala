@@ -67,6 +67,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("prunedKpis: day filter lands on the date PARTITION column (S6)") {
+    // the Spark restatement of the reference's S3 prefix prune
+    // (daily_kpis.py:155-156): non-empty PartitionFilters on the scan,
+    // NOT a row filter over a full-zone read
+    val zone = graft.operators.PipelineQueries.writePartitionedZone(spark, sf)
+    val df = graft.batch.DailyKpis.compute(spark, zone,
+      day = Some(graft.operators.PipelineQueries.PruneDay))
+    val p = plan(df)
+    assert(p.contains("PartitionFilters: ["), s"no PartitionFilters section:\n$p")
+    val pf = p.split("PartitionFilters: \\[", 2)(1).split("\\]", 2)(0)
+    assert(pf.contains("date"), s"empty/irrelevant PartitionFilters [$pf]:\n$p")
+    // and the one-day scan answers exactly one KPI row for that day
+    val rows = df.collect()
+    assert(rows.length === 1 &&
+      rows.head.getAs[String]("dt") === graft.operators.PipelineQueries.PruneDay)
+  }
+
   test("whole-stage codegen covers the q1 aggregation pipeline") {
     // AQE shows codegen stages only in the final (executed) plan
     val df = TpchQueries.q1PricingSummary(spark, sf)
