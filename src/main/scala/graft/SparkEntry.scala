@@ -30,6 +30,7 @@ object SparkEntry {
     "q_events_props_json" -> (KpiQueries.eventsPropsJson _),
     "q_exists_fresh" -> (KpiQueries.existsFresh _),
     "q_sessionize" -> (KpiQueries.sessionize _),
+    "q_session_window" -> (KpiQueries.sessionWindow _),
     "q_approx_distinct" -> (KpiQueries.approxDistinct _),
     // §2.4 joins / §2.5 windows / §2.6 sorts / §2.7 set ops
     "q1_pricing_summary" -> (TpchQueries.q1PricingSummary _),
@@ -81,7 +82,7 @@ object SparkEntry {
     "q_vec_norms" -> (VectorQueries.vecNorms _),
     "q_cosine_dedup" -> (VectorQueries.cosineDedup _),
     "q_cosine_dedup_lsh" -> (VectorQueries.cosineDedupLsh _),
-    "q_ann_lsh" -> (VectorQueries.annLsh _),
+    "q_ann_lsh" -> ((s, d) => VectorQueries.annLsh(s, d)),
     "q_ann_ivf" -> ((s, d) => VectorQueries.annIvf(s, d)),
   )
 
@@ -138,6 +139,17 @@ object SparkEntry {
         |  SELECT user_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
         |      OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(new_sess) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // session_window convention: split at gap >= 1800 s (see
+    // KpiQueries.sessionWindow scaladoc for the boundary note)
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('second', lag(ts) OVER w, ts) >= 1800 THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, count(*) AS n_events,
         |  CAST(sum(new_sess) AS BIGINT) AS n_sessions

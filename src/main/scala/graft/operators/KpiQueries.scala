@@ -144,6 +144,28 @@ object KpiQueries {
       .orderBy(col("user_id"))
   }
 
+  /** ST6 `session_window` under the oracle gate: the native
+    * streaming session operator, run in batch mode over the fixture
+    * (batch ≡ stream at lateness=∞), rolled up per user so it answers
+    * the same question as [[sessionize]]. Timestamps are truncated to
+    * seconds first: session_window compares at µs precision while the
+    * SQL oracle's date_diff('second') counts second boundaries, so
+    * integral-second inputs make the two gap tests identical. Boundary
+    * convention: session_window starts a new session at gap EXACTLY
+    * equal to 30 min (split iff diff >= 1800), hence the oracle's
+    * `>= 1800` where sessionize's oracle has `> 1800`. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(col("user_id"),
+        date_format(date_trunc("second", col("ts")),
+          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("event_ts"))
+    graft.streaming.StreamingKpis.sessions(ev, gap = "30 minutes")
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_events")).as("n_events"),
+        count(lit(1)).as("n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
   /** HLL++ approximate-distinct variant for the 100 TB path (SURVEY.md
     * §2.3 A2), oracle-gated on accuracy: emits
     * `within_5pct = |approx - exact| <= 5% * exact`, which the SQL

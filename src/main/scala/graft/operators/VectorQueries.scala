@@ -73,9 +73,9 @@ object VectorQueries {
     * corpus². Recall vs. the exact label-blocked variant is spec-
     * checked; rows-only under the gate (hash-derived buckets). */
   def cosineDedupLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("bucket", F.hyperplaneBucket(col("v"), SigBits))
+    val base = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val e = base.withColumn("bucket",
+      F.hyperplaneBucket(col("v"), sigBitsFor(base.count())))
     val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("av"))
     val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("bv"))
     a.join(b, Seq("bucket"))
@@ -86,11 +86,26 @@ object VectorQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Bucket-signature width. 2^6 = 64 buckets keeps each bucket
-    * populated at test SFs (sf0.01 → ~78 vecs/bucket); at real scale
-    * widen toward log2(corpus/targetBucketSize) and/or multi-probe
-    * neighboring signatures. */
-  private val SigBits = 6
+  /** LSH signature width for an n-vector corpus: enough hyperplanes
+    * that the AVERAGE bucket holds ~targetBucket vectors —
+    * ceil(log2(n / targetBucket)) — clamped to [4, 24] (below 4 the
+    * buckets stop discriminating; 2^24 bucket ids cover any corpus
+    * whose per-bucket scan is the intended unit of work). Corpus-size
+    * derived, so the same code under-buckets neither the 500-vector
+    * fixture nor a 10^10-vector production table (knob math in
+    * SCALE.md §vectors). */
+  private[graft] def sigBitsFor(n: Long, targetBucket: Int = 64): Int = {
+    val raw = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
+  /** IVF list count: ~sqrt(n) lists — the classic balance point
+    * between per-vector assignment cost (O(nlist) per row) and
+    * per-query probe cost (O(nprobe · n / nlist)) — clamped to
+    * [4, 65536]. */
+  private[graft] def nlistFor(n: Long): Int =
+    math.min(65536, math.max(4, math.round(math.sqrt(n.toDouble)).toInt))
 
   /** E3 scale path #2: IVF (inverted-file) ANN. Coarse quantizer =
     * `nlist` deterministic seed centroids (the lowest-vec_id vectors —
@@ -103,8 +118,10 @@ object VectorQueries {
     * (centroid choice is engine-defined); recall vs knnBrute is
     * spec-checked. */
   def annIvf(spark: SparkSession, dir: String,
-             nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+             nlistOpt: Option[Int] = None, nprobeOpt: Option[Int] = None): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val nlist = nlistOpt.getOrElse(nlistFor(e.count()))
+    val nprobe = nprobeOpt.getOrElse(math.max(2, nlist / 4))
     val centroids = e.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     // assignment: argmax cosine over the broadcast centroid LIST — the
@@ -145,13 +162,23 @@ object VectorQueries {
     * bucketed table is written once (partitioned by bucket) and each
     * query probes one partition — no corpus scan. No SQL oracle
     * (hash-derived hyperplanes); verified by VectorQueriesSpec. */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val e = emb(spark, dir)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("bucket", F.hyperplaneBucket(col("v"), SigBits))
+  def annLsh(spark: SparkSession, dir: String,
+             targetBucket: Int = 64): DataFrame = {
+    val base = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val bits = sigBitsFor(base.count(), targetBucket)
+    val e = base.withColumn("bucket", F.hyperplaneBucket(col("v"), bits))
     val q = e.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-    e.join(broadcast(q), Seq("bucket"))
+    // multi-probe: the query's own bucket plus every Hamming-distance-1
+    // neighbor signature — recall insurance for vectors near a
+    // hyperplane boundary, at the cost of probing bits+1 of the 2^bits
+    // partitions. The probe list is query-side (bits+1 rows) and
+    // broadcast; the corpus stays put.
+    val probeBuckets = col("bucket") +:
+      (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+    val probes = q.select(col("q_id"), col("qv"),
+      explode(array(probeBuckets: _*)).as("bucket"))
+    e.join(broadcast(probes), Seq("bucket"))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("vec_id"),
         F.roundBin(expr("cosine_sim(v, qv)"), 4).as("cos"))

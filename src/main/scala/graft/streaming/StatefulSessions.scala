@@ -48,12 +48,29 @@ object StatefulSessions {
             val sorted = it.map(_.ts.getTime).toArray.sorted
             val gapMs = gapSeconds * 1000L
             var open = state.getOption
+            // late events landing more than gap BEFORE the open
+            // session (lateness > 0, out-of-order arrival): gap-split
+            // among THEMSELVES, never glued into the open session —
+            // the sort-then-gap semantics of the batch oracle. The
+            // ascending scan sees all such events before any
+            // mergeable one, so one builder suffices.
+            var lateOpen: Option[OpenSession] = None
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { t =>
               open match {
+                case Some(s) if t < s.start - gapMs =>
+                  lateOpen match {
+                    case Some(ls) if t - ls.last <= gapMs =>
+                      lateOpen = Some(ls.copy(last = t, n = ls.n + 1))
+                    case Some(ls) =>
+                      closed += close(uid, ls)
+                      lateOpen = Some(OpenSession(t, t, 1))
+                    case None =>
+                      lateOpen = Some(OpenSession(t, t, 1))
+                  }
                 case Some(s) if t - s.last <= gapMs =>
-                  // out-of-order (lateness > 0): a late event may both
-                  // extend the session backwards and arrive unsorted
+                  // in [start - gap, last + gap]: merge; a late event
+                  // within gap of start extends the session backwards
                   open = Some(s.copy(start = math.min(s.start, t),
                     last = math.max(s.last, t), n = s.n + 1))
                 case Some(s) =>
@@ -63,6 +80,10 @@ object StatefulSessions {
                   open = Some(OpenSession(t, t, 1))
               }
             }
+            // every late-chain event is > gap before the (possibly
+            // extended) open session start, so the chain can never
+            // bridge into it: close it now
+            lateOpen.foreach(ls => closed += close(uid, ls))
             open.foreach { s =>
               state.update(s)
               // With lateness > gap, last + gap can land at/behind the

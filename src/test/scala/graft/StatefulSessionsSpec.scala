@@ -72,6 +72,49 @@ class StatefulSessionsSpec extends SparkSpec {
     assert(!e3.exists(_._2 == base + 300 * min))
   }
 
+  test("lateness > 0: an event more than gap BEFORE the open session is " +
+      "its own session, not glued in") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("sess3-in")
+    val out = Files.createTempDirectory("sess3-out")
+    val ck = Files.createTempDirectory("sess3-ck")
+    val base = 1700000000000L
+    val min = 60000L
+
+    def runOnce(): Unit = {
+      val src = spark.readStream
+        .schema("user_id STRING, ts TIMESTAMP")
+        .json(in.toString)
+        .as[SessionEvent]
+      val q = StatefulSessions.sessionize(src, gapSeconds = 1800,
+          lateness = "240 minutes")
+        .writeStream.format("parquet")
+        .option("path", out.toString)
+        .outputMode("append")
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // batch 1 opens a session at base+120min (3 events)
+    writeEvents(in, "f1.json", Seq(
+      ("b", base + 120 * min), ("b", base + 121 * min), ("b", base + 122 * min)))
+    runOnce()
+    // batch 2: two late events 119-120 min BEFORE the open session's
+    // start — far beyond the 30-min gap, within the 240-min lateness.
+    // The old guard (t - last <= gap, vacuously true for old t) glued
+    // them in, extending the session start backwards by 2 hours.
+    writeEvents(in, "f2.json", Seq(("b", base), ("b", base + min)))
+    runOnce()
+
+    val emitted = spark.read.parquet(out.toString).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getAs[Long]("n_events"))).toSeq
+    // the late pair forms one immediately-closed session of 2 events
+    assert(emitted === Seq(("b", base, base + min, 2L)),
+      s"late events mishandled: $emitted")
+  }
+
   test("batch-equivalence: stream-emitted sessions match the window formulation") {
     import spark.implicits._
     val in = Files.createTempDirectory("sess2-in")

@@ -97,4 +97,33 @@ class VectorQueriesSpec extends SparkSpec {
     // sorted descending
     assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
   }
+
+  test("annLsh recall at two signature widths (corpus-derived + narrower)") {
+    val qId = vecs.keys.min
+    val qv = vecs(qId)
+    val exact = vecs.toSeq.filter(_._1 != qId)
+      .map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    // targetBucket 64 → derived width; targetBucket 16 → 2 bits more
+    for (target <- Seq(64, 16)) {
+      val got = VectorQueries.annLsh(spark, sf, targetBucket = target)
+        .collect().map(_.getLong(0)).toSet
+      assert(got.nonEmpty, s"target=$target: empty probe set")
+      val recall = got.count(exact).toDouble / 10.0
+      assert(recall >= 0.2, s"target=$target: recall@10 = $recall")
+    }
+  }
+
+  test("sigBitsFor / nlistFor knob math: clamped, monotone in corpus size") {
+    import VectorQueries.{sigBitsFor, nlistFor}
+    assert(sigBitsFor(100) === 4)               // clamp floor
+    assert(sigBitsFor(64L * (1L << 10)) === 10) // exact: n/target = 2^10
+    assert(sigBitsFor(Long.MaxValue) === 24)    // clamp ceiling
+    assert(sigBitsFor(2000) === 5 && sigBitsFor(2000, 16) === 7)
+    val sizes = Seq(100L, 1000L, 100000L, 10000000L)
+    val bits = sizes.map(sigBitsFor(_))
+    assert(bits === bits.sorted)
+    assert(nlistFor(100) === 10 && nlistFor(1000000) === 1000)
+    assert(nlistFor(1) === 4)                   // clamp floor
+  }
 }
