@@ -36,6 +36,11 @@ object F {
 
   def l2Norm(c: Column): Column = column(L2Norm(expr(c)))
 
+  /** Thresholded Jaccard over sorted distinct string arrays (see
+    * [[JaccardGe]]): the value when ≥ t, else null. */
+  def jaccardGe(a: Column, b: Column, t: Double): Column =
+    column(JaccardGe(expr(a), expr(b), t))
+
   /** IVF assignment: nearest centroid id by cosine (see
     * [[NearestCentroid]]); `cents` is array<struct<c_id,cv>>. */
   def nearestCentroid(v: Column, cents: Column): Column =

@@ -23,6 +23,13 @@ object GraftFunctions {
       s"$fn expects a literal int argument, got $other")
   }
 
+  private def doubleArg(fn: String, e: Expression): Double = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    case IntegerLiteral(v) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal double argument, got $other")
+  }
+
   val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "simhash64" -> (args => SimHash64(args.head)),
     "minhash_sig" -> (args =>
@@ -36,6 +43,8 @@ object GraftFunctions {
     "hyperplane_bucket" -> (args =>
       HyperplaneBucket(args.head, intArg("hyperplane_bucket", args(1)))),
     "nearest_centroid" -> (args => NearestCentroid(args.head, args(1))),
+    "jaccard_ge" -> (args =>
+      JaccardGe(args.head, args(1), doubleArg("jaccard_ge", args(2)))),
     "minhash_union" -> (args =>
       MinHashUnionAgg(args.head, intArg("minhash_union", args(1)))),
   )

@@ -249,6 +249,43 @@ case class RoundBin(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Thresholded Jaccard over two SORTED, DISTINCT string arrays:
+  * returns |a∩b| / |a∪b| when ≥ `threshold`, else null (→ one
+  * filter on isNotNull). A single merge-walk over the sorted arrays —
+  * vs the array_intersect/array_union formulation, which builds a
+  * per-pair hash set, boxes every element, and walks both arrays
+  * twice — with a positional early exit: j ≥ t requires
+  * |a∩b| ≥ t·(|a|+|b|)/(1+t), so the walk aborts the moment the
+  * remaining elements cannot reach that floor (subsumes the
+  * min/max length-ratio prefilter). The dominant cost of blocked
+  * all-pairs near-dup (SURVEY.md §2.10 E2) runs through this. */
+case class JaccardGe(left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<string>, array<string>), got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaccard_ge"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.jaccardGe(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""java.lang.Double r = graft.functions.Sketches.jaccardGe($a, $b, $threshold);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardGe =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static kernels shared by interpreted eval and generated code. */
 object Sketches {
   private final val XxSeed = 42L
@@ -275,6 +312,29 @@ object Sketches {
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  /** Merge-walk thresholded Jaccard (see [[JaccardGe]]). Inputs MUST
+    * be sorted distinct arrays; null elements are not expected. */
+  def jaccardGe(a: ArrayData, b: ArrayData, t: Double): java.lang.Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return null // empty union: jaccard undefined
+    // floor on the intersection size: i/(na+nb-i) >= t  <=>
+    // i >= t*(na+nb)/(1+t); epsilon guards the float ceil at equality
+    val need = math.ceil(t * (na + nb) / (1.0 + t) - 1e-9).toInt
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      if (inter + math.min(na - i, nb - j) < need) return null // early exit
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { inter += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    val jac = inter.toDouble / (na + nb - inter)
+    if (jac >= t) jac else null
   }
 
   /** Golden-ratio-stepped seeds give independent-enough permutations

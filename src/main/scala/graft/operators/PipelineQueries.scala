@@ -104,11 +104,14 @@ object PipelineQueries {
 
   /** Skew-salted join under the oracle gate: the salted fact⋈dim join
     * must produce exactly the plain join's result (the oracle IS the
-    * plain SQL join). Hot-key-only: the threshold of 6 makes the
-    * fixture's largest orders (6-7 lineitems) "hot" so both the salted
-    * and the pass-through path are exercised, while the bulk of the
-    * data joins unreplicated — at production scale the threshold is
-    * millions of rows and only true skew pays the fan-out. */
+    * plain SQL join). Configured the way production would be: the hot
+    * threshold sits far above the uniform TPC-H key frequency (max 7
+    * lineitems/order), so NO key salts, the sampled frequency pass
+    * finds an empty hot set, and the plan degenerates to the plain
+    * shuffle join — skew mitigation must cost ~nothing when there is
+    * no skew. The hot path itself (salt fan-out + dim replication +
+    * pass-through union) is exercised by SaltedJoinSpec's synthetic
+    * 10k-row hot key and mixed-threshold fixtures. */
   def saltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = load(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
@@ -116,7 +119,7 @@ object PipelineQueries {
       .select(col("o_orderkey"), col("o_totalprice"))
     SaltedJoin.join(li, ord, "l_orderkey", "o_orderkey",
         saltFactor = 8, saltOn = Seq(col("l_orderkey"), col("l_linenumber")),
-        hotKeyThreshold = 6L)
+        hotKeyThreshold = 1000L, sampleFraction = 0.05)
       .groupBy(col("o_orderkey"))
       .agg(count(lit(1)).as("n_items"),
         graft.functions.F.roundBin(sum(col("l_quantity")), 2).as("sum_qty"))

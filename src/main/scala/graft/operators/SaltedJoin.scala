@@ -38,13 +38,25 @@ object SaltedJoin {
   /** Inner-join `fact ⋈ dim` on `fact(factKey) = dim(dimKey)`, salting
     * only keys with ≥ `hotKeyThreshold` fact rows `saltFactor` ways.
     * Dim rows are replicated saltFactor× only for those hot keys —
-    * keep `dim` the smaller side. */
+    * keep `dim` the smaller side.
+    *
+    * `sampleFraction < 1` runs the frequency pass on a seeded sample
+    * with the threshold scaled to match — at production thresholds
+    * (millions of rows per hot key) a 1-5% sample finds every hot key
+    * with near-certainty at 1/20 the pass cost; sampling noise can
+    * only change WHICH borderline keys get salted, never the join
+    * result. Keep 1.0 when the threshold is small (tests). */
   def join(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
            saltFactor: Int, saltOn: Seq[Column],
-           hotKeyThreshold: Long = 1000000L): DataFrame = {
+           hotKeyThreshold: Long = 1000000L,
+           sampleFraction: Double = 1.0): DataFrame = {
+    val (freqSrc, freqThreshold) =
+      if (sampleFraction >= 1.0) (fact, hotKeyThreshold)
+      else (fact.sample(withReplacement = false, sampleFraction, seed = 42L),
+        math.max(1L, math.round(hotKeyThreshold * sampleFraction)))
     val hot = broadcast(
-      fact.groupBy(col(factKey)).agg(count(lit(1)).as("__cnt"))
-        .where(col("__cnt") >= hotKeyThreshold)
+      freqSrc.groupBy(col(factKey)).agg(count(lit(1)).as("__cnt"))
+        .where(col("__cnt") >= freqThreshold)
         .select(col(factKey).as("__hot_key")))
 
     val salted = fact

@@ -146,27 +146,22 @@ object TextQueries {
     * blocks. The blocked self-join bounds the pair count; the exact
     * set-jaccard runs on deduplicated bigram arrays. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // bigram arrays sorted ONCE per document (amortized over every
+    // pair the document appears in) so the per-pair work is a single
+    // native merge-walk with positional early exit (F.jaccardGe) —
+    // no per-pair hash set, no intermediate arrays.
     val docs = withTokens(load(spark, dir, "documents"))
       .where(size(col("toks")) >= 2)
-      .withColumn("bg", expr(
+      .withColumn("bg", array_sort(expr(
         """array_distinct(transform(sequence(1, size(toks) - 1),
-             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))"""))
+             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))""")))
       .select(col("doc_id"), col("source"), col("lang"), col("bg"))
     val a = docs.select(col("doc_id").as("a_id"), col("source"), col("lang"), col("bg").as("a_bg"))
     val b = docs.select(col("doc_id").as("b_id"), col("source"), col("lang"), col("bg").as("b_bg"))
-    // j = |a∩b| / |a∪b| ≤ min(|a|,|b|) / max(|a|,|b|): the length-ratio
-    // prefilter discards pairs that cannot reach the threshold BEFORE
-    // the O(|a|+|b|) intersect; the union size is then derived as
-    // |a|+|b|−|a∩b| (arrays are distinct) so the intersect runs once.
     a.join(b, Seq("source", "lang"))
       .where(col("a_id") < col("b_id"))
-      .withColumn("na", size(col("a_bg"))).withColumn("nb", size(col("b_bg")))
-      .where(least(col("na"), col("nb")).cast("double") >=
-        greatest(col("na"), col("nb")) * lit(0.0499)) // slack: avoid fp boundary
-      .withColumn("i", size(array_intersect(col("a_bg"), col("b_bg"))))
-      .withColumn("j",
-        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
-      .where(col("j") >= 0.05)
+      .withColumn("j", F.jaccardGe(col("a_bg"), col("b_bg"), 0.05))
+      .where(col("j").isNotNull)
       .select(col("a_id"), col("b_id"), F.roundBin(col("j"), 6).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -196,7 +191,9 @@ object TextQueries {
     graft.functions.GraftFunctions.install(spark)
     val docs = withTokens(load(spark, dir, "documents"))
       .where(size(col("toks")) >= 3)
-      .withColumn("sh", expr(shingleExpr))
+      // sorted for the jaccard_ge merge-walk verifier; order is
+      // irrelevant to the MinHash signature
+      .withColumn("sh", array_sort(expr(shingleExpr)))
       .select(col("doc_id"), col("sh"))
       // consumed 3× (banding + both candidate join-backs): materialize
       // the shingle arrays once instead of re-tokenizing the corpus
@@ -213,14 +210,9 @@ object TextQueries {
     candidates
       .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
-      // same intersect-once + length-ratio prefilter as ngramJaccard
-      .withColumn("na", size(col("a_sh"))).withColumn("nb", size(col("b_sh")))
-      .where(least(col("na"), col("nb")).cast("double") >=
-        greatest(col("na"), col("nb")) * lit(0.4999)) // slack: avoid fp boundary
-      .withColumn("i", size(array_intersect(col("a_sh"), col("b_sh"))))
-      .withColumn("j",
-        col("i").cast("double") / (col("na") + col("nb") - col("i")).cast("double"))
-      .where(col("j") >= 0.5)
+      // same native merge-walk verifier as ngramJaccard
+      .withColumn("j", F.jaccardGe(col("a_sh"), col("b_sh"), 0.5))
+      .where(col("j").isNotNull)
       .select(col("a_id"), col("b_id"), F.roundBin(col("j"), 6).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
   }
