@@ -55,6 +55,7 @@ object SparkEntry {
     "q_asof_join" -> (TpchQueries.asofLineitemOrder _),
     "q_cube_orders" -> (TpchQueries.cubeOrders _),
     "q_range_join" -> (TpchQueries.rangeJoinShipments _),
+    "q_bucketed_join" -> (BucketedJoin.ordersPerKey _),
     // §2.11 E1/E2/E4 text & dedup
     "q_dedup_exact" -> (TextQueries.dedupExact _),
     "q_dedup_wordset" -> (TextQueries.dedupWordset _),
@@ -84,6 +85,8 @@ object SparkEntry {
     "q_cosine_dedup_lsh" -> (VectorQueries.cosineDedupLsh _),
     "q_ann_lsh" -> ((s, d) => VectorQueries.annLsh(s, d)),
     "q_ann_ivf" -> ((s, d) => VectorQueries.annIvf(s, d)),
+    "q_ann_ivf_kmeans" -> ((s, d) => VectorQueries.annIvfKmeans(s, d)),
+    "q_knn_batch" -> ((s, d) => VectorQueries.knnBatch(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -431,6 +434,23 @@ object SparkEntry {
         |  CAST((1000 + doc_id % 9000) // 1000 + 1 AS BIGINT) AS n_frames,
         |  CAST(((1000 + doc_id % 9000) // 1000) * 1000 AS BIGINT) AS last_ts_ms
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+    "q_bucketed_join" ->
+      """SELECT o_orderkey, count(*) AS n_items,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(max(o_totalprice), 2) AS total_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_knn_batch" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e ORDER BY vec_id LIMIT 5),
+        |s AS (SELECT q.q_id, e.vec_id,
+        |  round(list_cosine_similarity(e.v, q.qv), 4) AS cos
+        |  FROM e, q WHERE e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM s)
+        |SELECT q_id, vec_id, cos FROM r WHERE rn <= 5
+        |ORDER BY q_id, cos DESC, vec_id""".stripMargin,
     "q_knn_brute" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e ORDER BY vec_id LIMIT 1)

@@ -27,6 +27,15 @@ object Tables {
     else df
   }
 
+  /** Memoized fixture row counts — knob derivation (LSH bits, IVF
+    * nlist) needs |corpus| once per (dir, table), not one count job per
+    * query; parquet footers make the first count cheap and the cache
+    * makes repeats free. Driver-side metadata only (a Long), never data.
+    */
+  private val countCache = scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+  def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
+    countCache.getOrElseUpdate((sfDir, name), load(spark, sfDir, name).count())
+
   /** Builds the standard SparkSession used by mains. local[32] mirrors a
     * 32-slot executor; shuffle partitions match cores (not default 200)
     * so small-SF runs don't pay 200 empty-task overheads while the same

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.F
 
@@ -27,6 +28,11 @@ object VectorQueries {
     load(spark, dir, "embeddings")
   }
 
+  /** |corpus| for knob derivation — memoized (Tables.rowCount) so knob
+    * math costs zero Spark jobs after the first query on a dir. */
+  private def corpusSize(spark: SparkSession, dir: String): Long =
+    graft.Tables.rowCount(spark, dir, "embeddings")
+
   /** E3 brute-force cosine top-k: 10 nearest neighbors of the vector
     * with the smallest vec_id. Broadcast the 1-row query side; rounded
     * score + vec_id tiebreak keeps the cut deterministic. */
@@ -40,6 +46,36 @@ object VectorQueries {
         F.roundBin(expr("cosine_sim(v, qv)"), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
+  }
+
+  /** E3 batch kNN: top-`k` cosine neighbors for EACH of the `nQueries`
+    * lowest-vec_id query vectors in one job — the retrieval shape of a
+    * training-data pipeline (dedup-against-index, hard-negative mining)
+    * where queries arrive in batches, not one at a time.
+    *
+    * Scale shape: the query batch broadcasts (it is the small side by
+    * construction); the corpus is scanned once, never shuffled — the
+    * only shuffled rows are the scored (q_id, vec_id, cos) tuples
+    * (~24 B each, no embeddings) hashed on q_id for the per-query
+    * row_number cut. At 100 TB the pre-cut would move corpus×Q tuples;
+    * the bounded-buffer refinement is a top-k TypedImperativeAggregate
+    * (partial agg keeps ≤k rows per query per partition), which this
+    * window formulation is the oracle for. Ranking uses the ROUNDED
+    * score (+ vec_id tiebreak) so the cut is reproducible across
+    * engines. */
+  def knnBatch(spark: SparkSession, dir: String,
+               nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val q = e.orderBy(col("vec_id")).limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        F.roundBin(F.cosineSim(col("v"), col("qv")), 4).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k).drop("rn")
+      .orderBy(col("q_id"), col("cos").desc, col("vec_id"))
   }
 
   /** E3 vector stats: per-label count and average L2 norm. */
@@ -75,7 +111,7 @@ object VectorQueries {
   def cosineDedupLsh(spark: SparkSession, dir: String): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
     val e = base.withColumn("bucket",
-      F.hyperplaneBucket(col("v"), sigBitsFor(base.count())))
+      F.hyperplaneBucket(col("v"), sigBitsFor(corpusSize(spark, dir))))
     val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("av"))
     val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("bv"))
     a.join(b, Seq("bucket"))
@@ -120,18 +156,23 @@ object VectorQueries {
   def annIvf(spark: SparkSession, dir: String,
              nlistOpt: Option[Int] = None, nprobeOpt: Option[Int] = None): DataFrame = {
     val e = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
-    val nlist = nlistOpt.getOrElse(nlistFor(e.count()))
+    val nlist = nlistOpt.getOrElse(nlistFor(corpusSize(spark, dir)))
     val nprobe = nprobeOpt.getOrElse(math.max(2, nlist / 4))
     val centroids = e.orderBy(col("vec_id")).limit(nlist)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
-    // assignment: argmax cosine over the broadcast centroid LIST — the
-    // nlist centroids collapse to one array<struct> row (sort_array →
-    // ties break to lowest c_id inside nearest_centroid), broadcast-
-    // nested-loop-joined onto the corpus, and the native
-    // nearest_centroid kernel picks the list in a single fused loop.
-    // Truly map-side: the corpus branch has no Exchange (asserted in
-    // PlanSpec); the r1 formulation (corpus×nlist expand + per-vec_id
-    // row_number window) shuffled 16× the corpus on vec_id.
+    ivfSearch(e, centroids, nprobe)
+  }
+
+  /** Shared IVF probe: assignment is argmax cosine over the broadcast
+    * centroid LIST — the nlist centroids collapse to one array<struct>
+    * row (sort_array → ties break to lowest c_id inside
+    * nearest_centroid), broadcast-nested-loop-joined onto the corpus,
+    * and the native nearest_centroid kernel picks the list in a single
+    * fused loop. Truly map-side: the corpus branch has no Exchange
+    * (asserted in PlanSpec); the r1 formulation (corpus×nlist expand +
+    * per-vec_id row_number window) shuffled 16× the corpus on vec_id.
+    * The query scans only the `nprobe` lists nearest to it. */
+  private def ivfSearch(e: DataFrame, centroids: DataFrame, nprobe: Int): DataFrame = {
     val centroidList = centroids
       .agg(sort_array(collect_list(struct(col("c_id"), col("cv")))).as("cents"))
     val assigned = e.join(broadcast(centroidList))
@@ -154,6 +195,57 @@ object VectorQueries {
       .limit(10)
   }
 
+  /** IVF with a k-means-TRAINED coarse quantizer (Lloyd's iterations),
+    * replacing annIvf's seed centroids — the quantizer quality knob that
+    * decides real-world recall. Faiss-style training discipline for
+    * 100 TB: train on a hash-sampled subset (~`trainPerList` vectors
+    * per list — centroid estimates don't improve past a few hundred
+    * samples/list, so training cost is independent of corpus size),
+    * assignment stays map-side (broadcast centroids + native
+    * nearest_centroid), and the per-iteration mean reduces through
+    * partial aggregation: posexplode to (list, pos, x), map-side
+    * combine, shuffle only nlist×dim partial sums — never vectors.
+    * Centroids (nlist≈√n rows) collect to the driver between
+    * iterations — they are broadcast-sized by definition; empty lists
+    * keep their previous centroid. Deterministic given the fixture
+    * (seeded init, xxhash sample, pos-sorted reassembly); rows-only
+    * under the gate, recall + objective-improvement spec-checked. */
+  def annIvfKmeans(spark: SparkSession, dir: String, iters: Int = 2,
+                   nlistOpt: Option[Int] = None, nprobeOpt: Option[Int] = None,
+                   trainPerList: Int = 256): DataFrame = {
+    import spark.implicits._
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val n = corpusSize(spark, dir)
+    val nlist = nlistOpt.getOrElse(nlistFor(n))
+    val nprobe = nprobeOpt.getOrElse(math.max(2, nlist / 4))
+    // deterministic hash sample of ~trainPerList·nlist training vectors
+    val keepPerMille = math.min(1000L, trainPerList.toLong * nlist * 1000 / math.max(1L, n))
+    val train = if (keepPerMille >= 1000L) e
+      else e.where(pmod(xxhash64(col("vec_id")), lit(1000L)) < lit(keepPerMille))
+    var cents: Array[(Long, Array[Float])] = e.orderBy(col("vec_id")).limit(nlist)
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    for (_ <- 1 to iters) {
+      val centDf = cents.toSeq.toDF("c_id", "cv")
+      val centroidList = centDf
+        .agg(sort_array(collect_list(struct(col("c_id"), col("cv")))).as("cents"))
+      val means = train.join(broadcast(centroidList))
+        .select(F.nearestCentroid(col("v"), col("cents")).as("list_id"),
+          posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("list_id"), col("pos"))
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .groupBy(col("list_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("sx"), col("cnt")))).as("ps"))
+        .select(col("list_id"),
+          expr("transform(ps, p -> cast(p.sx / p.cnt as float))").as("cv"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        .toMap
+      cents = cents.map { case (id, old) => id -> means.getOrElse(id, old) }
+    }
+    ivfSearch(e, cents.toSeq.toDF("c_id", "cv"), nprobe)
+  }
+
   /** E3 scale path: random-hyperplane LSH ANN via the native
     * hyperplane_bucket expression (graft.functions.HyperplaneBucket —
     * one fused loop with a cached sign matrix; the HOF formulation
@@ -165,7 +257,7 @@ object VectorQueries {
   def annLsh(spark: SparkSession, dir: String,
              targetBucket: Int = 64): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
-    val bits = sigBitsFor(base.count(), targetBucket)
+    val bits = sigBitsFor(corpusSize(spark, dir), targetBucket)
     val e = base.withColumn("bucket", F.hyperplaneBucket(col("v"), bits))
     val q = e.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))

@@ -84,6 +84,48 @@ class VectorQueriesSpec extends SparkSpec {
     assert(recall >= 0.2, s"recall@10 = $recall")
   }
 
+  test("knnBatch: per-query top-5 matches driver-side recomputation") {
+    val qIds = vecs.keys.toSeq.sorted.take(5)
+    val exp = qIds.flatMap { qId =>
+      vecs.toSeq.filter(_._1 != qId)
+        .map { case (id, v) => (qId, id, math.rint(cos(vecs(qId), v) * 1e4) / 1e4) }
+        .sortBy { case (_, id, c) => (-c, id) }.take(5)
+    }
+    val got = VectorQueries.knnBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === exp)
+  }
+
+  test("annIvfKmeans: true scores, sorted, recall floor with default probes") {
+    val qId = vecs.keys.min
+    val qv = vecs(qId)
+    val got = VectorQueries.annIvfKmeans(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.nonEmpty)
+    got.foreach { case (id, c) =>
+      val expected = math.rint(cos(qv, vecs(id)) * 1e4) / 1e4
+      assert(math.abs(c - expected) < 1e-9)
+    }
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+    val exact = vecs.toSeq.filter(_._1 != qId)
+      .map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val recall = got.map(_._1).count(exact).toDouble / 10.0
+    assert(recall >= 0.2, s"recall@10 = $recall")
+  }
+
+  test("annIvfKmeans probing every list equals brute force (search-path exactness)") {
+    // with nprobe = nlist the probe set is exhaustive, so the trained
+    // quantizer must not change the answer — isolates search-path bugs
+    // from recall variance
+    val brute = VectorQueries.knnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = VectorQueries.annIvfKmeans(spark, sf, iters = 2,
+        nlistOpt = Some(4), nprobeOpt = Some(4)).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full === brute)
+  }
+
   test("annLsh: results are true cosine scores; candidates come from one bucket") {
     val qId = vecs.keys.min
     val qv = vecs(qId)
