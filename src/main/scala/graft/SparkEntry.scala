@@ -87,6 +87,7 @@ object SparkEntry {
     "q_ann_ivf" -> ((s, d) => VectorQueries.annIvf(s, d)),
     "q_ann_ivf_kmeans" -> ((s, d) => VectorQueries.annIvfKmeans(s, d)),
     "q_knn_batch" -> ((s, d) => VectorQueries.knnBatch(s, d)),
+    "q_knn_batch_agg" -> ((s, d) => VectorQueries.knnBatchAgg(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -441,6 +442,17 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_knn_batch" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e ORDER BY vec_id LIMIT 5),
+        |s AS (SELECT q.q_id, e.vec_id,
+        |  round(list_cosine_similarity(e.v, q.qv), 4) AS cos
+        |  FROM e, q WHERE e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, cos,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM s)
+        |SELECT q_id, vec_id, cos FROM r WHERE rn <= 5
+        |ORDER BY q_id, cos DESC, vec_id""".stripMargin,
+    "q_knn_batch_agg" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e ORDER BY vec_id LIMIT 5),
         |s AS (SELECT q.q_id, e.vec_id,

@@ -34,6 +34,12 @@ object F {
   def minhashUnion(sig: Column, numHashes: Int): Column =
     aggColumn(MinHashUnionAgg(expr(sig), numHashes))
 
+  /** Aggregate: bounded per-group top-k by (score DESC, id ASC) —
+    * array<struct<score,id>>; partial buffers never exceed k rows
+    * (see [[TopKAgg]]). */
+  def topK(score: Column, id: Column, k: Int): Column =
+    aggColumn(TopKAgg(expr(score.cast("double")), expr(id.cast("long")), k))
+
   def l2Norm(c: Column): Column = column(L2Norm(expr(c)))
 
   /** Thresholded Jaccard over sorted distinct string arrays (see

@@ -47,6 +47,8 @@ object GraftFunctions {
       JaccardGe(args.head, args(1), doubleArg("jaccard_ge", args(2)))),
     "minhash_union" -> (args =>
       MinHashUnionAgg(args.head, intArg("minhash_union", args(1)))),
+    "top_k" -> (args =>
+      TopKAgg(args.head, args(1), intArg("top_k", args(2)))),
   )
 
   /** Idempotent per-session registration. */

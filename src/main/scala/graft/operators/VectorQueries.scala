@@ -78,6 +78,29 @@ object VectorQueries {
       .orderBy(col("q_id"), col("cos").desc, col("vec_id"))
   }
 
+  /** E3 batch kNN via the bounded [[graft.functions.TopKAgg]]
+    * aggregate — same answer as [[knnBatch]] (same oracle), different
+    * physical shape: partial aggregation caps map-side buffers at k
+    * rows per query, so the shuffle carries ≤ k·partitions rows per
+    * query instead of the full corpus×Q scored set the window
+    * formulation moves. THIS is the 100 TB batch-retrieval plan; the
+    * window variant is its cross-engine oracle anchor. */
+  def knnBatchAgg(spark: SparkSession, dir: String,
+                  nQueries: Int = 5, k: Int = 5): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val q = e.orderBy(col("vec_id")).limit(nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    e.join(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        F.roundBin(F.cosineSim(col("v"), col("qv")), 4).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(F.topK(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("vec_id"), col("t.score").as("cos"))
+      .orderBy(col("q_id"), col("cos").desc, col("vec_id"))
+  }
+
   /** E3 vector stats: per-label count and average L2 norm. */
   def vecNorms(spark: SparkSession, dir: String): DataFrame =
     emb(spark, dir)

@@ -96,6 +96,31 @@ class VectorQueriesSpec extends SparkSpec {
     assert(got === exp)
   }
 
+  test("knnBatchAgg (bounded top-k aggregate) equals the window formulation") {
+    val win = VectorQueries.knnBatch(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val agg = VectorQueries.knnBatchAgg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(agg === win)
+  }
+
+  test("TopKBuffer: eviction, tie-break (score desc, id asc), merge") {
+    import graft.functions.TopKBuffer
+    val b = new TopKBuffer(3)
+    Seq((0.5, 7L), (0.9, 2L), (0.5, 1L), (0.7, 9L), (0.9, 8L)).foreach {
+      case (s, i) => b.add(s, i)
+    }
+    // kept: (0.9,2) (0.9,8) (0.7,9); (0.5,*) evicted; tie 0.9 → id asc
+    assert(b.sorted.toSeq === Seq((0.9, 2L), (0.9, 8L), (0.7, 9L)))
+    val c = new TopKBuffer(3)
+    Seq((0.8, 5L), (0.9, 2L), (0.1, 0L)).foreach { case (s, i) => c.add(s, i) }
+    c.mergeFrom(b)
+    // merged kept: (0.9,2) dedup NOT applied (ids may repeat across
+    // partitions only for the same input row, which agg never produces
+    // twice) — best three of the union
+    assert(c.sorted.toSeq === Seq((0.9, 2L), (0.9, 2L), (0.9, 8L)))
+  }
+
   test("annIvfKmeans: true scores, sorted, recall floor with default probes") {
     val qId = vecs.keys.min
     val qv = vecs(qId)
