@@ -52,12 +52,19 @@ object RawIngest {
   }
 
   /** File-source variant: JSONL dir as the stream (stand-in for the
-    * Kafka topic with identical downstream semantics). */
-  def fromFiles(spark: SparkSession, inDir: String): DataFrame =
-    withPartitions(
-      spark.readStream
-        .schema(EventSchema.schema)
-        .json(inDir))
+    * Kafka topic with identical downstream semantics).
+    *
+    * `maxFilesPerTrigger` is ST8 backpressure on this source — the
+    * file-source analogue of Kafka's maxOffsetsPerTrigger: AvailableNow
+    * drains the backlog in bounded micro-batches instead of one giant
+    * batch, capping per-batch memory/shuffle regardless of how far
+    * behind the job is (RawIngestBackpressureSpec drives it). */
+  def fromFiles(spark: SparkSession, inDir: String,
+                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(EventSchema.schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    withPartitions(reader.json(inDir))
+  }
 
   /** Partitioned JSONL sink + checkpoint
     * (reference: ingest_clickstream_to_s3.py:65-81 S5). AvailableNow =
