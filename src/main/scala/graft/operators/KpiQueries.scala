@@ -172,23 +172,25 @@ object KpiQueries {
     * oracle asserts as TRUE (HLL at rsd=0.01 is deterministic for a
     * given input, so this is a stable gate, ~5 sigma of slack).
     *
-    * The approx and exact aggregates run as SEPARATE aggregations
-    * joined on the key: placing approx_count_distinct in the same
-    * Aggregate as count(DISTINCT) makes RewriteDistinctAggregates
-    * evaluate the HLL partial per (key, user_id) group — one
-    * 2^p-register sketch buffer PER USER (gigabytes at scale) instead
-    * of per key. Split, each side is a plain two-phase agg; the join
-    * is 5 rows. */
+    * ONE scan: first reduce to distinct (event_type, user_id) pairs
+    * (two-phase agg with map-side combine), then compute BOTH counts
+    * from the deduped pairs — count(user_id) IS the exact distinct,
+    * and approx_count_distinct over already-unique values yields the
+    * identical HLL estimate (sketches are insensitive to
+    * multiplicity). This also avoids the RewriteDistinctAggregates
+    * trap (count(DISTINCT) + HLL in ONE Aggregate ⇒ a 2^p-register
+    * sketch buffer PER USER): neither aggregate here is DISTINCT, so
+    * both stay plain two-phase. NULL event_type groups survive
+    * naturally (no join needed). At 100 TB the pair-dedup shuffle
+    * carries |distinct pairs| rows — the same shuffle an exact
+    * distinct pays anyway; a pure-approx production variant would
+    * skip the dedup and shuffle only HLL partials. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame = {
-    val ev = load(spark, dir, "events")
-    val approx = ev.groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
-    val exact = ev.groupBy(col("event_type"))
-      .agg(countDistinct(col("user_id")).as("exact_users"))
-    // null-safe join key: a NULL event_type group must survive the
-    // exact⋈approx join just as the oracle's GROUP BY retains it
-    exact.join(approx, exact("event_type") <=> approx("event_type"))
-      .drop(approx("event_type"))
+    load(spark, dir, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+      .groupBy(col("event_type"))
+      .agg(count(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=
           col("exact_users") * lit(0.05)).as("within_5pct"))
