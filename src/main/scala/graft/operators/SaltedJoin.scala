@@ -46,18 +46,31 @@ object SaltedJoin {
     * with near-certainty at 1/20 the pass cost; sampling noise can
     * only change WHICH borderline keys get salted, never the join
     * result. Keep 1.0 when the threshold is small (tests). */
-  def join(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
-           saltFactor: Int, saltOn: Seq[Column],
-           hotKeyThreshold: Long = 1000000L,
-           sampleFraction: Double = 1.0): DataFrame = {
+  /** The frequency/stats pass alone: keys with ≥ `hotKeyThreshold`
+    * fact rows (single column named `__hot_key`). Exposed separately
+    * because hot-key stats belong with TABLE statistics, not per-query
+    * work — production refreshes them per table-stats cycle (the
+    * ANALYZE-TABLE discipline) and reuses them across every join on
+    * that fact; callers pass the result via `join(hotKeysOpt = ...)`. */
+  def hotKeys(fact: DataFrame, factKey: String,
+              hotKeyThreshold: Long = 1000000L,
+              sampleFraction: Double = 1.0): DataFrame = {
     val (freqSrc, freqThreshold) =
       if (sampleFraction >= 1.0) (fact, hotKeyThreshold)
       else (fact.sample(withReplacement = false, sampleFraction, seed = 42L),
         math.max(1L, math.round(hotKeyThreshold * sampleFraction)))
-    val hot = broadcast(
-      freqSrc.groupBy(col(factKey)).agg(count(lit(1)).as("__cnt"))
-        .where(col("__cnt") >= freqThreshold)
-        .select(col(factKey).as("__hot_key")))
+    freqSrc.groupBy(col(factKey)).agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") >= freqThreshold)
+      .select(col(factKey).as("__hot_key"))
+  }
+
+  def join(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+           saltFactor: Int, saltOn: Seq[Column],
+           hotKeyThreshold: Long = 1000000L,
+           sampleFraction: Double = 1.0,
+           hotKeysOpt: Option[DataFrame] = None): DataFrame = {
+    val hot = broadcast(hotKeysOpt.getOrElse(
+      hotKeys(fact, factKey, hotKeyThreshold, sampleFraction)))
 
     val salted = fact
       .join(hot, fact(factKey) === hot("__hot_key"), "left")

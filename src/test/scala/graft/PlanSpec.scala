@@ -67,6 +67,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("knnBatchAgg: top_k runs as partial+final ObjectHashAggregate") {
+    // SortAggregate would sort every scored row before aggregating —
+    // exactly the cost the bounded top-k buffer exists to avoid; and
+    // without a partial (map-side) instance the shuffle carries all
+    // scored rows, not ≤k per query per partition.
+    val p = plan(VectorQueries.knnBatchAgg(spark, sf))
+    assert(p.contains("ObjectHashAggregate"), s"top_k fell off the hash-agg path:\n$p")
+    assert(p.split("ObjectHashAggregate").length >= 3,
+      s"no map-side partial top_k:\n$p")
+    assert(!p.contains("SortAggregate"), s"top_k degraded to sort-agg:\n$p")
+  }
+
   test("prunedKpis: day filter lands on the date PARTITION column (S6)") {
     // the Spark restatement of the reference's S3 prefix prune
     // (daily_kpis.py:155-156): non-empty PartitionFilters on the scan,
