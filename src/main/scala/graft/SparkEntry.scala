@@ -75,6 +75,8 @@ object SparkEntry {
     // §3 end-to-end pipeline (EP2 streaming ingest / EP3 raw-zone KPIs)
     "q_raw_kpis" -> (PipelineQueries.rawKpis _),
     "q_stream_hourly" -> (PipelineQueries.streamHourly _),
+    "q_stream_enrich" -> (PipelineQueries.streamEnrich _),
+    "q_stream_dedup" -> (PipelineQueries.streamDedup _),
     "q_salted_join" -> (PipelineQueries.saltedJoin _),
     "q_pruned_kpis" -> (PipelineQueries.prunedKpis _),
     "q_stateful_sessions" -> (PipelineQueries.statefulSessions _),
@@ -178,6 +180,19 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM events WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.StreamCutoff}'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_enrich" ->
+      s"""WITH m(et, category) AS (VALUES
+        |  ${operators.PipelineQueries.EnrichDim.map { case (k, v) => s"('$k', '$v')" }.mkString(", ")}),
+        |e AS (SELECT lower(coalesce(event_type, '')) AS et, value FROM events
+        |  WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.StreamCutoff}')
+        |SELECT coalesce(m.category, 'other') AS category, count(*) AS n_events,
+        |  round(sum(coalesce(e.value, 0)), 2) AS revenue
+        |FROM e LEFT JOIN m ON e.et = m.et
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_dedup" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT event_id) AS n_events
+        |FROM events WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.StreamCutoff}'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_salted_join" ->
       """SELECT o_orderkey, count(*) AS n_items,
         |  round(sum(l_quantity), 2) AS sum_qty

@@ -178,6 +178,76 @@ object PipelineQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Event-type → funnel-category mapping for the stream-static
+    * enrichment gate; interpolated into the oracle SQL VALUES list so
+    * the two sides cannot drift. */
+  val EnrichDim: Seq[(String, String)] = Seq(
+    "page_view" -> "engagement", "pageview" -> "engagement", "view" -> "engagement",
+    "add_to_cart" -> "intent",
+    "purchase" -> "conversion", "order" -> "conversion", "checkout" -> "conversion")
+
+  /** Stream-static broadcast enrichment join (SURVEY.md §2.4 "stream-
+    * static join for streaming enrichment"): the event stream joins a
+    * small static dimension INSIDE the streaming query — the broadcast
+    * is planned per micro-batch, no stream state, no shuffle of the
+    * stream — then lands enriched in the raw zone. The gate aggregates
+    * the landed output per category against direct SQL with the same
+    * inline mapping. */
+  def streamEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val in = writeJsonl(spark, dir, "graft-enrich-in", cutoffDate = Some(StreamCutoff))
+    val out = Files.createTempDirectory("graft-enrich-out")
+    val ck = Files.createTempDirectory("graft-enrich-ck")
+    out.toFile.deleteOnExit(); ck.toFile.deleteOnExit()
+    val dim = EnrichDim.toDF("et", "category")
+    val q = spark.readStream.schema(graft.model.EventSchema.schema).json(in)
+      .withColumn("et", lower(coalesce(col("event_type"), lit(""))))
+      .join(broadcast(dim), Seq("et"), "left")
+      .select(col("event_ts"), col("price"),
+        coalesce(col("category"), lit("other")).as("category"))
+      .writeStream.format("json").option("path", out.toString)
+      .option("checkpointLocation", ck.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.schema("event_ts STRING, price DOUBLE, category STRING")
+      .json(out.toString)
+      .where(col("event_ts").isNotNull) // garbage lines parse all-null
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.F.roundBin(sum(coalesce(col("price"), lit(0.0))), 2).as("revenue"))
+      .orderBy(col("category"))
+  }
+
+  /** Streaming ingest dedup (ST5 upgrade): the reference's consumer is
+    * at-least-once — crash between poll and commit re-delivers lines
+    * (SURVEY.md §2.9 ST5) — so the engine dedups ON INGEST by event
+    * id. The gate injects a re-delivered batch (the first 500 wire
+    * lines duplicated into the backlog) and requires per-day counts to
+    * equal direct SQL DISTINCT counts over the fixture. Bounded
+    * backlog ⇒ plain dropDuplicates; the unbounded-stream variant is
+    * dropDuplicatesWithinWatermark, which bounds state to the
+    * watermark horizon at the cost of only deduping within it. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val in = writeJsonl(spark, dir, "graft-dedup-in", cutoffDate = Some(StreamCutoff))
+    // simulate at-least-once re-delivery: duplicate a prefix of the feed
+    asWireJson(spark, dir, Some(StreamCutoff)).limit(500)
+      .coalesce(1).write.mode("append").text(in)
+    val out = Files.createTempDirectory("graft-dedup-out")
+    val ck = Files.createTempDirectory("graft-dedup-ck")
+    out.toFile.deleteOnExit(); ck.toFile.deleteOnExit()
+    val q = spark.readStream.schema(graft.model.EventSchema.schema).json(in)
+      .dropDuplicates("session_id") // wire session_id carries event_id
+      .writeStream.format("json").option("path", out.toString)
+      .option("checkpointLocation", ck.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.schema(graft.model.EventSchema.schema).json(out.toString)
+      .where(col("event_ts").isNotNull)
+      .groupBy(substring(col("event_ts"), 1, 10).as("dt"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("dt"))
+  }
+
   /** EP2 streaming ingest (file-source stand-in for the Kafka topic,
     * Trigger.AvailableNow) → event-time partitioned raw zone → per-
     * partition counts. Exercises S4/S5/ST1/ST2 under the DuckDB gate:
