@@ -64,6 +64,8 @@ object SparkEntry {
     "q_text_quality" -> (TextQueries.textQuality _),
     "q_lang_id" -> (TextQueries.langId _),
     "q_fingerprint" -> (TextQueries.fingerprint _),
+    "q_vocab_topk" -> ((s, d) => TextQueries.vocabTopk(s, d)),
+    "q_stratified_sample" -> (TextQueries.stratifiedSample _),
     "q_ngram_jaccard" -> (TextQueries.ngramJaccard _),
     "q_minhash_dedup" -> (TextQueries.minhashDedup _),
     "q_simhash" -> (TextQueries.simhash _),
@@ -420,6 +422,21 @@ object SparkEntry {
         |    t -> CAST(ascii(t) * 131 + length(t) AS BIGINT))),
         |  (acc, x) -> (acc * 31 + x) % 1000003) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_vocab_topk" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
+        |g AS (SELECT token, doc_id, count(*) AS n FROM t GROUP BY 1, 2)
+        |SELECT token, CAST(sum(n) AS BIGINT) AS tf, count(*) AS df
+        |FROM g GROUP BY 1 ORDER BY tf DESC, token LIMIT 20""".stripMargin,
+    "q_stratified_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+        |r AS (SELECT lang, doc_id, row_number() OVER (
+        |  PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.lang AS lang, r.doc_id AS doc_id
+        |FROM r JOIN c ON r.lang = c.lang
+        |WHERE rn <= CAST(ceil(n / 10.0) AS BIGINT)
+        |ORDER BY r.lang, r.doc_id""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, source, lang, regexp_split_to_array(text, '\s+') AS toks

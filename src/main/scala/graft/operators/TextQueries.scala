@@ -58,6 +58,48 @@ object TextQueries {
       .orderBy(col("key"))
   }
 
+  /** E4 vocabulary building: global top-20 tokens by term frequency,
+    * with document frequency — the vocab/BPE-seed pass of a training
+    * pipeline. Distinct-free cascade: (token, doc) partial counts
+    * first (map-side combine collapses within-doc repeats before the
+    * shuffle), then per-token sum/count — so no count(DISTINCT) buffer
+    * and both stages are plain two-phase aggs. Final cut is a top-k
+    * (TakeOrderedAndProject), tie-broken on the token for a
+    * deterministic boundary. */
+  def vocabTopk(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = withTokens(load(spark, dir, "documents"))
+    docs.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col("token"))
+      .agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+  }
+
+  /** Deterministic stratified sample: the first ceil(10%) of every
+    * `lang` stratum in md5(doc_id) order — the reproducible
+    * train/val-split shape (same rows on every run, any cluster, and
+    * any engine: md5 hex is cross-engine-identical, which is why the
+    * rank key is NOT xxhash). Exact-size variant: per-stratum
+    * row_number costs a sort within each stratum; the sort-free scale
+    * variant for huge strata keeps rows where the hash value falls
+    * under a cutoff (approximate fraction, no window) — documented in
+    * SCALE.md. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.select(col("lang"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .join(broadcast(counts), Seq("lang"))
+      .where(col("rn") <= ceil(col("n") / 10.0))
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** E4 token counting per language. */
   def tokenCount(spark: SparkSession, dir: String): DataFrame = {
     val docs = withTokens(load(spark, dir, "documents"))
