@@ -79,6 +79,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), s"top_k degraded to sort-agg:\n$p")
   }
 
+  test("vocabTopk: global cut is TakeOrderedAndProject, no total sort") {
+    val p = plan(graft.operators.TextQueries.vocabTopk(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"vocab cut should be top-k:\n$p")
+  }
+
   test("prunedKpis: day filter lands on the date PARTITION column (S6)") {
     // the Spark restatement of the reference's S3 prefix prune
     // (daily_kpis.py:155-156): non-empty PartitionFilters on the scan,
