@@ -46,6 +46,7 @@ object SparkEntry {
     "q_set_ops" -> (TpchQueries.setOps _),
     "q_distinct_brand_type" -> (TpchQueries.distinctBrandType _),
     "q_agg_stats" -> (TpchQueries.aggStats _),
+    "q_approx_percentile" -> (TpchQueries.approxPercentile _),
     "q_string_funcs" -> (TpchQueries.stringFuncs _),
     "q_date_funcs" -> (TpchQueries.dateFuncs _),
     "q_above_avg_orders" -> (TpchQueries.aboveAvgOrders _),
@@ -168,6 +169,10 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |  TRUE AS within_5pct
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_approx_percentile" ->
+      """SELECT c_mktsegment, round(median(c_acctbal), 2) AS median_bal,
+        |  TRUE AS within_tol
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_raw_kpis" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt,
         |  count(*) AS total_events,

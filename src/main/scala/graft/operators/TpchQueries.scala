@@ -205,6 +205,29 @@ object TpchQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** approx_percentile scale variant of the exact median (SURVEY.md
+    * §2.3 declared-accuracy aggregates, same discipline as
+    * approxDistinct): the exact percentile sorts every group member —
+    * at 100 TB the bounded-memory quantile sketch is the only viable
+    * plan — so the gate emits the EXACT median plus
+    * `within_tol = |approx − exact| ≤ 1% of the group's value range`
+    * (approx_percentile returns an actual member, the exact median
+    * interpolates midpoints — a value-range tolerance absorbs that
+    * systematic gap; deterministic for a given fixture), which the
+    * SQL oracle asserts TRUE. */
+  def approxPercentile(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+    cust.groupBy(col("c_mktsegment"))
+      .agg(
+        F.roundBin(expr("percentile(c_acctbal, 0.5)"), 2).as("median_bal"),
+        expr("approx_percentile(c_acctbal, 0.5, 10000)").as("approx_med"),
+        min(col("c_acctbal")).as("mn"), max(col("c_acctbal")).as("mx"))
+      .select(col("c_mktsegment"), col("median_bal"),
+        (abs(col("approx_med") - col("median_bal")) <=
+          (col("mx") - col("mn")) * lit(0.01)).as("within_tol"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** String scalar-function surface (SURVEY.md §2.8): upper/substring/
     * length/trim/replace/regexp_extract/concat. */
   def stringFuncs(spark: SparkSession, dir: String): DataFrame = {
