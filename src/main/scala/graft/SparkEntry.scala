@@ -31,6 +31,7 @@ object SparkEntry {
     "q_exists_fresh" -> (KpiQueries.existsFresh _),
     "q_sessionize" -> (KpiQueries.sessionize _),
     "q_session_window" -> (KpiQueries.sessionWindow _),
+    "q_sliding_window" -> (KpiQueries.slidingWindow _),
     "q_approx_distinct" -> (KpiQueries.approxDistinct _),
     // §2.4 joins / §2.5 windows / §2.6 sorts / §2.7 set ops
     "q1_pricing_summary" -> (TpchQueries.q1PricingSummary _),
@@ -173,6 +174,14 @@ object SparkEntry {
       """SELECT c_mktsegment, round(median(c_acctbal), 2) AS median_bal,
         |  TRUE AS within_tol
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sliding_window" ->
+      """WITH w AS (
+        |  SELECT date_trunc('hour', ts) AS ws FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
+        |  count(*) AS n_events
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_raw_kpis" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt,
         |  count(*) AS total_events,

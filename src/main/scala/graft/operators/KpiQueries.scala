@@ -92,6 +92,24 @@ object KpiQueries {
 
   /** ROLLUP over (day, event_type) — grouping-sets surface (SURVEY.md
     * §2.3, "free via Catalyst"). */
+  /** ST6 SLIDING window (2h width, 1h slide) over event time — the one
+    * window shape tumbling/session don't cover. Spark's `window()`
+    * expands each event into width/slide = 2 window memberships BEFORE
+    * the aggregation (so partial agg still collapses map-side: the
+    * shuffle carries per-(window, partition) partials, not 2× events);
+    * identical in batch and streaming (streaming adds a watermark).
+    * The oracle reproduces the expansion as a UNION ALL of the two
+    * shifted hour-truncations. */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    ev.groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("n_events"))
+      .orderBy(col("window_start"))
+  }
+
   def eventsRollup(spark: SparkSession, dir: String): DataFrame = {
     val ev = load(spark, dir, "events")
     ev.rollup(
