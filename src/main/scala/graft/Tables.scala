@@ -50,6 +50,14 @@ object Tables {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // Respect the AQE target partition size instead of maximizing
+      // parallelism when coalescing (the Spark-docs-recommended
+      // setting): a shuffle whose whole output fits one target-size
+      // partition becomes ONE reduce task, not cores-many near-empty
+      // ones — at 100 TB the target size governs either way, but
+      // mis-sized small stages (dim aggregations, probe lists) stop
+      // paying a full-width task-scheduling round.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // task-side output commit (v2): the v1 default renames every
       // task's partition dirs sequentially on the driver at job
