@@ -42,10 +42,15 @@ object F {
 
   def l2Norm(c: Column): Column = column(L2Norm(expr(c)))
 
-  /** Thresholded Jaccard over sorted distinct string arrays (see
-    * [[JaccardGe]]): the value when ≥ t, else null. */
+  /** Thresholded Jaccard over sorted distinct string or long arrays
+    * (see [[JaccardGe]]): the value when ≥ t, else null. */
   def jaccardGe(a: Column, b: Column, t: Double): Column =
     column(JaccardGe(expr(a), expr(b), t))
+
+  /** Sorted distinct n-gram xxhash64 fingerprints of a token array
+    * (see [[NgramHashes]]). */
+  def ngramHashes(toks: Column, n: Int): Column =
+    column(NgramHashes(expr(toks), n))
 
   /** IVF assignment: nearest centroid id by cosine (see
     * [[NearestCentroid]]); `cents` is array<struct<c_id,cv>>. */

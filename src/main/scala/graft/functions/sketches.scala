@@ -52,18 +52,26 @@ case class SimHash64(child: Expression)
 case class MinHashSig(child: Expression, numHashes: Int)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<string>, got $other")
+      s"$prettyName requires array<string> or array<bigint>, got $other")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
 
-  override def nullSafeEval(input: Any): Any =
-    Sketches.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+  private lazy val hashedInput: Boolean =
+    child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == LongType
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.minhashSig($c, $numHashes)")
+  override def nullSafeEval(input: Any): Any =
+    if (hashedInput) Sketches.minhashSigLong(input.asInstanceOf[ArrayData], numHashes)
+    else Sketches.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (hashedInput) "minhashSigLong" else "minhashSig"
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.$fn($c, $numHashes)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
@@ -78,19 +86,27 @@ case class MinHashBandHashes(child: Expression, numHashes: Int, bands: Int)
     extends UnaryExpression {
   require(numHashes % bands == 0, "numHashes must be divisible by bands")
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) | ArrayType(LongType, _) =>
+      TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires array<string>, got $other")
+      s"$prettyName requires array<string> or array<bigint>, got $other")
   }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_band_hashes"
 
-  override def nullSafeEval(input: Any): Any =
-    Sketches.minhashBandHashes(input.asInstanceOf[ArrayData], numHashes, bands)
+  private lazy val hashedInput: Boolean =
+    child.dataType.isInstanceOf[ArrayType] &&
+      child.dataType.asInstanceOf[ArrayType].elementType == LongType
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(input: Any): Any =
+    if (hashedInput) Sketches.minhashBandHashesLong(input.asInstanceOf[ArrayData], numHashes, bands)
+    else Sketches.minhashBandHashes(input.asInstanceOf[ArrayData], numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (hashedInput) "minhashBandHashesLong" else "minhashBandHashes"
     defineCodeGen(ctx, ev,
-      c => s"graft.functions.Sketches.minhashBandHashes($c, $numHashes, $bands)")
+      c => s"graft.functions.Sketches.$fn($c, $numHashes, $bands)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashBandHashes =
     copy(child = newChild)
@@ -249,6 +265,39 @@ case class RoundBin(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Sorted distinct xxhash64 fingerprints of a token array's n-grams —
+  * the whole shingling pipeline (n-gram formation → hash → distinct →
+  * sort) as ONE fused pass. Replaces the
+  * `array_sort(array_distinct(transform(sequence(...), concat(...))))`
+  * HOF chain, which (a) runs interpreted, (b) materializes every
+  * n-gram STRING, and (c) gets re-evaluated per consumer under
+  * projection collapse. Token hashes are computed once and combined
+  * order-sensitively per gram, so each token is hashed exactly once
+  * regardless of n. Downstream set operations (jaccard, MinHash)
+  * consume the 8-byte fingerprints — identical set semantics to the
+  * string n-grams modulo 64-bit collisions (~|grams|²/2⁶⁵ per
+  * document: vanishing), at a fraction of the compare/shuffle cost. */
+case class NgramHashes(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.ngramHashes(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.ngramHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
 /** Thresholded Jaccard over two SORTED, DISTINCT string arrays:
   * returns |a∩b| / |a∪b| when ≥ `threshold`, else null (→ one
   * filter on isNotNull). A single merge-walk over the sorted arrays —
@@ -265,22 +314,33 @@ case class JaccardGe(left: Expression, right: Expression, threshold: Double)
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
         TypeCheckResult.TypeCheckSuccess
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case other => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires (array<string>, array<string>), got $other")
+        s"$prettyName requires two array<string> or two array<bigint>, got $other")
     }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "jaccard_ge"
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    Sketches.jaccardGe(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+  private lazy val hashedInput: Boolean =
+    left.dataType.isInstanceOf[ArrayType] &&
+      left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def nullSafeEval(a: Any, b: Any): Any =
+    if (hashedInput)
+      Sketches.jaccardGeLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+    else
+      Sketches.jaccardGe(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (hashedInput) "jaccardGeLong" else "jaccardGe"
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""java.lang.Double r = graft.functions.Sketches.jaccardGe($a, $b, $threshold);
+      s"""java.lang.Double r = graft.functions.Sketches.$fn($a, $b, $threshold);
          |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
          |""".stripMargin
     })
+  }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): JaccardGe =
     copy(left = newLeft, right = newRight)
@@ -312,6 +372,59 @@ object Sketches {
     var b = 0
     while (b < 64) { if (votes(b) > 0) out |= (1L << b); b += 1 }
     out
+  }
+
+  /** Fused n-gram fingerprinting (see [[NgramHashes]]): token hashes
+    * once, order-sensitive gram combine, sort, in-place dedup. */
+  def ngramHashes(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      th(i) = if (toks.isNullAt(i)) 0L else hashString(toks.getUTF8String(i), XxSeed)
+      i += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var acc = XXH64.hashLong(n.toLong, XxSeed)
+      var j = 0
+      while (j < n) { acc = XXH64.hashLong(th(i + j) ^ acc, XxSeed); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 0
+    var r = 0
+    while (r < out.length) {
+      if (w == 0 || out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    new GenericArrayData(if (w == out.length) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  /** Merge-walk thresholded Jaccard over sorted distinct LONG arrays
+    * (the [[NgramHashes]] representation) — same walk as the string
+    * variant with 8-byte compares instead of byte-string compares. */
+  def jaccardGeLong(a: ArrayData, b: ArrayData, t: Double): java.lang.Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return null // empty union: jaccard undefined
+    val need = math.ceil(t * (na + nb) / (1.0 + t) - 1e-9).toInt
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      if (inter + math.min(na - i, nb - j) < need) return null // early exit
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val jac = inter.toDouble / (na + nb - inter)
+    if (jac >= t) jac else null
   }
 
   /** Merge-walk thresholded Jaccard (see [[JaccardGe]]). Inputs MUST
@@ -363,8 +476,36 @@ object Sketches {
   def minhashSig(shingles: ArrayData, numHashes: Int): ArrayData =
     new GenericArrayData(minhashSigArray(shingles, numHashes))
 
-  def minhashBandHashes(shingles: ArrayData, numHashes: Int, bands: Int): ArrayData = {
-    val sig = minhashSigArray(shingles, numHashes)
+  /** MinHash over PRE-HASHED shingles ([[NgramHashes]] output): the
+    * p-th permutation re-hashes the 8-byte fingerprint with the p-th
+    * seed — no string re-hashing per permutation. */
+  def minhashSigArrayLong(hashes: ArrayData, numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    val n = hashes.numElements()
+    var i = 0
+    while (i < n) {
+      val base = hashes.getLong(i)
+      var p = 0
+      while (p < numHashes) {
+        val h = XXH64.hashLong(base, permSeed(p))
+        if (h < sig(p)) sig(p) = h
+        p += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  def minhashSigLong(hashes: ArrayData, numHashes: Int): ArrayData =
+    new GenericArrayData(minhashSigArrayLong(hashes, numHashes))
+
+  def minhashBandHashesLong(hashes: ArrayData, numHashes: Int, bands: Int): ArrayData =
+    bandHashes(minhashSigArrayLong(hashes, numHashes), numHashes, bands)
+
+  def minhashBandHashes(shingles: ArrayData, numHashes: Int, bands: Int): ArrayData =
+    bandHashes(minhashSigArray(shingles, numHashes), numHashes, bands)
+
+  private def bandHashes(sig: Array[Long], numHashes: Int, bands: Int): ArrayData = {
     val rows = numHashes / bands
     val out = new Array[Long](bands)
     var b = 0

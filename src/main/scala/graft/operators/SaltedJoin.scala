@@ -15,19 +15,23 @@ import org.apache.spark.sql.functions._
   *     partition, so this pass is itself skew-immune) and keep keys
   *     with ≥ `hotKeyThreshold` rows. By construction that set has at
   *     most |fact| / hotKeyThreshold keys — small enough to broadcast.
-  *  2. Join pass (single fact scan): broadcast the hot-key set onto
-  *     both sides. Hot fact rows get a deterministic salt in
-  *     [0, saltFactor) (hash of the row, NOT rand() — retries and
-  *     speculative tasks must reproduce identical rows); cold rows get
-  *     salt 0. Dim rows are replicated saltFactor× ONLY for hot keys;
-  *     cold dim rows pass through once. One equi-join on
-  *     (key, salt) then does the work: each hot key fans out over
-  *     saltFactor reducers, everything else joins exactly as the
-  *     plain join would.
+  *  2. Join pass (single fact scan): the hot-key set — driver-side
+  *     values, since it is broadcast-sized by construction — becomes a
+  *     scalar `isin` predicate (Catalyst plans it as a hashed InSet
+  *     past 10 values), NOT a join: the salt decision is a codegen'd
+  *     per-row filter that adds zero exchanges to the plan. Hot fact
+  *     rows get a deterministic salt in [0, saltFactor) (hash of the
+  *     row, NOT rand() — retries and speculative tasks must reproduce
+  *     identical rows); cold rows get salt 0. Dim rows are replicated
+  *     saltFactor× ONLY for hot keys; cold dim rows pass through once.
+  *     One equi-join on (key, salt) then does the work: each hot key
+  *     fans out over saltFactor reducers, everything else joins
+  *     exactly as the plain join would.
   *
-  * With no key above threshold (uniform data) the plan degenerates to
-  * the plain shuffle join plus a broadcast of an empty set — no
-  * replication, no blow-up. AQE's skewedJoin handles sort-merge skew
+  * With no key above threshold (uniform data) the join IS the plain
+  * shuffle join — the empty hot set short-circuits every salting
+  * node out of the plan, so skew insurance costs nothing when there
+  * is no skew. AQE's skewedJoin handles sort-merge skew
   * adaptively at runtime; explicit salting remains the tool for
   * hash-partitioned aggregations and paths AQE doesn't cover.
   * Equivalence with the unsalted join (skewed and uniform fixtures) is
@@ -51,7 +55,8 @@ object SaltedJoin {
     * because hot-key stats belong with TABLE statistics, not per-query
     * work — production refreshes them per table-stats cycle (the
     * ANALYZE-TABLE discipline) and reuses them across every join on
-    * that fact; callers pass the result via `join(hotKeysOpt = ...)`. */
+    * that fact; callers pass the collected values via
+    * `join(hotKeyValues = ...)`. */
   def hotKeys(fact: DataFrame, factKey: String,
               hotKeyThreshold: Long = 1000000L,
               sampleFraction: Double = 1.0): DataFrame = {
@@ -68,29 +73,26 @@ object SaltedJoin {
            saltFactor: Int, saltOn: Seq[Column],
            hotKeyThreshold: Long = 1000000L,
            sampleFraction: Double = 1.0,
-           hotKeysOpt: Option[DataFrame] = None): DataFrame = {
-    val hot = broadcast(hotKeysOpt.getOrElse(
-      hotKeys(fact, factKey, hotKeyThreshold, sampleFraction)))
-
-    val salted = fact
-      .join(hot, fact(factKey) === hot("__hot_key"), "left")
-      .withColumn("__salt",
-        when(col("__hot_key").isNotNull,
+           hotKeyValues: Option[Seq[Any]] = None): DataFrame = {
+    val hot: Seq[Any] = hotKeyValues.getOrElse(
+      hotKeys(fact, factKey, hotKeyThreshold, sampleFraction)
+        .collect().map(_.get(0)).toSeq)
+    if (hot.isEmpty) {
+      // no skew ⇒ the plain join, with zero salting residue in the plan
+      fact.join(dim, fact(factKey) === dim(dimKey))
+    } else {
+      val salted = fact.withColumn("__salt",
+        when(col(factKey).isin(hot: _*),
           pmod(xxhash64(saltOn: _*), lit(saltFactor.toLong)).cast("int"))
           .otherwise(lit(0)))
-      .drop("__hot_key")
-
-    val replicated = dim
-      .join(hot, dim(dimKey) === hot("__hot_key"), "left")
-      .withColumn("__salt",
-        explode(when(col("__hot_key").isNotNull,
+      val replicated = dim.withColumn("__salt",
+        explode(when(col(dimKey).isin(hot: _*),
           sequence(lit(0), lit(saltFactor - 1)))
           .otherwise(array(lit(0)))))
-      .drop("__hot_key")
-
-    salted.join(replicated,
-      salted(factKey) === replicated(dimKey) &&
-        salted("__salt") === replicated("__salt"))
-      .drop("__salt")
+      salted.join(replicated,
+        salted(factKey) === replicated(dimKey) &&
+          salted("__salt") === replicated("__salt"))
+        .drop("__salt")
+    }
   }
 }

@@ -188,15 +188,16 @@ object TextQueries {
     * blocks. The blocked self-join bounds the pair count; the exact
     * set-jaccard runs on deduplicated bigram arrays. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // bigram arrays sorted ONCE per document (amortized over every
-    // pair the document appears in) so the per-pair work is a single
-    // native merge-walk with positional early exit (F.jaccardGe) —
-    // no per-pair hash set, no intermediate arrays.
+    // bigrams fingerprinted/sorted ONCE per document by the fused
+    // native kernel (F.ngramHashes: hash → distinct → sort in one
+    // pass, amortized over every pair the document appears in) so the
+    // per-pair work is a single 8-byte merge-walk with positional
+    // early exit (F.jaccardGe on longs) — no per-pair hash set, no
+    // n-gram strings built or shuffled, jaccard values unchanged
+    // modulo vanishing 64-bit collisions.
     val docs = withTokens(load(spark, dir, "documents"))
       .where(size(col("toks")) >= 2)
-      .withColumn("bg", array_sort(expr(
-        """array_distinct(transform(sequence(1, size(toks) - 1),
-             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1))))""")))
+      .withColumn("bg", F.ngramHashes(col("toks"), 2))
       .select(col("doc_id"), col("source"), col("lang"), col("bg"))
     val a = docs.select(col("doc_id").as("a_id"), col("source"), col("lang"), col("bg").as("a_bg"))
     val b = docs.select(col("doc_id").as("b_id"), col("source"), col("lang"), col("bg").as("b_bg"))
@@ -233,9 +234,11 @@ object TextQueries {
     graft.functions.GraftFunctions.install(spark)
     val docs = withTokens(load(spark, dir, "documents"))
       .where(size(col("toks")) >= 3)
-      // sorted for the jaccard_ge merge-walk verifier; order is
-      // irrelevant to the MinHash signature
-      .withColumn("sh", array_sort(expr(shingleExpr)))
+      // fused native 3-gram fingerprints: sorted (for the jaccard_ge
+      // merge-walk verifier) distinct 8-byte hashes — the signature,
+      // banding, and candidate verification all consume these, so no
+      // shingle string is ever built or cached
+      .withColumn("sh", F.ngramHashes(col("toks"), 3))
       .select(col("doc_id"), col("sh"))
       // consumed 3× (banding + both candidate join-backs): materialize
       // the shingle arrays once instead of re-tokenizing the corpus

@@ -241,6 +241,23 @@ object VectorQueries {
     val n = corpusSize(spark, dir)
     val nlist = nlistOpt.getOrElse(nlistFor(n))
     val nprobe = nprobeOpt.getOrElse(math.max(2, nlist / 4))
+    val cents = centroidCache.getOrElseUpdate((dir, nlist, iters, trainPerList),
+      trainCentroids(spark, e, n, nlist, iters, trainPerList))
+    ivfSearch(e, cents.toSeq.toDF("c_id", "cv"), nprobe)
+  }
+
+  /** Trained coarse quantizers, memoized per (dir, knobs) — the Faiss
+    * index-build discipline: training is an OFFLINE build step whose
+    * product (nlist≈√n centroids, broadcast-sized by definition) is
+    * reused by every query until the next index refresh; per-query
+    * cost is the probe, not the build. */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), Array[(Long, Array[Float])]]
+
+  private def trainCentroids(spark: SparkSession, e: DataFrame, n: Long,
+                             nlist: Int, iters: Int,
+                             trainPerList: Int): Array[(Long, Array[Float])] = {
+    import spark.implicits._
     // deterministic hash sample of ~trainPerList·nlist training vectors
     val keepPerMille = math.min(1000L, trainPerList.toLong * nlist * 1000 / math.max(1L, n))
     val train = if (keepPerMille >= 1000L) e
@@ -266,7 +283,7 @@ object VectorQueries {
         .toMap
       cents = cents.map { case (id, old) => id -> means.getOrElse(id, old) }
     }
-    ivfSearch(e, cents.toSeq.toDF("c_id", "cv"), nprobe)
+    cents
   }
 
   /** E3 scale path: random-hyperplane LSH ANN via the native
