@@ -49,7 +49,7 @@ object Tables {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       // Respect the AQE target partition size instead of maximizing
       // parallelism when coalescing (the Spark-docs-recommended
       // setting): a shuffle whose whole output fits one target-size
