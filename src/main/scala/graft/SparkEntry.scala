@@ -72,6 +72,10 @@ object SparkEntry {
     "q_minhash_dedup" -> (TextQueries.minhashDedup _),
     "q_simhash" -> (TextQueries.simhash _),
     "q_source_minhash" -> (TextQueries.sourceMinhash _),
+    // §2.11 training-data pipeline: packing, pruning, decontamination
+    "q_pack_sequences" -> ((s, d) => TrainingQueries.packSequences(s, d)),
+    "q_quality_prune" -> (TrainingQueries.qualityPrune _),
+    "q_decontaminate" -> ((s, d) => TrainingQueries.decontaminate(s, d)),
     // §2.11 E5 multimodal binary columns
     "q_media_stats" -> (MultimodalQueries.mediaStats _),
     "q_frame_sample" -> (MultimodalQueries.frameSample _),
@@ -451,6 +455,39 @@ object SparkEntry {
         |FROM r JOIN c ON r.lang = c.lang
         |WHERE rn <= CAST(ceil(n / 10.0) AS BIGINT)
         |ORDER BY r.lang, r.doc_id""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT source, doc_id,
+        |  len(regexp_split_to_array(text, '\s+')) AS n FROM documents),
+        |c AS (SELECT source, doc_id, n, sum(n) OVER (
+        |  PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, CAST(floor((cum - n) / 256.0) AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS seq_tokens,
+        |  min(doc_id) AS first_doc
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_quality_prune" ->
+      """WITH t AS (SELECT source, doc_id,
+        |  len(list_distinct(regexp_split_to_array(text, '\s+'))) /
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) AS ttr
+        |  FROM documents),
+        |m AS (SELECT source, median(ttr) AS med FROM t GROUP BY 1)
+        |SELECT t.source AS source, count(*) AS n_kept,
+        |  round(avg(t.ttr), 6) AS avg_ttr_kept,
+        |  min(t.doc_id) AS min_kept, max(t.doc_id) AS max_kept
+        |FROM t JOIN m ON t.source = m.source WHERE t.ttr >= m.med
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id, source,
+        |  array_to_string(toks[i.g : i.g + 7], ' ') AS gram
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(0, len(toks) - 7))) AS g) i),
+        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 25),
+        |bad AS (SELECT DISTINCT g.doc_id, g.source FROM g
+        |  JOIN bench USING (gram) WHERE g.doc_id >= 25)
+        |SELECT source, count(*) AS n_contaminated, min(doc_id) AS first_bad
+        |FROM bad GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, source, lang, regexp_split_to_array(text, '\s+') AS toks

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.F
+
+/** Training-data pipeline operators over the `documents` corpus
+  * (SURVEY.md §2.11 extension surface): the steps between "deduped
+  * corpus" and "token stream" that an LLM data pipeline runs at
+  * 100 TB — sequence packing, quality-quantile pruning, and benchmark
+  * decontamination. All three are oracle-gated (deterministic
+  * formulations; DuckDB computes the same answer from the raw text).
+  */
+object TrainingQueries {
+  import graft.Tables.load
+
+  private def withToks(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(col("text"), "\\s+"))
+
+  /** Sequence packing (concat-and-chunk): documents are concatenated
+    * in deterministic order (doc_id) within each source shard and cut
+    * into fixed `budget`-token training sequences; a document belongs
+    * to the sequence its first token lands in. Emits per-sequence
+    * stats — the packing manifest.
+    *
+    * Scale shape: ONE window (cumulative token count) partitioned by
+    * the shard key, so the shuffle moves (shard, doc_id, n_toks)
+    * triples — never text — and each shard packs independently; at
+    * 100 TB the shard key is (source, path-bucket) and the manifest
+    * joins back to text on write. No global coordination: sequence
+    * ids are per-shard, which is what data loaders consume. */
+  def packSequences(spark: SparkSession, dir: String,
+                    budget: Int = 256): DataFrame = {
+    val docs = withToks(load(spark, dir, "documents"))
+      .select(col("source"), col("doc_id"), size(col("toks")).as("n_toks"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum(col("n_toks")).over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_toks")) / lit(budget.toDouble)))
+      .groupBy(col("source"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("seq_tokens"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"), col("seq_id"))
+  }
+
+  /** Quality-quantile pruning: keep documents whose type-token ratio
+    * is at or above their source's median — the per-source quality
+    * cut that drops boilerplate-heavy shards' worst half without a
+    * global threshold penalizing terse-but-clean sources.
+    *
+    * Scale shape: the per-source medians are a tiny aggregate
+    * (|sources| rows) broadcast back onto the corpus — the second
+    * pass is a map-side filter, no shuffle of documents. An exact
+    * median needs the full score multiset per source (here: one
+    * shuffle of (source, score) pairs); at 100 TB swap in
+    * approx_percentile partial aggregation (see q_approx_percentile)
+    * — the cut point moves by ε, the plan shape doesn't. */
+  def qualityPrune(spark: SparkSession, dir: String): DataFrame = {
+    val scored = withToks(load(spark, dir, "documents"))
+      .select(col("source"), col("doc_id"),
+        (size(array_distinct(col("toks"))) /
+          size(col("toks")).cast("double")).as("ttr"))
+    val med = scored.groupBy(col("source"))
+      .agg(percentile(col("ttr"), lit(0.5)).as("med"))
+    scored.join(broadcast(med), Seq("source"))
+      .where(col("ttr") >= col("med"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"),
+        F.roundBin(avg(col("ttr")), 6).as("avg_ttr_kept"),
+        min(col("doc_id")).as("min_kept"),
+        max(col("doc_id")).as("max_kept"))
+      .orderBy(col("source"))
+  }
+
+  /** Benchmark decontamination: training documents sharing any
+    * 8-gram with the benchmark set (here: doc_id < `benchBelow` as
+    * the stand-in eval suite) are flagged, grouped per source — the
+    * train-test-overlap audit every pretraining corpus runs.
+    *
+    * Scale shape: the benchmark's distinct 8-gram fingerprints are a
+    * BOUNDED set (eval suites are small by definition) collected to
+    * one sorted array and broadcast; each training document then
+    * answers "any of my grams in the set?" with Spark's codegen'd
+    * `arrays_overlap` over the 8-byte fingerprints — a map-side scan
+    * of the corpus, no shuffle, no gram explosion. (The explode-both-sides
+    * equi-join variant only wins when the benchmark outgrows
+    * broadcast size — then it shuffles |corpus|·grams rows.)
+    * 8-gram hashes stand in for 8-gram strings exactly as in
+    * [[TextQueries.ngramJaccard]]: identical overlap answers modulo
+    * vanishing 64-bit collisions. */
+  def decontaminate(spark: SparkSession, dir: String,
+                    benchBelow: Long = 25L): DataFrame = {
+    val grams = withToks(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        F.ngramHashes(col("toks"), 8).as("grams"))
+    val bench = grams.where(col("doc_id") < benchBelow)
+      .select(explode(col("grams")).as("g")).distinct()
+      .agg(sort_array(collect_list(col("g"))).as("bench_grams"))
+    grams.where(col("doc_id") >= benchBelow)
+      .join(broadcast(bench))
+      .where(arrays_overlap(col("grams"), col("bench_grams")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        min(col("doc_id")).as("first_bad"))
+      .orderBy(col("source"))
+  }
+}

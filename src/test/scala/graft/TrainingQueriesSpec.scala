@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.TrainingQueries
+import org.apache.spark.sql.functions._
+
+/** Properties of the training-data pipeline operators (their exact
+  * values are oracle-gated; these pin the invariants the oracle can't
+  * express).
+  */
+class TrainingQueriesSpec extends SparkSpec {
+
+  private lazy val nDocs = Tables.load(spark, sf, "documents").count()
+
+  test("packSequences: lossless manifest, per-shard contiguous seq ids, start-offset invariant") {
+    val budget = 256
+    val rows = TrainingQueries.packSequences(spark, sf, budget).collect()
+    // every document lands in exactly one sequence
+    assert(rows.map(_.getAs[Long]("n_docs")).sum === nDocs)
+    rows.groupBy(_.getString(0)).foreach { case (src, seqs) =>
+      val ids = seqs.map(_.getAs[Long]("seq_id")).sorted
+      assert(ids.head === 0L, s"$src: first sequence id")
+      assert(ids === (0L until ids.length).toArray, s"$src: seq ids contiguous")
+      // cut rule: a sequence's first document STARTS inside the
+      // sequence's token window, so all but the last sequence of a
+      // shard hold at least... (start offsets < (seq_id+1)*budget)
+      val firstDocs = seqs.sortBy(_.getAs[Long]("seq_id")).map(_.getAs[Long]("first_doc"))
+      assert(firstDocs === firstDocs.sorted, s"$src: packing follows doc order")
+    }
+    assert(rows.forall(_.getAs[Long]("seq_tokens") > 0))
+  }
+
+  test("qualityPrune: keeps at least half of every source (>= median cut)") {
+    val perSource = Tables.load(spark, sf, "documents")
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = TrainingQueries.qualityPrune(spark, sf).collect()
+    assert(kept.map(_.getString(0)).toSet === perSource.keySet)
+    kept.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getAs[Long]("n_kept") * 2 >= perSource(src),
+        s"$src: >= median must keep at least half")
+      assert(r.getAs[Long]("n_kept") <= perSource(src))
+    }
+  }
+
+  test("decontaminate: flags exactly the training docs sharing an 8-gram with the bench set") {
+    // independent recomputation on the driver from raw text
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String): Set[String] =
+      t.split("\\s+").sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    val bench = docs.filter(_._1 < 25L).flatMap(d => grams(d._3)).toSet
+    val expected = docs.filter(_._1 >= 25L)
+      .filter(d => grams(d._3).exists(bench.contains))
+    val expBySource = expected.groupBy(_._2).view
+      .mapValues(ds => (ds.length.toLong, ds.map(_._1).min)).toMap
+    val got = TrainingQueries.decontaminate(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("n_contaminated"), r.getAs[Long]("first_bad"))))
+      .toMap
+    assert(got === expBySource)
+  }
+
+  test("decontaminate plan: bench grams broadcast, corpus side not shuffled before the overlap filter") {
+    val p = TrainingQueries.decontaminate(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"bench side must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no unbroadcast cross join:\n$p")
+  }
+}
