@@ -75,6 +75,7 @@ object SparkEntry {
     // §2.11 training-data pipeline: packing, pruning, decontamination
     "q_pack_sequences" -> ((s, d) => TrainingQueries.packSequences(s, d)),
     "q_quality_prune" -> (TrainingQueries.qualityPrune _),
+    "q_mixture_sample" -> (TrainingQueries.mixtureSample _),
     "q_decontaminate" -> ((s, d) => TrainingQueries.decontaminate(s, d)),
     // §2.11 E5 multimodal binary columns
     "q_media_stats" -> (MultimodalQueries.mediaStats _),
@@ -476,6 +477,17 @@ object SparkEntry {
         |  min(t.doc_id) AS min_kept, max(t.doc_id) AS max_kept
         |FROM t JOIN m ON t.source = m.source WHERE t.ttr >= m.med
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mixture_sample" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |a AS (SELECT avg(n) AS avg_n FROM c),
+        |q AS (SELECT source, least(n,
+        |  CAST(ceil(sqrt(n * avg_n) * 0.8) AS BIGINT)) AS k FROM c, a),
+        |r AS (SELECT source, doc_id, row_number() OVER (
+        |  PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.source AS source, r.doc_id AS doc_id
+        |FROM r JOIN q ON r.source = q.source WHERE rn <= k
+        |ORDER BY r.source, r.doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, source,
         |  regexp_split_to_array(text, '\s+') AS toks FROM documents),

@@ -75,6 +75,37 @@ object TrainingQueries {
       .orderBy(col("source"))
   }
 
+  /** Temperature-rebalanced mixture sampling (α = 0.5, rate τ = 0.8):
+    * each source keeps k_s = min(n_s, ceil(τ · sqrt(n_s · n̄)))
+    * documents — the sqrt-temperature flattening used to stop head
+    * sources from drowning tail sources in a pretraining mixture
+    * (upweights rare sources relative to their natural share; never
+    * upsamples past n_s; τ sets the overall sampling rate so the cut
+    * binds even on a perfectly balanced corpus). Selection is
+    * deterministic: md5-ranked per source, exactly like
+    * [[TextQueries.stratifiedSample]], so reruns and engines agree
+    * row-for-row.
+    *
+    * Scale shape: source sizes are a |sources|-row aggregate joined
+    * back by broadcast; the rank is one per-source window over
+    * (source, doc_id) pairs — text never shuffles, and the sample
+    * manifest joins back to content on write. */
+  def mixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents").select(col("source"), col("doc_id"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val avgN = counts.agg(avg(col("n")).as("avg_n"))
+    val quota = counts.join(broadcast(avgN))
+      .select(col("source"),
+        least(col("n"), ceil(sqrt(col("n") * col("avg_n")) * lit(0.8))).as("k"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs.withColumn("rn", row_number().over(w))
+      .join(broadcast(quota), Seq("source"))
+      .where(col("rn") <= col("k"))
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   /** Benchmark decontamination: training documents sharing any
     * 8-gram with the benchmark set (here: doc_id < `benchBelow` as
     * the stand-in eval suite) are flagged, grouped per source — the

@@ -43,6 +43,24 @@ class TrainingQueriesSpec extends SparkSpec {
     }
   }
 
+  test("mixtureSample: per-source quota = min(n, ceil(0.8·sqrt(n·avg))), sample ⊆ source docs") {
+    val bySource = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val avgN = bySource.values.map(_.size).sum.toDouble / bySource.size
+    val got = TrainingQueries.mixtureSample(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    assert(got.keySet === bySource.keySet)
+    got.foreach { case (src, ids) =>
+      val n = bySource(src).size
+      val k = math.min(n.toLong, math.ceil(math.sqrt(n * avgN) * 0.8).toLong)
+      assert(ids.size.toLong === k, s"$src quota")
+      assert(ids.subsetOf(bySource(src)), s"$src sample must come from the source")
+    }
+  }
+
   test("decontaminate: flags exactly the training docs sharing an 8-gram with the bench set") {
     // independent recomputation on the driver from raw text
     val docs = Tables.load(spark, sf, "documents")
