@@ -70,6 +70,8 @@ object SparkEntry {
     "q_stratified_sample" -> (TextQueries.stratifiedSample _),
     "q_ngram_jaccard" -> (TextQueries.ngramJaccard _),
     "q_minhash_dedup" -> (TextQueries.minhashDedup _),
+    "q_rep_signals" -> (TextQueries.repetitionSignals _),
+    "q_tfidf" -> ((s, d) => TextQueries.tfidf(s, d)),
     "q_simhash" -> (TextQueries.simhash _),
     "q_source_minhash" -> (TextQueries.sourceMinhash _),
     // §2.11 training-data pipeline: packing, pruning, decontamination
@@ -86,6 +88,8 @@ object SparkEntry {
     "q_stream_hourly" -> (PipelineQueries.streamHourly _),
     "q_stream_enrich" -> (PipelineQueries.streamEnrich _),
     "q_stream_dedup" -> (PipelineQueries.streamDedup _),
+    "q_stream_join" -> (PipelineQueries.streamJoin _),
+    "q_csv_scan" -> (PipelineQueries.csvScan _),
     "q_salted_join" -> (PipelineQueries.saltedJoin _),
     "q_pruned_kpis" -> (PipelineQueries.prunedKpis _),
     "q_stateful_sessions" -> (PipelineQueries.statefulSessions _),
@@ -500,6 +504,49 @@ object SparkEntry {
         |  JOIN bench USING (gram) WHERE g.doc_id >= 25)
         |SELECT source, count(*) AS n_contaminated, min(doc_id) AS first_bad
         |FROM bad GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rep_signals" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY 1, 2),
+        |top AS (SELECT doc_id, max(c) AS top_c FROM wc GROUP BY 1),
+        |base AS (SELECT doc_id, CAST(len(toks) AS INT) AS n_tokens,
+        |  len(list_distinct(toks)) AS n_distinct,
+        |  len(toks) - 1 AS n_bigrams,
+        |  len(list_distinct(list_transform(generate_series(1, len(toks) - 1),
+        |    i -> toks[i] || chr(31) || toks[i + 1]))) AS n_db
+        |  FROM t)
+        |SELECT base.doc_id AS doc_id, n_tokens,
+        |  round(1 - n_distinct / CAST(n_tokens AS DOUBLE), 4) AS dup_word_frac,
+        |  round(top_c / CAST(n_tokens AS DOUBLE), 4) AS top_word_frac,
+        |  CASE WHEN n_bigrams > 0 THEN
+        |    round(1 - n_db / CAST(n_bigrams AS DOUBLE), 4) END AS dup_bigram_frac
+        |FROM base JOIN top USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
+        |td AS (SELECT token, doc_id, count(*) AS n FROM tok GROUP BY 1, 2),
+        |s AS (SELECT token, CAST(sum(n) AS BIGINT) AS tf, count(*) AS df FROM td GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT token, tf, df,
+        |  round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+        |FROM s, nd ORDER BY tfidf DESC, token LIMIT 20""".stripMargin,
+    "q_stream_join" ->
+      s"""WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts,
+        |  lower(event_type) AS et FROM events
+        |  WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.StreamCutoff}'),
+        |p AS (SELECT user_id, ts FROM e WHERE et = 'purchase'),
+        |v AS (SELECT user_id, ts FROM e WHERE et IN ('view', 'click')),
+        |j AS (SELECT p.user_id AS user_id, p.ts AS p_ts FROM p JOIN v
+        |  ON p.user_id = v.user_id
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts)
+        |SELECT strftime(p_ts, '%Y-%m-%d') AS dt, count(*) AS n_pairs,
+        |  count(DISTINCT user_id) AS n_buyers
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_csv_scan" ->
+      """SELECT coalesce(event_type, '') AS event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  round(sum(coalesce(value, 0)), 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ngram_jaccard" ->
       """WITH d AS (
         |  SELECT doc_id, source, lang, regexp_split_to_array(text, '\s+') AS toks

@@ -266,6 +266,76 @@ object PipelineQueries {
       .orderBy(col("dt"))
   }
 
+  /** Stream-stream event-time interval join (SURVEY.md §2.9 — the
+    * attribution-join shape): purchases join the same user's views
+    * within the preceding hour, both sides watermarked so Spark can
+    * bound the join state (view state is dropped once the watermark
+    * passes v_ts + 1 h; at 100 TB/day this is the difference between
+    * state ∝ one-hour-of-views and state ∝ the whole stream). The
+    * joined pairs land append-mode in the raw zone; the gate aggregates
+    * landed pairs per purchase-day against a direct SQL self-join over
+    * the fixture with identical (second-truncated) timestamps. */
+  def streamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val in = writeJsonl(spark, dir, "graft-sjoin-in", cutoffDate = Some(StreamCutoff))
+    val out = Files.createTempDirectory("graft-sjoin-out")
+    val ck = Files.createTempDirectory("graft-sjoin-ck")
+    out.toFile.deleteOnExit(); ck.toFile.deleteOnExit()
+    def side(types: Seq[String], user: String, ts: String) =
+      spark.readStream.schema(graft.model.EventSchema.schema).json(in)
+        .withColumn("ts0", to_timestamp(col("event_ts")))
+        .where(col("ts0").isNotNull && // garbage lines parse all-null
+          lower(coalesce(col("event_type"), lit(""))).isin(types: _*))
+        .select(col("user_id").as(user), col("ts0").as(ts))
+    val views = side(Seq("view", "click"), "v_user", "v_ts")
+      .withWatermark("v_ts", "2 hours")
+    val purchases = side(Seq("purchase"), "p_user", "p_ts")
+      .withWatermark("p_ts", "2 hours")
+    val q = purchases.join(views,
+        col("p_user") === col("v_user") &&
+          col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("v_ts") <= col("p_ts"))
+      .select(col("p_user"), col("p_ts"), col("v_ts"))
+      .writeStream.format("json").option("path", out.toString)
+      .option("checkpointLocation", ck.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.read.schema("p_user STRING, p_ts TIMESTAMP, v_ts TIMESTAMP")
+      .json(out.toString)
+      .groupBy(date_format(col("p_ts"), "yyyy-MM-dd").as("dt"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("p_user")).as("n_buyers"))
+      .orderBy(col("dt"))
+  }
+
+  /** S7 sibling — CSV source scan (multi-format raw zone): the fixture
+    * events land once as a header-full CSV zone (nulls as empty
+    * fields), then the gate reads it back with an explicit schema —
+    * never inferSchema, which would double-scan the zone at 100 TB —
+    * and aggregates per event type against direct SQL over the
+    * original parquet. Exercises the format surface (quoting, null
+    * round-trip, timestamp parse) that JSONL/parquet gates don't. */
+  def csvScan(spark: SparkSession, dir: String): DataFrame = {
+    val zone = zoneCache.getOrElseUpdate(("graft-csv", dir, None), {
+      val z = Files.createTempDirectory("graft-csv")
+      z.toFile.deleteOnExit()
+      load(spark, dir, "events")
+        .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+          col("user_id"), col("event_type"), col("value"))
+        .coalesce(4).write.mode("overwrite")
+        .option("header", "true").csv(z.toString)
+      z.toString
+    })
+    spark.read
+      .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE")
+      .option("header", "true")
+      .csv(zone)
+      .groupBy(coalesce(col("event_type"), lit("")).as("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        graft.functions.F.roundBin(sum(coalesce(col("value"), lit(0.0))), 2).as("total_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** EP2 streaming ingest (file-source stand-in for the Kafka topic,
     * Trigger.AvailableNow) → event-time partitioned raw zone → per-
     * partition counts. Exercises S4/S5/ST1/ST2 under the DuckDB gate:

@@ -145,6 +145,64 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** E4 repetition signals (the Gopher-style public quality
+    * heuristics: duplicate-word fraction, most-frequent-word fraction,
+    * duplicate-bigram fraction — Rae et al. 2021 §A1.1 shape). Entirely
+    * row-parallel array math, zero shuffle at any corpus size: the
+    * top-word count is a max-run scan over the SORTED token array
+    * (`aggregate` HOF — no per-doc hash map, no explode+groupBy), and
+    * distinct-bigram counting reuses the fused native n-gram-hash
+    * kernel ([[graft.functions.NgramHashes]]) so no bigram strings are
+    * ever materialized. */
+  def repetitionSignals(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withTokens(load(spark, dir, "documents"))
+    docs
+      .withColumn("n_tokens", size(col("toks")))
+      // longest run of one token in sorted order == max per-token count
+      .withColumn("top_c", expr(
+        """aggregate(array_sort(toks),
+          |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+          |  (a, t) -> named_struct(
+          |    'prev', t,
+          |    'run', IF(t = a.prev, a.run + 1, 1L),
+          |    'best', greatest(a.best, IF(t = a.prev, a.run + 1, 1L))),
+          |  a -> a.best)""".stripMargin))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        F.roundBin(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          col("n_tokens").cast("double"), 4).as("dup_word_frac"),
+        F.roundBin(col("top_c").cast("double") /
+          col("n_tokens").cast("double"), 4).as("top_word_frac"),
+        when(col("n_tokens") > 1,
+          F.roundBin(lit(1.0) - size(F.ngramHashes(col("toks"), 2)).cast("double") /
+            (col("n_tokens") - 1).cast("double"), 4)).as("dup_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E4 corpus TF-IDF term ranking: global top-k tokens by
+    * tf·ln(N/df). Same distinct-free two-phase cascade as
+    * [[vocabTopk]] — (token, doc) partial counts collapse within-doc
+    * repeats map-side, then one per-token agg — and the corpus size N
+    * joins in as a broadcast single-row aggregate, so the whole plan
+    * shuffles only compact (token) keys and the final cut is a
+    * TakeOrderedAndProject. Ties at the boundary break on the token
+    * (rounded score first, so both engines cut identically). */
+  def tfidf(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val docs = withTokens(load(spark, dir, "documents"))
+    val td = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("n"))
+    val stats = td.groupBy(col("token"))
+      .agg(sum(col("n")).as("tf"), count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    stats.crossJoin(broadcast(n))
+      .select(col("token"), col("tf"), col("df"),
+        F.roundBin(col("tf").cast("double") *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 4).as("tfidf"))
+      .orderBy(col("tfidf").desc, col("token"))
+      .limit(k)
+  }
+
   /** E4 language-ID heuristic: marker-stopword hit counts per language,
     * argmax with a fixed precedence for ties. (The fixture also carries
     * a `lang` label; the query reports the confusion pairs.) */

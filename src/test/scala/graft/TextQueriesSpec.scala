@@ -54,6 +54,50 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("repetitionSignals matches a driver-side recompute") {
+    val rows = TextQueries.repetitionSignals(spark, sf).collect()
+    assert(rows.length === docs.size)
+    val byId = docs.toMap
+    rows.foreach { r =>
+      val toks = byId(r.getLong(0)).trim.split("\\s+").toSeq
+      val n = toks.length
+      assert(r.getAs[Int]("n_tokens") === n)
+      val expDup = 1.0 - toks.distinct.length.toDouble / n
+      val expTop = toks.groupBy(identity).values.map(_.size).max.toDouble / n
+      assert(math.abs(r.getAs[Double]("dup_word_frac") - expDup) < 6e-5)
+      assert(math.abs(r.getAs[Double]("top_word_frac") - expTop) < 6e-5)
+      if (n > 1) {
+        val expDb = 1.0 -
+          toks.sliding(2).map(_.mkString("")).toSeq.distinct.length.toDouble / (n - 1)
+        assert(math.abs(r.getAs[Double]("dup_bigram_frac") - expDb) < 6e-5)
+      }
+    }
+  }
+
+  test("tfidf: sorted desc, scores match driver recompute, cut is correct") {
+    val rows = TextQueries.tfidf(spark, sf).collect()
+    val nDocs = docs.size.toDouble
+    val td = docs.flatMap { case (id, t) => t.trim.split("\\s+").map(w => (w, id)) }
+    val stats = td.groupBy(_._1).map { case (w, xs) =>
+      w -> (xs.size.toLong, xs.map(_._2).distinct.size.toLong)
+    }
+    def score(w: String): Double = {
+      val (f, df) = stats(w); f * math.log(nDocs / df)
+    }
+    assert(rows.length === math.min(20, stats.size))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tf") === stats(r.getString(0))._1)
+      assert(r.getAs[Long]("df") === stats(r.getString(0))._2)
+      assert(math.abs(r.getAs[Double]("tfidf") - score(r.getString(0))) < 5e-4)
+    }
+    val got = rows.map(_.getAs[Double]("tfidf"))
+    assert(got.zip(got.tail).forall { case (a, b) => a >= b }, "not sorted desc")
+    // nothing excluded scores above the returned cut (rounding slack)
+    val excluded = stats.keySet -- rows.map(_.getString(0)).toSet
+    if (excluded.nonEmpty && rows.nonEmpty)
+      assert(excluded.map(score).max <= got.last + 1e-3)
+  }
+
   test("fingerprint is deterministic and in [0, 1000003)") {
     val a = TextQueries.fingerprint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = TextQueries.fingerprint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
