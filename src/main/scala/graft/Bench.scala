@@ -63,16 +63,26 @@ object Bench {
       try forceEval(fn(spark, sfDir)) catch { case _: Throwable => }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // ms precision: full-precision doubles tripled the line length and
+    // round 3's driver tail-capture truncated it mid-object (BENCH_r03
+    // parsed:null). Three decimals is below the measured ~71 ms
+    // scheduling floor — nothing real is lost.
+    def ms(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val (pipes, ops) = results.partition { case (k, _) => Pipelines(k) }
     val pipeNames = Pipelines.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""floor_sec":$floor,""" +
-      s""""operators_sec":${ops.values.sum},"pipelines_sec":${pipes.values.sum},""" +
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
+      s""""floor_sec":${ms(floor)},""" +
+      s""""operators_sec":${ms(ops.values.sum)},"pipelines_sec":${ms(pipes.values.sum)},""" +
       s""""pipeline_queries":$pipeNames,""" +
-      s""""queries":$qs,"sf":"$sfDir","mode":"steady-state"}""")
-    spark.stop()
+      s""""queries":$qs,"sf":"$sfDir","mode":"steady-state"}"""
+    // Durable copy first: if the driver's stdout tail-capture ever
+    // truncates again, the committed file still holds the full record.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench.json"), line + "\n")
+    catch { case _: Throwable => }
+    spark.stop() // stop BEFORE printing so no Spark shutdown log line can land after the JSON
+    println(line)
   }
 }

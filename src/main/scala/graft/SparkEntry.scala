@@ -33,6 +33,7 @@ object SparkEntry {
     "q_session_window" -> (KpiQueries.sessionWindow _),
     "q_sliding_window" -> (KpiQueries.slidingWindow _),
     "q_approx_distinct" -> (KpiQueries.approxDistinct _),
+    "q_approx_distinct_fast" -> (KpiQueries.approxDistinctFast _),
     // §2.4 joins / §2.5 windows / §2.6 sorts / §2.7 set ops
     "q1_pricing_summary" -> (TpchQueries.q1PricingSummary _),
     "q3_shipping_priority" -> (TpchQueries.q3ShippingPriority _),
@@ -98,9 +99,9 @@ object SparkEntry {
     "q_vec_norms" -> (VectorQueries.vecNorms _),
     "q_cosine_dedup" -> (VectorQueries.cosineDedup _),
     "q_cosine_dedup_lsh" -> (VectorQueries.cosineDedupLsh _),
-    "q_ann_lsh" -> ((s, d) => VectorQueries.annLsh(s, d)),
-    "q_ann_ivf" -> ((s, d) => VectorQueries.annIvf(s, d)),
-    "q_ann_ivf_kmeans" -> ((s, d) => VectorQueries.annIvfKmeans(s, d)),
+    "q_ann_lsh" -> (VectorQueries.annLshGated _),
+    "q_ann_ivf" -> (VectorQueries.annIvfGated _),
+    "q_ann_ivf_kmeans" -> (VectorQueries.annIvfKmeansGated _),
     "q_knn_batch" -> ((s, d) => VectorQueries.knnBatch(s, d)),
     "q_knn_batch_agg" -> ((s, d) => VectorQueries.knnBatchAgg(s, d)),
   )
@@ -203,7 +204,7 @@ object SparkEntry {
     "q_stream_hourly" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS dt, strftime(ts, '%H') AS hh,
         |  count(*) AS n_events
-        |FROM events WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.StreamCutoff}'
+        |FROM events WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.HourlyCutoff}'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stream_enrich" ->
       s"""WITH m(et, category) AS (VALUES
@@ -400,10 +401,11 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_redundant
         |FROM g""".stripMargin,
     "q_dedup_wordset" ->
-      """SELECT md5(array_to_string(list_sort(list_distinct(
-        |    regexp_split_to_array(text, '\s+'))), ' ')) AS key,
-        |  count(*) AS n, min(doc_id) AS keep_id, max(doc_id) AS max_id
-        |FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY key""".stripMargin,
+      """SELECT count(*) AS n, min(doc_id) AS keep_id, max(doc_id) AS max_id
+        |FROM documents
+        |GROUP BY array_to_string(list_sort(list_distinct(
+        |  regexp_split_to_array(text, '\s+'))), ' ')
+        |HAVING count(*) > 1 ORDER BY keep_id""".stripMargin,
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(sum(len(regexp_split_to_array(text, '\s+'))) AS BIGINT) AS total_tokens,
@@ -533,7 +535,7 @@ object SparkEntry {
     "q_stream_join" ->
       s"""WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts,
         |  lower(event_type) AS et FROM events
-        |  WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.StreamCutoff}'),
+        |  WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.JoinCutoff}'),
         |p AS (SELECT user_id, ts FROM e WHERE et = 'purchase'),
         |v AS (SELECT user_id, ts FROM e WHERE et IN ('view', 'click')),
         |j AS (SELECT p.user_id AS user_id, p.ts AS p_ts FROM p JOIN v
@@ -577,6 +579,16 @@ object SparkEntry {
         |  CAST((1000 + doc_id % 9000) // 1000 + 1 AS BIGINT) AS n_frames,
         |  CAST(((1000 + doc_id % 9000) // 1000) * 1000 AS BIGINT) AS last_ts_ms
         |FROM documents WHERE doc_id % 3 = 2 ORDER BY doc_id""".stripMargin,
+    // payload byte i = (doc_id*31 + i*7) mod 256; stub features scale
+    // by 1/256 (exact dyadic) ⇒ feat_sum = sum(bytes)/256 exactly
+    "q_media_features" ->
+      """WITH m AS (SELECT doc_id, 100 + doc_id % 50 AS len,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |  FROM documents)
+        |SELECT doc_id AS media_id, kind, CAST(len AS INT) AS n_bytes,
+        |  round(list_sum(list_transform(generate_series(0, CAST(len AS BIGINT) - 1),
+        |    i -> CAST((doc_id * 31 + i * 7) % 256 AS DOUBLE))) / 256.0, 4) AS feat_sum
+        |FROM m ORDER BY media_id""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderkey, count(*) AS n_items,
         |  round(sum(l_quantity), 2) AS sum_qty,

@@ -9,6 +9,13 @@ object Verify {
     // optional extra args: run only these query names (local iteration;
     // the driver always passes exactly two args → full run)
     val only = rest.toSet
+    // a misspelled filter name would otherwise run nothing and leave an
+    // empty output dir that looks like a clean run
+    val unknown = only -- SparkEntry.queries.keySet
+    if (unknown.nonEmpty) {
+      System.err.println(s"[verify] unknown query names: ${unknown.mkString(", ")}")
+      sys.exit(2)
+    }
     val spark = Tables.session()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -35,12 +35,12 @@ object EventGenerator {
     }
   }
 
-  /** Backfill generator: `n` events evenly stepped over `[startDate,
-    * startDate + days)` (reference: produce_events.py:48-70). */
-  def events(spark: SparkSession, n: Long, seed: String = "graft",
-             startDate: String = "2025-09-01", days: Int = 7): DataFrame = {
+  /** Shared event-column derivation: every wire field is a seeded
+    * deterministic function of the `id` column; the event timestamp
+    * comes from the caller-provided `ts` column (evenly-stepped for
+    * backfill, the rate source's wall clock for realtime). */
+  private def withEventColumns(df: DataFrame, seed: String): DataFrame = {
     val id = col("id")
-    val stepMicros = days.toDouble * 86400 * 1e6 / n
     val eventType = {
       val u = u01(s"$seed:et", id)
       when(u < 0.75, "page_view")
@@ -48,10 +48,7 @@ object EventGenerator {
         .when(u < 0.97, "checkout")
         .otherwise("purchase")
     }
-    spark.range(n)
-      .withColumn("ts",
-        timestamp_micros((unix_timestamp(lit(startDate).cast("timestamp")) * 1000000L
-          + (id.cast("double") * stepMicros).cast("long"))))
+    df
       .withColumn("event_ts",
         concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z")))
       .withColumn("user_id",
@@ -72,4 +69,39 @@ object EventGenerator {
       .withColumn("user_agent", lit("Mozilla/5.0"))
       .drop("id", "ts")
   }
+
+  /** Backfill generator: `n` events evenly stepped over `[startDate,
+    * startDate + days)` (reference: produce_events.py:48-70). */
+  def events(spark: SparkSession, n: Long, seed: String = "graft",
+             startDate: String = "2025-09-01", days: Int = 7): DataFrame = {
+    val id = col("id")
+    val stepMicros = days.toDouble * 86400 * 1e6 / n
+    withEventColumns(
+      spark.range(n)
+        .withColumn("ts",
+          timestamp_micros((unix_timestamp(lit(startDate).cast("timestamp")) * 1000000L
+            + (id.cast("double") * stepMicros).cast("long")))),
+      seed)
+  }
+
+  /** REALTIME generator branch (SURVEY.md §2.1 S2; reference:
+    * produce_events.py:97-98 — ~20 events/s wall-clock pacing): Spark's
+    * `rate` source is the pacing engine — it emits `rowsPerSecond`
+    * rows/s of (timestamp, value), and each row derives the SAME
+    * seeded wire event as the backfill branch, keyed on the rate
+    * source's monotone `value` with the source's wall-clock timestamp
+    * as event time. Returns an unbounded streaming DataFrame in wire
+    * schema — feed it to RawIngest.withPartitions / a Kafka sink. The
+    * rate source scales by `numPartitions` and needs no driver-side
+    * sleep loop (the reference paces with time.sleep on one process).
+    */
+  def eventsRealtime(spark: SparkSession, rowsPerSecond: Int = 20,
+                     seed: String = "graft"): DataFrame =
+    withEventColumns(
+      spark.readStream.format("rate")
+        .option("rowsPerSecond", rowsPerSecond.toLong)
+        .load()
+        .withColumnRenamed("value", "id")
+        .withColumnRenamed("timestamp", "ts"),
+      seed)
 }

@@ -31,10 +31,12 @@ object Multimodal {
                            features: Array[Float])
 
   /** Deterministic synthetic media corpus derived from the `documents`
-    * fixture ids (no media fixture ships): payload bytes are a seeded
-    * xxhash64 keystream, length 100 + doc_id % 50 — so an independent
-    * engine can predict `octet_length(payload)` from doc_id alone,
-    * which is what the oracle checks. */
+    * fixture ids (no media fixture ships): payload byte i is the pure
+    * arithmetic pattern (doc_id·31 + i·7) mod 256, length
+    * 100 + doc_id % 50 — so an independent engine can predict not just
+    * `octet_length(payload)` but every byte (and therefore the stub
+    * feature sums) from doc_id alone, which upgrades q_media_features
+    * from rows-only to a full DuckDB hash gate. */
   def synthesize(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
     graft.Tables.load(spark, dir, "documents")
@@ -86,29 +88,29 @@ object Multimodal {
   * this container). Real deployments replace these bodies; signatures
   * and batch shape are the contract. */
 object StubCodecs {
-  /** Seeded keystream via splitmix64 — deterministic per (id, len). */
+  /** Arithmetic payload bytes, deterministic per (id, len): byte i =
+    * (id·31 + i·7) mod 256. Predictable from id by ANY engine — the
+    * cross-engine oracle contract for the multimodal gates. */
   def keystream(id: Long, len: Int): Array[Byte] = {
     val out = new Array[Byte](len)
-    var x = id * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL
     var i = 0
     while (i < len) {
-      x += 0x9E3779B97F4A7C15L
-      var z = x
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      out(i) = (z ^ (z >>> 31)).toByte
+      out(i) = ((id * 31 + i * 7) % 256).toByte
       i += 1
     }
     out
   }
 
   /** STUB "decoder": 16-dim feature vector from byte histogram moments.
-    * Deterministic so specs can assert exact equality. */
+    * Bytes scale by 1/256 (a dyadic rational, exact in binary float),
+    * so bin sums — and the double feat_sum downstream — are EXACT:
+    * zero float-accumulation drift between this and an oracle that
+    * computes sum(bytes)/256 in doubles. */
   def decodeFeatures(payload: Array[Byte]): Array[Float] = {
     val f = new Array[Float](16)
     var i = 0
     while (i < payload.length) {
-      f(i % 16) += (payload(i) & 0xFF) / 255.0f
+      f(i % 16) += (payload(i) & 0xFF) / 256.0f
       i += 1
     }
     f

@@ -214,4 +214,21 @@ object KpiQueries {
           col("exact_users") * lit(0.05)).as("within_5pct"))
       .orderBy(col("event_type"))
   }
+
+  /** The PRODUCTION 100 TB approximate-distinct: pure HLL partials,
+    * no pair-dedup pre-pass. Each map task folds its rows into one
+    * 2^p-register sketch per group; the shuffle carries
+    * |groups| × sketch-size bytes TOTAL (kilobytes), independent of
+    * row count — vs [[approxDistinct]]'s |distinct pairs| shuffle
+    * rows. Rows-only gate (the estimate is engine-defined; DuckDB's
+    * HLL differs), accuracy-gated by ApproxDistinctFastSpec asserting
+    * each estimate within 5% of exact. HLL register-max merge is
+    * commutative/associative, so the estimate is deterministic under
+    * any partitioning. */
+  def approxDistinctFast(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .orderBy(col("event_type"))
+  }
 }

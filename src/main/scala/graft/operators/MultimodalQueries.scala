@@ -40,8 +40,11 @@ object MultimodalQueries {
   }
 
   /** E5: batched stub-decoder feature extraction (mapPartitions over
-    * the binary column — the real-decoder integration point). Feature
-    * values are stub-deterministic → rows-only check + spec. */
+    * the binary column — the real-decoder integration point). Payload
+    * bytes are doc_id-arithmetic and the stub features accumulate in
+    * exact dyadic fractions (Multimodal.decodeFeatures), so feat_sum
+    * is fully oracle-predictable: a FULL rows+schema+hash gate, not
+    * rows-only. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.synthesize(spark, dir)
     Multimodal.extractFeatures(media).toDF()

@@ -46,16 +46,24 @@ object TextQueries {
 
   /** E1 near-exact dedup on a normalized key: identical distinct-word
     * sets (order/multiplicity-insensitive). Emits only groups with >1
-    * member: the dedup work list. */
+    * member: the dedup work list. Key = two seeded xxhash64 halves of
+    * the sorted-distinct token ARRAY (Spark hashes array elements
+    * natively — no concatenated key string is ever built, unlike the
+    * md5-of-joined-string formulation, which materialized ~|text|
+    * bytes per row before hashing). Same 128-bit collision margin as
+    * dedupExact; the engine-specific hash stays internal — the output
+    * carries only counts and ids, ordered by keep_id, so the oracle
+    * compares group structure, not hash values. */
   def dedupWordset(spark: SparkSession, dir: String): DataFrame = {
     val docs = withTokens(load(spark, dir, "documents"))
-    docs.withColumn("key",
-        md5(concat_ws(" ", array_sort(array_distinct(col("toks"))))))
-      .groupBy(col("key"))
+    docs.withColumn("ws", array_sort(array_distinct(col("toks"))))
+      .groupBy(xxhash64(col("ws")).as("h1"),
+        xxhash64(lit("graft-seed2"), col("ws")).as("h2"))
       .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"),
         max(col("doc_id")).as("max_id"))
       .where(col("n") > 1)
-      .orderBy(col("key"))
+      .select(col("n"), col("keep_id"), col("max_id"))
+      .orderBy(col("keep_id"))
   }
 
   /** E4 vocabulary building: global top-20 tokens by term frequency,

@@ -166,6 +166,29 @@ object VectorQueries {
   private[graft] def nlistFor(n: Long): Int =
     math.min(65536, math.max(4, math.round(math.sqrt(n.toDouble)).toInt))
 
+  /** Recall instrumentation for the ANN queries: joins the ANN top-k
+    * against the exact [[knnBrute]] top-k (both sides are ≤k rows —
+    * driver-negligible aggregates, broadcast) and emits
+    * `recall_10` (fraction of brute neighbors the ANN probe found) and
+    * `recall_ok` (recall_10 ≥ minRecall) on every output row. The
+    * queries stay rows-only under the driver gate (bucket/centroid
+    * choice is engine-defined) but are now SELF-ASSERTING: a recall
+    * regression flips recall_ok to false in the verify dump, and
+    * VectorQueriesSpec asserts the column. Cost: one extra corpus
+    * scan for the brute side — the accuracy-gate discipline of
+    * q_approx_distinct (KpiQueries.scala) applied to ANN. */
+  private def withRecall(ann: DataFrame, brute: DataFrame,
+                         k: Int = 10, minRecall: Double = 0.8): DataFrame = {
+    val bruteSet = brute.agg(collect_set(col("vec_id")).as("brute_ids"))
+    val annSet = ann.agg(collect_set(col("vec_id")).as("ann_ids"))
+    val rec = annSet.crossJoin(bruteSet).select(
+      F.roundBin(
+        size(array_intersect(col("ann_ids"), col("brute_ids"))) / lit(k.toDouble),
+        2).as("recall_10"))
+    ann.crossJoin(broadcast(rec))
+      .withColumn("recall_ok", col("recall_10") >= lit(minRecall))
+  }
+
   /** E3 scale path #2: IVF (inverted-file) ANN. Coarse quantizer =
     * `nlist` deterministic seed centroids (the lowest-vec_id vectors —
     * a stand-in for k-means that keeps the fixture pipeline seedless);
@@ -294,6 +317,18 @@ object VectorQueries {
     * bucketed table is written once (partitioned by bucket) and each
     * query probes one partition — no corpus scan. No SQL oracle
     * (hash-derived hyperplanes); verified by VectorQueriesSpec. */
+  /** Driver-gate variants of the three ANN queries: identical probe
+    * plans plus [[withRecall]] instrumentation. Declared in SparkEntry
+    * so the verify dump carries a quantified recall@10 and a
+    * recall_ok assertion column every round; the raw functions stay
+    * as-is for PlanSpec's no-shuffle assertions on the probe path. */
+  def annLshGated(spark: SparkSession, dir: String): DataFrame =
+    withRecall(annLsh(spark, dir), knnBrute(spark, dir))
+  def annIvfGated(spark: SparkSession, dir: String): DataFrame =
+    withRecall(annIvf(spark, dir), knnBrute(spark, dir))
+  def annIvfKmeansGated(spark: SparkSession, dir: String): DataFrame =
+    withRecall(annIvfKmeans(spark, dir), knnBrute(spark, dir))
+
   def annLsh(spark: SparkSession, dir: String,
              targetBucket: Int = 64): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
@@ -302,12 +337,16 @@ object VectorQueries {
     val q = e.orderBy(col("vec_id")).limit(1)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
     // multi-probe: the query's own bucket plus every Hamming-distance-1
-    // neighbor signature — recall insurance for vectors near a
-    // hyperplane boundary, at the cost of probing bits+1 of the 2^bits
-    // partitions. The probe list is query-side (bits+1 rows) and
-    // broadcast; the corpus stays put.
-    val probeBuckets = col("bucket") +:
-      (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+    // and -2 neighbor signature — recall insurance for vectors near
+    // hyperplane boundaries (each flipped bit is one plane the true
+    // neighbor may sit on the far side of). Probe count is
+    // 1 + bits + C(bits,2) — 301 at the bits=24 production clamp, of
+    // 2^24 partitions: still a vanishing fraction of the corpus. The
+    // probe list is query-side and broadcast; the corpus stays put.
+    val singles = (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
+    val pairs = for { i <- 0 until bits; j <- i + 1 until bits }
+      yield col("bucket").bitwiseXOR(lit((1L << i) | (1L << j)))
+    val probeBuckets = col("bucket") +: (singles ++ pairs)
     val probes = q.select(col("q_id"), col("qv"),
       explode(array(probeBuckets: _*)).as("bucket"))
     e.join(broadcast(probes), Seq("bucket"))

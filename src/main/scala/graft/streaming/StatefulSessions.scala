@@ -24,8 +24,24 @@ object StatefulSessions {
   /** open-session state: bounds per-key state to 24 bytes. */
   case class OpenSession(start: Long, last: Long, n: Long)
 
+  /** Sessionize with session-window-parity late semantics.
+    *
+    * Late-row handling: Spark filters rows behind the watermark
+    * UPSTREAM of every stateful operator, including this one, with a
+    * plain `ts < watermark` predicate — but the native session_window
+    * aggregate's effective drop rule is WINDOW-END based (a row
+    * survives iff its prospective session window [ts, ts+gap) still
+    * reaches the watermark), because a row within `gap` of the
+    * watermark can still merge into a live session. To make the two
+    * operators agree (StreamingLateSpec's lateness matrix), this
+    * operator registers its watermark with delay = lateness + gap:
+    * the upstream `ts < maxEventTime − (lateness+gap)` filter is then
+    * exactly session_window's `ts + gap < maxEventTime − lateness`.
+    * The cost is that event-time timeouts fire one `gap` of watermark
+    * progress later than session_window's emission — same sessions,
+    * slightly lazier flush. */
   def sessionize(events: Dataset[SessionEvent], gapSeconds: Long,
-                 lateness: String = "0 seconds"): Dataset[SessionOut] = {
+                 latenessSeconds: Long = 0L): Dataset[SessionOut] = {
     implicit val outEnc = Encoders.product[SessionOut]
     implicit val stateEnc = Encoders.product[OpenSession]
     implicit val strEnc = Encoders.STRING
@@ -34,7 +50,7 @@ object StatefulSessions {
       SessionOut(uid, new Timestamp(s.start), new Timestamp(s.last), s.n)
 
     events
-      .withWatermark("ts", lateness)
+      .withWatermark("ts", s"${latenessSeconds + gapSeconds} seconds")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
@@ -45,6 +61,10 @@ object StatefulSessions {
             state.remove()
             out.iterator
           } else {
+            // Rows reaching here already passed Spark's upstream
+            // `ts < watermark` filter, which the gap-augmented
+            // watermark delay (see scaladoc) makes equivalent to
+            // session_window's window-end drop rule.
             val sorted = it.map(_.ts.getTime).toArray.sorted
             val gapMs = gapSeconds * 1000L
             var open = state.getOption

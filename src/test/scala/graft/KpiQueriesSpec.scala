@@ -84,6 +84,23 @@ class KpiQueriesSpec extends SparkSpec {
     }
   }
 
+  test("approxDistinctFast (pure HLL partials) within 5% of exact per group") {
+    import org.apache.spark.sql.functions._
+    val exact = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+      .collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val rows = KpiQueries.approxDistinctFast(spark, sf).collect()
+    assert(rows.map(r => Option(r.getString(0))).toSet === exact.keySet)
+    rows.foreach { r =>
+      val e = exact(Option(r.getString(0)))
+      val a = r.getAs[Long]("approx_users")
+      assert(math.abs(a - e) <= 0.05 * e,
+        s"event_type ${r.get(0)}: approx $a vs exact $e off by >5%")
+    }
+  }
+
   test("existsFresh is true on a fixture that has a max-ts event") {
     val rows = KpiQueries.existsFresh(spark, sf).collect()
     assert(rows.length === 1 && rows.head.getAs[Boolean]("fresh"))

@@ -26,7 +26,7 @@ class PipelineQueriesSpec extends SparkSpec {
     // batch recompute with the same second-truncated timestamps the
     // wire feed carries
     val e = Tables.load(spark, sf, "events")
-      .where(to_date(col("ts")) < lit(PipelineQueries.StreamCutoff))
+      .where(to_date(col("ts")) < lit(PipelineQueries.JoinCutoff))
       .select(col("user_id"), date_trunc("second", col("ts")).as("ts"),
         lower(coalesce(col("event_type"), lit(""))).as("et"))
     val p = e.where(col("et") === "purchase")

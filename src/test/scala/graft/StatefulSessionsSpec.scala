@@ -87,7 +87,7 @@ class StatefulSessionsSpec extends SparkSpec {
         .json(in.toString)
         .as[SessionEvent]
       val q = StatefulSessions.sessionize(src, gapSeconds = 1800,
-          lateness = "240 minutes")
+          latenessSeconds = 240 * 60)
         .writeStream.format("parquet")
         .option("path", out.toString)
         .outputMode("append")

@@ -68,7 +68,7 @@ class TextQueriesSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("top_word_frac") - expTop) < 6e-5)
       if (n > 1) {
         val expDb = 1.0 -
-          toks.sliding(2).map(_.mkString("")).toSeq.distinct.length.toDouble / (n - 1)
+          toks.sliding(2).map(_.mkString("\u001f")).toSeq.distinct.length.toDouble / (n - 1)
         assert(math.abs(r.getAs[Double]("dup_bigram_frac") - expDb) < 6e-5)
       }
     }

@@ -181,6 +181,31 @@ class VectorQueriesSpec extends SparkSpec {
     }
   }
 
+  test("gated ANN variants: recall_10 matches driver recompute, recall_ok asserted") {
+    val qId = vecs.keys.min
+    val qv = vecs(qId)
+    val exact = vecs.toSeq.filter(_._1 != qId)
+      .map { case (id, v) => (id, math.rint(cos(qv, v) * 1e4) / 1e4) }
+      .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+    val gated = Seq(
+      "annLshGated" -> VectorQueries.annLshGated(spark, sf),
+      "annIvfGated" -> VectorQueries.annIvfGated(spark, sf),
+      "annIvfKmeansGated" -> VectorQueries.annIvfKmeansGated(spark, sf))
+    gated.foreach { case (name, df) =>
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"$name: empty result")
+      val ids = rows.map(_.getAs[Long]("vec_id")).toSet
+      val expRecall = math.rint(ids.count(exact).toDouble / 10.0 * 100) / 100
+      val recalls = rows.map(_.getAs[Double]("recall_10")).distinct
+      assert(recalls.length === 1, s"$name: recall_10 not constant: ${recalls.toSeq}")
+      assert(recalls.head === expRecall,
+        s"$name: emitted recall ${recalls.head} != recomputed $expRecall")
+      assert(recalls.head >= 0.8, s"$name: recall@10 ${recalls.head} below the 0.8 gate")
+      rows.foreach(r => assert(r.getAs[Boolean]("recall_ok"), s"$name"))
+      info(s"$name: recall@10 = ${recalls.head}")
+    }
+  }
+
   test("sigBitsFor / nlistFor knob math: clamped, monotone in corpus size") {
     import VectorQueries.{sigBitsFor, nlistFor}
     assert(sigBitsFor(100) === 4)               // clamp floor
