@@ -304,16 +304,14 @@ object SparkEntry {
         |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
         |    ORDER BY l_shipdate, l_orderkey, l_linenumber
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
-        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'""".stripMargin,
     "q_window_lag" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  CAST(date_diff('day',
         |    CAST(lag(l_shipdate) OVER (PARTITION BY l_suppkey
         |      ORDER BY l_shipdate, l_orderkey, l_linenumber) AS DATE),
         |    CAST(l_shipdate AS DATE)) AS INT) AS days_since_prev
-        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01'""".stripMargin,
     "q_set_ops" ->
       """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
         |  w_orders AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders)
@@ -380,8 +378,7 @@ object SparkEntry {
         |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01')
         |SELECT l.l_orderkey, l.l_linenumber, l.k, r.asof_orderkey,
         |  strftime(r.asof_ts, '%Y-%m-%d') AS asof_orderdate
-        |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.l_shipdate >= r.asof_ts
-        |ORDER BY 1, 2""".stripMargin,
+        |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.l_shipdate >= r.asof_ts""".stripMargin,
     "q_range_join" ->
       """SELECT o_orderkey, count(*) AS n_shipped_90d
         |FROM orders JOIN lineitem

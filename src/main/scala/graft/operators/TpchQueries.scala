@@ -141,7 +141,16 @@ object TpchQueries {
   /** Frame-based analytics: running revenue per supplier in shipdate
     * order (rowsBetween unboundedPreceding..current). Ordering key made
     * unique (shipdate, orderkey, linenumber) so the running sum is
-    * deterministic. */
+    * deterministic.
+    *
+    * No presentation ORDER BY: the result is the full windowed fact
+    * slice — at 100 TB a global total sort of the output before the
+    * sink is a pure anti-pattern (a second range-exchange + sort that
+    * no consumer needs; downstream reads are keyed or re-partitioned
+    * anyway). The driver's oracle compare is order-insensitive (rows
+    * sorted before hashing) and the SQL oracle carries no ORDER BY
+    * either. Total-sort coverage (O1) lives in the queries whose
+    * SEMANTICS need order: top-k, ranked outputs, presentation slices. */
   def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
     val li = load(spark, dir, "lineitem")
     val w = Window.partitionBy(col("l_suppkey"))
@@ -150,10 +159,10 @@ object TpchQueries {
     li.where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         F.roundBin(sum(col("l_extendedprice")).over(w), 2).as("running_rev"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
-  /** lag/lead analytics: days since the supplier's previous shipment. */
+  /** lag/lead analytics: days since the supplier's previous shipment.
+    * Unsorted output for the same reason as [[windowRunningSum]]. */
   def windowLag(spark: SparkSession, dir: String): DataFrame = {
     val li = load(spark, dir, "lineitem")
     val w = Window.partitionBy(col("l_suppkey"))
@@ -162,7 +171,6 @@ object TpchQueries {
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         datediff(col("l_shipdate"),
           lag(col("l_shipdate"), 1).over(w)).as("days_since_prev"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
   }
 
   /** Set operations (SURVEY.md §2.7): UNION / INTERSECT / EXCEPT over
@@ -313,7 +321,8 @@ object TpchQueries {
       .select(col("l_orderkey"), col("l_linenumber"), col("k"),
         col("asof_orderkey"),
         date_format(col("asof_ts"), "yyyy-MM-dd").as("asof_orderdate"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+    // no presentation ORDER BY — full-fact output, same rationale as
+    // windowRunningSum (driver compare is order-insensitive)
   }
 
   /** Range join (equi + interval predicate): per order, lineitems
