@@ -179,14 +179,21 @@ object VectorQueries {
     * q_approx_distinct (KpiQueries.scala) applied to ANN. */
   private def withRecall(ann: DataFrame, brute: DataFrame,
                          k: Int = 10, minRecall: Double = 0.8): DataFrame = {
-    val bruteSet = brute.agg(collect_set(col("vec_id")).as("brute_ids"))
-    val annSet = ann.agg(collect_set(col("vec_id")).as("ann_ids"))
-    val rec = annSet.crossJoin(bruteSet).select(
-      F.roundBin(
-        size(array_intersect(col("ann_ids"), col("brute_ids"))) / lit(k.toDouble),
-        2).as("recall_10"))
-    ann.crossJoin(broadcast(rec))
+    // single evaluation of each side: mark ANN rows that appear in the
+    // exact top-k (broadcast left join on the ≤k-row brute result),
+    // then a one-partition window over the ≤k ANN rows turns the hit
+    // count into a recall column on every row. The naive
+    // collect_set-intersection formulation evaluates the ANN plan
+    // twice (once for rows, once for the set) — at gate scale that is
+    // a second full probe.
+    val w = Window.partitionBy(lit(1))
+    ann.join(broadcast(brute.select(col("vec_id").as("brute_id"))),
+        col("vec_id") === col("brute_id"), "left")
+      .withColumn("hit", when(col("brute_id").isNotNull, 1.0).otherwise(0.0))
+      .withColumn("recall_10",
+        F.roundBin(sum(col("hit")).over(w) / lit(k.toDouble), 2))
       .withColumn("recall_ok", col("recall_10") >= lit(minRecall))
+      .drop("brute_id", "hit")
   }
 
   /** E3 scale path #2: IVF (inverted-file) ANN. Coarse quantizer =
