@@ -60,4 +60,8 @@ object F {
   /** Packed sign-bit LSH bucket id (see [[HyperplaneBucket]]). */
   def hyperplaneBucket(c: Column, bits: Int): Column =
     column(HyperplaneBucket(expr(c), bits))
+
+  /** Arithmetic fixture payload bytes (see [[PayloadBytes]]). */
+  def payloadBytes(id: Column, len: Column): Column =
+    column(PayloadBytes(expr(id.cast("long")), expr(len.cast("int"))))
 }

@@ -265,6 +265,33 @@ case class RoundBin(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Deterministic arithmetic payload synthesis for the multimodal
+  * fixture (Multimodal.synthesize): byte i = (id·31 + i·7) mod 256,
+  * `len` bytes. A native expression (not a typed Dataset.map) keeps
+  * fixture synthesis inside whole-stage codegen next to the rest of
+  * the media projection — the codegen'd loop writes the byte array
+  * directly, no row-at-a-time encoder round-trip. */
+case class PayloadBytes(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (LongType, IntegerType) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (long, int), got $other")
+    }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "payload_bytes"
+
+  override def nullSafeEval(id: Any, len: Any): Any =
+    Sketches.payloadBytes(id.asInstanceOf[Long], len.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (id, len) => s"graft.functions.Sketches.payloadBytes($id, $len)")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PayloadBytes =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Sorted distinct xxhash64 fingerprints of a token array's n-grams —
   * the whole shingling pipeline (n-gram formation → hash → distinct →
   * sort) as ONE fused pass. Replaces the
@@ -349,6 +376,17 @@ case class JaccardGe(left: Expression, right: Expression, threshold: Double)
 /** Static kernels shared by interpreted eval and generated code. */
 object Sketches {
   private final val XxSeed = 42L
+
+  /** See [[PayloadBytes]]. */
+  def payloadBytes(id: Long, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    var i = 0
+    while (i < len) {
+      out(i) = ((id * 31 + i * 7) % 256).toByte
+      i += 1
+    }
+    out
+  }
 
   private def hashString(s: UTF8String, seed: Long): Long =
     XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, seed)

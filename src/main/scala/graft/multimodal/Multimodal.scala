@@ -39,21 +39,30 @@ object Multimodal {
     * from rows-only to a full DuckDB hash gate. */
   def synthesize(spark: SparkSession, dir: String): Dataset[Media] = {
     import spark.implicits._
+    val id = col("doc_id")
+    val kind = when(id % 3 === 0, "image")
+      .when(id % 3 === 1, "audio").otherwise("video")
+    val dur = (lit(1000) + id % 9000).cast("int")
+    // pure column projection (native payload_bytes expression) — the
+    // whole synthesis is one WholeStageCodegen span; the previous
+    // typed Dataset.map paid a per-row encoder round-trip inside the
+    // three timed media gates
     graft.Tables.load(spark, dir, "documents")
-      .select(col("doc_id")).as[Long]
-      .map { id =>
-        val kind = (id % 3) match {
-          case 0 => "image"; case 1 => "audio"; case _ => "video"
-        }
-        val len = (100 + id % 50).toInt
-        val payload = StubCodecs.keystream(id, len)
-        val meta = kind match {
-          case "image" => MediaMeta(64 + (id % 64).toInt, 64, 0, 0, "png")
-          case "audio" => MediaMeta(0, 0, 1000 + (id % 9000).toInt, 16000, "wav")
-          case _       => MediaMeta(320, 240, 1000 + (id % 9000).toInt, 0, "mp4")
-        }
-        Media(id, kind, payload, meta)
-      }
+      .select(
+        id.as("media_id"),
+        kind.as("kind"),
+        graft.functions.F.payloadBytes(id, (lit(100) + id % 50).cast("int")).as("payload"),
+        struct(
+          when(kind === "image", (lit(64) + id % 64).cast("int"))
+            .when(kind === "video", lit(320)).otherwise(lit(0)).as("width"),
+          when(kind === "image", lit(64))
+            .when(kind === "video", lit(240)).otherwise(lit(0)).as("height"),
+          when(kind === "image", lit(0)).otherwise(dur).as("durationMs"),
+          when(kind === "audio", lit(16000)).otherwise(lit(0)).as("sampleRate"),
+          when(kind === "image", lit("png"))
+            .when(kind === "audio", lit("wav")).otherwise(lit("mp4")).as("format")
+        ).as("meta"))
+      .as[Media]
   }
 
   /** Batched feature extraction: partition-parallel, batch-at-a-time
@@ -90,16 +99,11 @@ object Multimodal {
 object StubCodecs {
   /** Arithmetic payload bytes, deterministic per (id, len): byte i =
     * (id·31 + i·7) mod 256. Predictable from id by ANY engine — the
-    * cross-engine oracle contract for the multimodal gates. */
-  def keystream(id: Long, len: Int): Array[Byte] = {
-    val out = new Array[Byte](len)
-    var i = 0
-    while (i < len) {
-      out(i) = ((id * 31 + i * 7) % 256).toByte
-      i += 1
-    }
-    out
-  }
+    * cross-engine oracle contract for the multimodal gates. Single
+    * source of truth is the native kernel behind the `payload_bytes`
+    * expression ([[graft.functions.PayloadBytes]]). */
+  def keystream(id: Long, len: Int): Array[Byte] =
+    graft.functions.Sketches.payloadBytes(id, len)
 
   /** STUB "decoder": 16-dim feature vector from byte histogram moments.
     * Bytes scale by 1/256 (a dyadic rational, exact in binary float),
