@@ -51,6 +51,7 @@ object GraftFunctions {
       MinHashUnionAgg(args.head, intArg("minhash_union", args(1)))),
     "top_k" -> (args =>
       TopKAgg(args.head, args(1), intArg("top_k", args(2)))),
+    "payload_bytes" -> (args => PayloadBytes(args.head, args(1))),
   )
 
   /** Idempotent per-session registration. */

@@ -48,6 +48,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("feature-sum exactness: float bins sum to sum(bytes)/256 with zero drift") {
+    // the oracle contract behind q_media_features' hash gate: /256
+    // dyadic scaling makes every float accumulation exact, so the
+    // double feat_sum equals integer-sum(bytes)/256 for ANY id/len —
+    // not just the fixture's
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val id = rnd.nextLong() & Long.MaxValue
+      val len = 1 + rnd.nextInt(300)
+      val p = StubCodecs.keystream(id, len)
+      val exact = p.map(b => (b & 0xFF).toLong).sum.toDouble / 256.0
+      val got = StubCodecs.decodeFeatures(p).map(_.toDouble).sum
+      assert(got === exact, s"id=$id len=$len")
+    }
+  }
+
   test("mediaFeatures query: one row per media, feat_sum finite") {
     val rows = MultimodalQueries.mediaFeatures(spark, sf).collect()
     assert(rows.length === 500)

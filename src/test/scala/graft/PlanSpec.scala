@@ -101,6 +101,29 @@ class PlanSpec extends SparkSpec {
       rows.head.getAs[String]("dt") === graft.operators.PipelineQueries.PruneDay)
   }
 
+  test("windowRunningSum: one exchange (window key), no global sort above the window") {
+    // the presentation ORDER BY was dropped (r4): the plan must be
+    // Exchange(suppkey) → Sort(within partitions) → Window — not a
+    // second range exchange + total sort for output order no consumer
+    // needs on a full-fact result
+    val p = plan(TpchQueries.windowRunningSum(spark, sf))
+    assert(p.split("Exchange").length - 1 === 1,
+      s"expected exactly one exchange (the window hash partitioning):\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"global output sort crept back in:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
+  }
+
+  test("media synthesis: pure column projection, no object round-trip") {
+    // r4: synthesize is a native-expression projection; a typed
+    // Dataset.map would show DeserializeToObject/MapElements/
+    // SerializeFromObject nodes and break whole-stage codegen
+    val p = plan(graft.operators.MultimodalQueries.mediaStats(spark, sf))
+    assert(!p.contains("MapElements") && !p.contains("DeserializeToObject"),
+      s"row-at-a-time synthesis is back:\n$p")
+    assert(p.contains("payload_bytes"), s"native payload kernel missing:\n$p")
+  }
+
   test("whole-stage codegen covers the q1 aggregation pipeline") {
     // AQE shows codegen stages only in the final (executed) plan
     val df = TpchQueries.q1PricingSummary(spark, sf)
