@@ -173,10 +173,13 @@ object KpiQueries {
     * equal to 30 min (split iff diff >= 1800), hence the oracle's
     * `>= 1800` where sessionize's oracle has `> 1800`. */
   def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    // second-truncated TIMESTAMP passed straight through — an earlier
+    // revision formatted to an ISO string and re-parsed it inside
+    // StreamingKpis.sessions (to_timestamp on a timestamp is a no-op),
+    // paying a format+parse round-trip over every row
     val ev = load(spark, dir, "events")
       .select(col("user_id"),
-        date_format(date_trunc("second", col("ts")),
-          "yyyy-MM-dd'T'HH:mm:ss'Z'").as("event_ts"))
+        date_trunc("second", col("ts")).as("event_ts"))
     graft.streaming.StreamingKpis.sessions(ev, gap = "30 minutes")
       .groupBy(col("user_id"))
       .agg(sum(col("n_events")).as("n_events"),
