@@ -69,6 +69,7 @@ object SparkEntry {
     "q_fingerprint" -> (TextQueries.fingerprint _),
     "q_vocab_topk" -> ((s, d) => TextQueries.vocabTopk(s, d)),
     "q_stratified_sample" -> (TextQueries.stratifiedSample _),
+    "q_sample_topk" -> ((s, d) => TextQueries.sampleTopkPerStratum(s, d)),
     "q_ngram_jaccard" -> (TextQueries.ngramJaccard _),
     "q_minhash_dedup" -> (TextQueries.minhashDedup _),
     "q_rep_signals" -> (TextQueries.repetitionSignals _),
@@ -459,6 +460,15 @@ object SparkEntry {
         |FROM r JOIN c ON r.lang = c.lang
         |WHERE rn <= CAST(ceil(n / 10.0) AS BIGINT)
         |ORDER BY r.lang, r.doc_id""".stripMargin,
+    // 13 hex chars = 52 bits: double-exact on the Spark side, BIGINT
+    // here — the two cuts agree bit-for-bit
+    "q_sample_topk" ->
+      """WITH r AS (SELECT lang, doc_id, row_number() OVER (
+        |  PARTITION BY lang ORDER BY
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT),
+        |    doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang, doc_id FROM r WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin,
     "q_pack_sequences" ->
       """WITH t AS (SELECT source, doc_id,
         |  len(regexp_split_to_array(text, '\s+')) AS n FROM documents),

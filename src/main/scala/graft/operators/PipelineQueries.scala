@@ -344,7 +344,10 @@ object PipelineQueries {
       .withWatermark("v_ts", "2 hours")
     val purchases = side(Seq("purchase"), "p_user", "p_ts")
       .withWatermark("p_ts", "2 hours")
-    withShufflePartitions(spark, 8) {
+    // 4, not 8: the interval join keeps one state store per partition
+    // PER SIDE, so partitions count double against the fixed commit
+    // cost relative to the single-stream gates
+    withShufflePartitions(spark, 4) {
       val q = purchases.join(views,
           col("p_user") === col("v_user") &&
             col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&

@@ -85,6 +85,31 @@ object TextQueries {
       .limit(k)
   }
 
+  /** Fixed-size deterministic per-stratum sample via the bounded
+    * [[graft.functions.TopKAgg]] aggregate: the k docs with the
+    * smallest md5-prefix priority per lang — same selection rule as
+    * [[stratifiedSample]]'s md5-rank window, different physical shape.
+    * The window form sorts every stratum (fine for fractions, whose
+    * output size scales with the stratum); for FIXED-k samples the
+    * top-k aggregate is the 100 TB path: partial buffers hold ≤ k rows
+    * per stratum per partition, the shuffle carries ≤ k·partitions
+    * rows per stratum, and nothing is ever sorted beyond k elements.
+    * Priority = first 13 hex chars of md5 as a 52-bit integer —
+    * double-exact, so the Spark (negated-score top-k) and DuckDB
+    * (ORDER BY hex-cast) cuts agree bit-for-bit; ties (impossible at
+    * 52 bits in any real corpus) break to doc_id on both sides. */
+  def sampleTopkPerStratum(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    docs.select(col("lang"), col("doc_id"),
+        negate(conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+          16, 10).cast("long").cast("double")).as("prio"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.F.topK(col("prio"), col("doc_id"), k).as("top"))
+      .select(col("lang"), explode(col("top")).as("t"))
+      .select(col("lang"), col("t.id").as("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+  }
+
   /** Deterministic stratified sample: the first ceil(10%) of every
     * `lang` stratum in md5(doc_id) order — the reproducible
     * train/val-split shape (same rows on every run, any cluster, and

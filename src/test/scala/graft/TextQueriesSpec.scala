@@ -98,6 +98,27 @@ class TextQueriesSpec extends SparkSpec {
       assert(excluded.map(score).max <= got.last + 1e-3)
   }
 
+  test("sampleTopkPerStratum equals the md5-rank window formulation") {
+    import org.apache.spark.sql.functions._
+    val got = TextQueries.sampleTopkPerStratum(spark, sf, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // window recompute with the identical 52-bit md5-prefix priority
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("long"), col("doc_id"))
+    val exp = Tables.load(spark, sf, "documents")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 5)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === exp)
+    // fixed k per stratum (every fixture stratum has >= 5 docs)
+    got.groupBy(_._1).foreach { case (lang, xs) =>
+      assert(xs.length === 5, s"stratum $lang: ${xs.length} rows")
+    }
+  }
+
   test("fingerprint is deterministic and in [0, 1000003)") {
     val a = TextQueries.fingerprint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = TextQueries.fingerprint(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
