@@ -78,6 +78,7 @@ object SparkEntry {
     "q_source_minhash" -> (TextQueries.sourceMinhash _),
     // §2.11 training-data pipeline: packing, pruning, decontamination
     "q_pack_sequences" -> ((s, d) => TrainingQueries.packSequences(s, d)),
+    "q_chunk_docs" -> ((s, d) => TextQueries.chunkDocs(s, d)),
     "q_quality_prune" -> (TrainingQueries.qualityPrune _),
     "q_mixture_sample" -> (TrainingQueries.mixtureSample _),
     "q_decontaminate" -> ((s, d) => TrainingQueries.decontaminate(s, d)),
@@ -479,6 +480,15 @@ object SparkEntry {
         |  count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS seq_tokens,
         |  min(doc_id) AS first_doc
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // chunks = ceil(max(0, n-64)/48) + 1; last chunk may be short
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(regexp_split_to_array(text, '\s+')) AS n FROM documents),
+        |c AS (SELECT doc_id, n, unnest(generate_series(0,
+        |  CAST(ceil(greatest(n - 64, 0) / 48.0) AS INT))) AS chunk_id FROM t)
+        |SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+        |  CAST(least(64, n - chunk_id * 48) AS INT) AS chunk_tokens
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_quality_prune" ->
       """WITH t AS (SELECT source, doc_id,
         |  len(list_distinct(regexp_split_to_array(text, '\s+'))) /

@@ -85,6 +85,29 @@ object TextQueries {
       .limit(k)
   }
 
+  /** Context-window chunking (E6): split each document into
+    * fixed-size token windows with overlap — the pre-tokenizer pass
+    * that turns long documents into model-context-sized pieces
+    * (window W, stride S ⇒ chunk c covers tokens [c·S, c·S+W)).
+    * Emits the chunk MANIFEST (doc_id, chunk_id, chunk_tokens):
+    * map-side row expansion via a computed sequence, zero shuffle,
+    * text never duplicated — at 100 TB the manifest joins back to the
+    * doc store by (doc_id, offsets) instead of materializing W/S
+    * copies of every token. chunks = ceil(max(0, n−W)/S) + 1, last
+    * chunk may be short. */
+  def chunkDocs(spark: SparkSession, dir: String,
+                window: Int = 64, stride: Int = 48): DataFrame = {
+    val docs = withTokens(load(spark, dir, "documents"))
+    val n = col("n")
+    val nChunks = (ceil(greatest(n - window, lit(0)).cast("double") / stride) + 1).cast("int")
+    docs.select(col("doc_id"), size(col("toks")).as("n"))
+      .select(col("doc_id"), n,
+        explode(sequence(lit(0), nChunks - 1)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(window), n - col("chunk_id") * stride).cast("int").as("chunk_tokens"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Fixed-size deterministic per-stratum sample via the bounded
     * [[graft.functions.TopKAgg]] aggregate: the k docs with the
     * smallest md5-prefix priority per lang — same selection rule as

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.streaming.Trigger
+import graft.model.EventSchema
+
+/** ST5 scale path: `dropDuplicatesWithinWatermark` — the
+  * bounded-state variant of ingest dedup (state holds only keys
+  * within the watermark horizon instead of every key ever seen).
+  * Exactly-once output still holds across batches because a
+  * re-delivered duplicate is caught by ONE of two mechanisms: inside
+  * the horizon the state hit drops it, behind the horizon the
+  * stateful operator's late filter drops it. The unbounded
+  * `dropDuplicates` gate (q_stream_dedup) stays the semantic anchor;
+  * this spec pins the tradeoff the SCALE.md ingest notes describe.
+  */
+class StreamingDedupSpec extends SparkSpec {
+
+  private def jline(id: String, ts: String): String =
+    s"""{"event_ts":"$ts","user_id":"u_1","session_id":"$id",""" +
+      s""""event_type":"page_view","page":"/","product_id":"sku_1",""" +
+      s""""price":null,"currency":"USD","referrer":"direct","user_agent":"ua"}"""
+
+  test("re-delivered duplicates never re-emit: state hit within horizon, late filter behind it") {
+    val in = Files.createTempDirectory("ddw-in")
+    val out = Files.createTempDirectory("ddw-out")
+    val ck = Files.createTempDirectory("ddw-ck")
+    Seq(in, out, ck).foreach(_.toFile.deleteOnExit())
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(EventSchema.schema).json(in.toString)
+        .withColumn("ts", org.apache.spark.sql.functions.to_timestamp(
+          org.apache.spark.sql.functions.col("event_ts")))
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark("session_id")
+        .writeStream.format("parquet").option("path", out.toString)
+        .outputMode("append").option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+
+    // batch 1: two events + an advancer → watermark 10:30 for batch 2
+    Files.writeString(in.resolve("f1.json"), Seq(
+      jline("e1", "2024-03-01T10:00:00Z"),
+      jline("e2", "2024-03-01T10:10:00Z"),
+      jline("adv", "2024-03-01T11:00:00Z")).mkString("\n") + "\n")
+    runOnce()
+    // batch 2: at-least-once re-delivery of BOTH regimes plus one new
+    // event — e2's duplicate is behind the 10:30 watermark (late
+    // filter), adv's duplicate is within the horizon (state hit)
+    Files.writeString(in.resolve("f2.json"), Seq(
+      jline("e2", "2024-03-01T10:10:00Z"),
+      jline("adv", "2024-03-01T11:00:00Z"),
+      jline("e3", "2024-03-01T11:05:00Z")).mkString("\n") + "\n")
+    runOnce()
+
+    val ids = spark.read.schema(EventSchema.schema).parquet(out.toString)
+      .collect().map(_.getAs[String]("session_id")).toSeq
+    assert(ids.sorted === Seq("adv", "e1", "e2", "e3"),
+      s"duplicate re-emitted or event lost: $ids")
+  }
+}

@@ -98,6 +98,28 @@ class TextQueriesSpec extends SparkSpec {
       assert(excluded.map(score).max <= got.last + 1e-3)
   }
 
+  test("chunkDocs: windows tile every document with stride overlap") {
+    val W = 64; val S = 48
+    val byDoc = TextQueries.chunkDocs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .groupBy(_._1)
+    assert(byDoc.keySet === docs.map(_._1).toSet)
+    val nTok = docs.toMap.view.mapValues(_.trim.split("\\s+").length).toMap
+    byDoc.foreach { case (id, chunks) =>
+      val n = nTok(id)
+      val sorted = chunks.sortBy(_._2)
+      assert(sorted.length === math.ceil(math.max(0, n - W) / S.toDouble).toInt + 1)
+      assert(sorted.map(_._2).toSeq === sorted.indices.toSeq) // dense ids
+      sorted.foreach { case (_, c, t) =>
+        assert(t >= 1 && t <= W)
+        assert(t === math.min(W, n - c * S), s"doc $id chunk $c")
+      }
+      // the last window's end lands exactly on the document end
+      val (_, lc, lt) = sorted.last
+      assert(lc * S + lt === n, s"doc $id: uncovered tail")
+    }
+  }
+
   test("sampleTopkPerStratum equals the md5-rank window formulation") {
     import org.apache.spark.sql.functions._
     val got = TextQueries.sampleTopkPerStratum(spark, sf, k = 5).collect()
