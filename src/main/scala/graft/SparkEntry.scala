@@ -71,6 +71,7 @@ object SparkEntry {
     "q_stratified_sample" -> (TextQueries.stratifiedSample _),
     "q_sample_topk" -> ((s, d) => TextQueries.sampleTopkPerStratum(s, d)),
     "q_ngram_jaccard" -> (TextQueries.ngramJaccard _),
+    "q_dup_clusters" -> (DupClusters.nearDupClusters _),
     "q_minhash_dedup" -> (TextQueries.minhashDedup _),
     "q_rep_signals" -> (TextQueries.repetitionSignals _),
     "q_tfidf" -> ((s, d) => TextQueries.tfidf(s, d)),
@@ -107,6 +108,25 @@ object SparkEntry {
     "q_knn_batch" -> ((s, d) => VectorQueries.knnBatch(s, d)),
     "q_knn_batch_agg" -> ((s, d) => VectorQueries.knnBatchAgg(s, d)),
   )
+
+  /** Shared by q_ngram_jaccard and (as the edge-list CTE) the
+    * q_dup_clusters recursive-closure oracle. */
+  private val NgramJaccardSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang, regexp_split_to_array(text, '\s+') AS toks
+      |  FROM documents),
+      |bgs AS (
+      |  SELECT doc_id, source, lang, list_distinct(list_transform(
+      |    range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      |  FROM d WHERE len(toks) >= 2)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  round(len(list_intersect(a.bg, b.bg)) /
+      |    CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE), 6) AS jaccard
+      |FROM bgs a JOIN bgs b
+      |  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.bg, b.bg)) /
+      |  CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE) >= 0.05
+      |ORDER BY a_id, b_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -566,22 +586,20 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users,
         |  round(sum(coalesce(value, 0)), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_ngram_jaccard" ->
-      """WITH d AS (
-        |  SELECT doc_id, source, lang, regexp_split_to_array(text, '\s+') AS toks
-        |  FROM documents),
-        |bgs AS (
-        |  SELECT doc_id, source, lang, list_distinct(list_transform(
-        |    range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bg
-        |  FROM d WHERE len(toks) >= 2)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |  round(len(list_intersect(a.bg, b.bg)) /
-        |    CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE), 6) AS jaccard
-        |FROM bgs a JOIN bgs b
-        |  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
-        |WHERE len(list_intersect(a.bg, b.bg)) /
-        |  CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE) >= 0.05
-        |ORDER BY a_id, b_id""".stripMargin,
+    "q_ngram_jaccard" -> NgramJaccardSql,
+    // components via transitive closure: reach(id, r) = ids reachable
+    // from id over the symmetrized pair edges; comp = min(reachable)
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($NgramJaccardSql),
+        |e AS (SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |SELECT comp AS keep_id, count(*) AS n_members, max(id) AS max_id
+        |FROM comp GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "q_media_stats" ->
       """WITH m AS (SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,

@@ -36,6 +36,19 @@ object Tables {
   def rowCount(spark: SparkSession, sfDir: String, name: String): Long =
     countCache.getOrElseUpdate((sfDir, name), load(spark, sfDir, name).count())
 
+  /** Run `body` with spark.sql.shuffle.partitions = n, restoring the
+    * session default afterwards — the size-to-data knob for query
+    * regions whose shuffles are orders of magnitude below the session
+    * default (streaming gate state stores, iterative label loops).
+    * Takes effect at ACTION time, so it must wrap the actions, not
+    * just the plan construction. */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try body finally spark.conf.set(key, old)
+  }
+
   /** Builds the standard SparkSession used by mains. local[32] mirrors a
     * 32-slot executor; shuffle partitions match cores (not default 200)
     * so small-SF runs don't pay 200 empty-task overheads while the same

@@ -38,12 +38,8 @@ object PipelineQueries {
     * sizing-to-data knob production tunes (state store count ∝ input
     * volume); the restored default keeps batch queries at the session
     * setting. */
-  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, old)
-  }
+  private def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    graft.Tables.withShufflePartitions(spark, n)(body)
 
   /** Fixture rows in producer wire shape (event_ts ISO-8601 Z string,
     * string ids, price). Second-precision timestamps: the fixture's

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.DupClusters
+
+/** E2 clustering: min-label propagation connected components — the
+  * pair-list → drop-list step of the dedup pipeline. */
+class DupClustersSpec extends SparkSpec {
+
+  test("components: chains, triangles, and separate clusters resolve to min labels") {
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21}
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L))
+      .toDF("a", "b")
+    val got = DupClusters.components(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L)
+    assert(got === expected)
+  }
+
+  test("components: long chain converges (diameter > 2 rounds)") {
+    import spark.implicits._
+    val n = 30
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val got = DupClusters.components(edges, "a", "b").collect()
+    assert(got.length === n)
+    got.foreach(r => assert(r.getLong(1) === 1L, s"vertex ${r.getLong(0)}"))
+  }
+
+  test("nearDupClusters: members partition the pair vertices; keeper is the min") {
+    val pairs = graft.operators.TextQueries.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver-side union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = verts.groupBy(find).map { case (_, vs) =>
+      (vs.min, vs.length.toLong, vs.max)
+    }.toSet
+    val got = DupClusters.nearDupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+}
