@@ -101,6 +101,7 @@ object SparkEntry {
     "q_knn_brute" -> (VectorQueries.knnBrute _),
     "q_vec_norms" -> (VectorQueries.vecNorms _),
     "q_cosine_dedup" -> (VectorQueries.cosineDedup _),
+    "q_vec_clusters" -> (DupClusters.cosineClusters _),
     "q_cosine_dedup_lsh" -> (VectorQueries.cosineDedupLsh _),
     "q_ann_lsh" -> (VectorQueries.annLshGated _),
     "q_ann_ivf" -> (VectorQueries.annIvfGated _),
@@ -126,6 +127,16 @@ object SparkEntry {
       |  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
       |WHERE len(list_intersect(a.bg, b.bg)) /
       |  CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE) >= 0.05
+      |ORDER BY a_id, b_id""".stripMargin
+
+  /** Shared by q_cosine_dedup and (as the edge-list CTE) the
+    * q_vec_clusters closure oracle. */
+  private val CosineDedupSql: String =
+    """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
+      |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.3
       |ORDER BY a_id, b_id""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -663,12 +674,17 @@ object SparkEntry {
         |  round(avg(sqrt(list_sum(list_transform(
         |    CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_cosine_dedup" ->
-      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.3
-        |ORDER BY a_id, b_id""".stripMargin,
+    "q_cosine_dedup" -> CosineDedupSql,
+    "q_vec_clusters" ->
+      s"""WITH RECURSIVE pairs AS ($CosineDedupSql),
+        |ed AS (SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM ed
+        |  UNION
+        |  SELECT ed.a, reach.r FROM ed JOIN reach ON ed.b = reach.id),
+        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |SELECT comp AS keep_id, count(*) AS n_members, max(id) AS max_id
+        |FROM comp GROUP BY 1 ORDER BY keep_id""".stripMargin,
   )
 }

@@ -75,14 +75,23 @@ object DupClusters {
     }
   }
 
-  /** Gate query: cluster the verified n-gram-jaccard near-dup pairs
-    * and emit one row per cluster — keeper (min doc_id), member count,
-    * max member — the drop-list manifest. */
-  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = TextQueries.ngramJaccard(spark, dir).select(col("a_id"), col("b_id"))
+  private def clusterManifest(pairs: DataFrame): DataFrame =
     components(pairs, "a_id", "b_id")
       .groupBy(col("comp").as("keep_id"))
       .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
       .orderBy(col("keep_id"))
-  }
+
+  /** Gate query: cluster the verified n-gram-jaccard near-dup pairs
+    * and emit one row per cluster — keeper (min doc_id), member count,
+    * max member — the drop-list manifest. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterManifest(
+      TextQueries.ngramJaccard(spark, dir).select(col("a_id"), col("b_id")))
+
+  /** Embedding-side twin (E3 ∘ E2): clusters over the exact
+    * cosine-similarity near-dup pairs — semantic dedup's drop-list,
+    * same component machinery, different pair detector. */
+  def cosineClusters(spark: SparkSession, dir: String): DataFrame =
+    clusterManifest(
+      VectorQueries.cosineDedup(spark, dir).select(col("a_id"), col("b_id")))
 }

@@ -30,6 +30,27 @@ class DupClustersSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(1) === 1L, s"vertex ${r.getLong(0)}"))
   }
 
+  test("cosineClusters: members partition the cosine-pair vertices") {
+    val pairs = graft.operators.VectorQueries.cosineDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = verts.groupBy(find).map { case (_, vs) =>
+      (vs.min, vs.length.toLong, vs.max)
+    }.toSet
+    val got = graft.operators.DupClusters.cosineClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+  }
+
   test("nearDupClusters: members partition the pair vertices; keeper is the min") {
     val pairs = graft.operators.TextQueries.ngramJaccard(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
