@@ -49,12 +49,13 @@ object DupClusters {
           .select(col("dst").as("id"), col("comp"))
         val propagated = labels.unionByName(nbrMin)
           .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        // phase 2 — pointer jump: adopt the label OF the label
-        // (path halving). Neighbor-min alone walks a chain one hop
-        // per round (O(diameter) rounds); the jump contracts label
-        // chains exponentially, so rounds are O(log diameter) — the
-        // difference between 30 rounds and 6 on a 30-chain, and the
-        // standard trick behind large-star/small-star at 100 TB.
+        // phase 2 — pointer jump: adopt the label OF the label (path
+        // halving). Neighbor-min alone walks a chain one hop per
+        // round (O(diameter) rounds); the jump contracts label chains
+        // exponentially — O(log diameter) rounds, the contraction
+        // behind large-star/small-star at 100 TB. One jump per round
+        // measured best here: a second in-round jump saves fewer
+        // rounds than its extra join stages cost.
         val jump = propagated
           .select(col("id").as("jid"), col("comp").as("jcomp"))
         // carry the previous label through the checkpoint so the
