@@ -66,8 +66,10 @@ object Bench {
     // ms precision: full-precision doubles tripled the line length and
     // round 3's driver tail-capture truncated it mid-object (BENCH_r03
     // parsed:null). Three decimals is below the measured ~71 ms
-    // scheduling floor — nothing real is lost.
-    def ms(v: Double): String = f"$v%.3f"
+    // scheduling floor — nothing real is lost. Locale.ROOT: a
+    // comma-decimal default locale would silently break the JSON.
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

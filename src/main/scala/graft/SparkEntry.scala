@@ -34,6 +34,8 @@ object SparkEntry {
     "q_sliding_window" -> (KpiQueries.slidingWindow _),
     "q_approx_distinct" -> (KpiQueries.approxDistinct _),
     "q_approx_distinct_fast" -> (KpiQueries.approxDistinctFast _),
+    "q_pivot_events" -> (KpiQueries.pivotEvents _),
+    "q_unpivot_kpis" -> (KpiQueries.unpivotKpis _),
     // §2.4 joins / §2.5 windows / §2.6 sorts / §2.7 set ops
     "q1_pricing_summary" -> (TpchQueries.q1PricingSummary _),
     "q3_shipping_priority" -> (TpchQueries.q3ShippingPriority _),
@@ -217,6 +219,24 @@ object SparkEntry {
       """SELECT c_mktsegment, round(median(c_acctbal), 2) AS median_bal,
         |  TRUE AS within_tol
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pivot_events" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_unpivot_kpis" ->
+      """WITH k AS (SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |  count(*) AS total_events,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('view','pageview','page_view') THEN 1 ELSE 0 END) AS BIGINT) AS pageviews,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+        |  FROM events GROUP BY 1)
+        |SELECT dt, 'total_events' AS metric, total_events AS value FROM k
+        |UNION ALL SELECT dt, 'pageviews', pageviews FROM k
+        |UNION ALL SELECT dt, 'purchases', purchases FROM k
+        |ORDER BY dt, metric""".stripMargin,
     "q_sliding_window" ->
       """WITH w AS (
         |  SELECT date_trunc('hour', ts) AS ws FROM events

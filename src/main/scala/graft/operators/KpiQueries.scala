@@ -218,6 +218,43 @@ object KpiQueries {
       .orderBy(col("event_type"))
   }
 
+  /** PIVOT (long→wide): per-day event counts, one column per event
+    * type. The pivot VALUES are given explicitly — without them Spark
+    * runs an extra distinct-scan job just to discover the columns,
+    * and at 100 TB an unbounded pivot width is a schema bug anyway
+    * (wide schemas must be declared, not inferred). Missing
+    * (day, type) combos surface as NULL from the pivot and are
+    * coalesced to 0 — the contract a downstream consumer of a count
+    * matrix expects. */
+  def pivotEvents(spark: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    load(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .select(col("dt") +: types.map(t =>
+        coalesce(col(t), lit(0L)).as(s"n_$t")): _*)
+      .orderBy(col("dt"))
+  }
+
+  /** UNPIVOT (wide→long): the daily KPI row melted to (dt, metric,
+    * value) — the shape metric stores and plotting layers consume.
+    * Row expansion is map-side (Expand node), no shuffle beyond the
+    * KPI aggregation itself. */
+  def unpivotKpis(spark: SparkSession, dir: String): DataFrame = {
+    val kpis = load(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        sum(when(isPageview(col("event_type")), 1L).otherwise(0L)).as("pageviews"),
+        sum(when(isPurchase(col("event_type")), 1L).otherwise(0L)).as("purchases"))
+    kpis.unpivot(
+        Array(col("dt")),
+        Array(col("total_events"), col("pageviews"), col("purchases")),
+        "metric", "value")
+      .orderBy(col("dt"), col("metric"))
+  }
+
   /** The PRODUCTION 100 TB approximate-distinct: pure HLL partials,
     * no pair-dedup pre-pass. Each map task folds its rows into one
     * 2^p-register sketch per group; the shuffle carries
