@@ -72,6 +72,7 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, d) => TextQueries.vocabTopk(s, d)),
     "q_stratified_sample" -> (TextQueries.stratifiedSample _),
     "q_sample_topk" -> ((s, d) => TextQueries.sampleTopkPerStratum(s, d)),
+    "q_sample_hash" -> ((s, d) => TextQueries.sampleHashCutoff(s, d)),
     "q_ngram_jaccard" -> (TextQueries.ngramJaccard _),
     "q_dup_clusters" -> (DupClusters.nearDupClusters _),
     "q_minhash_dedup" -> (TextQueries.minhashDedup _),
@@ -512,6 +513,11 @@ object SparkEntry {
         |FROM r JOIN c ON r.lang = c.lang
         |WHERE rn <= CAST(ceil(n / 10.0) AS BIGINT)
         |ORDER BY r.lang, r.doc_id""".stripMargin,
+    "q_sample_hash" ->
+      """SELECT lang, doc_id FROM documents
+        |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT)
+        |  % 1000 < 100
+        |ORDER BY lang, doc_id""".stripMargin,
     // 13 hex chars = 52 bits: double-exact on the Spark side, BIGINT
     // here — the two cuts agree bit-for-bit
     "q_sample_topk" ->

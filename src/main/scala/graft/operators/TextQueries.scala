@@ -133,6 +133,23 @@ object TextQueries {
       .orderBy(col("lang"), col("doc_id"))
   }
 
+  /** Sort-free hash-cutoff sample (the SCALE.md "huge strata"
+    * variant, now declared): keep rows whose 52-bit md5-prefix falls
+    * under a per-mille cutoff — approximate fraction, ZERO window
+    * state, no per-stratum sort, reshard-safe and engine-portable
+    * (same predicate reproduces the same rows anywhere). The
+    * exact-size variants ([[stratifiedSample]] fraction,
+    * [[sampleTopkPerStratum]] fixed-k) trade a sort or a bounded
+    * buffer for exactness; this is the one that costs a scan and
+    * nothing else. */
+  def sampleHashCutoff(spark: SparkSession, dir: String,
+                       permille: Int = 100): DataFrame =
+    load(spark, dir, "documents")
+      .where(pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+        16, 10).cast("long"), lit(1000L)) < permille)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id"))
+
   /** Deterministic stratified sample: the first ceil(10%) of every
     * `lang` stratum in md5(doc_id) order — the reproducible
     * train/val-split shape (same rows on every run, any cluster, and
