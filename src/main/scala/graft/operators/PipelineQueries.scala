@@ -197,11 +197,17 @@ object PipelineQueries {
     })
     val src = spark.readStream.schema("user_id STRING, ts TIMESTAMP")
       .json(in).as[StatefulSessions.SessionEvent]
+    // Trigger.Once: the global sentinel closes every real session
+    // IN-STREAM (gap observation), so the timeout-flush batches
+    // AvailableNow appends would emit nothing here — same
+    // bounded-drain rationale as streamJoin. StatefulSessionsSpec
+    // exercises the timeout-flush path itself across AvailableNow
+    // runs.
     withShufflePartitions(spark, 8) {
       val q = StatefulSessions.sessionize(src, gapSeconds = 1800)
         .writeStream.format("parquet").option("path", out.toString)
         .outputMode("append").option("checkpointLocation", ck.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
       q.awaitTermination()
     }
     spark.read.parquet(out.toString)
