@@ -199,13 +199,16 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_events,
         |  CAST(sum(new_sess) AS BIGINT) AS n_sessions
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
-    // session_window convention: split at gap >= 1800 s (see
-    // KpiQueries.sessionWindow scaladoc for the boundary note)
+    // session_window convention: split at gap STRICTLY > 1800 s — an
+    // event arriving exactly at session_end (= last + gap) still
+    // merges (verified empirically: two events exactly gap apart form
+    // ONE session). Same convention as q_sessionize; the r3 ">= 1800"
+    // note was wrong and latent until sf0.1 produced an exact-1800 gap.
     "q_session_window" ->
       """WITH g AS (
         |  SELECT user_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |      OR date_diff('second', lag(ts) OVER w, ts) >= 1800 THEN 1 ELSE 0 END AS new_sess
+        |      OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT user_id, count(*) AS n_events,
         |  CAST(sum(new_sess) AS BIGINT) AS n_sessions
@@ -353,10 +356,13 @@ object SparkEntry {
         |  CAST(row_number() OVER (PARTITION BY o_custkey
         |    ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn FROM orders)
         |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    // l_extendedprice completes the order: the fixture reuses
+    // (orderkey, linenumber), so the shorter key has engine-ambiguous
+    // ties (see TpchQueries.windowRunningSum)
     "q_window_running_sum" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(sum(l_extendedprice) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_extendedprice
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_rev
         |FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'""".stripMargin,
     "q_window_lag" ->

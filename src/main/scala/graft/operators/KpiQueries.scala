@@ -169,9 +169,10 @@ object KpiQueries {
     * seconds first: session_window compares at µs precision while the
     * SQL oracle's date_diff('second') counts second boundaries, so
     * integral-second inputs make the two gap tests identical. Boundary
-    * convention: session_window starts a new session at gap EXACTLY
-    * equal to 30 min (split iff diff >= 1800), hence the oracle's
-    * `>= 1800` where sessionize's oracle has `> 1800`. */
+    * convention: an event at EXACTLY session_end (= last + gap) still
+    * MERGES — the split is strictly diff > gap, identical to
+    * [[sessionize]] (empirically verified; sf0.1 has an exact-1800 s
+    * gap that exposed the earlier >=-boundary assumption as wrong). */
   def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
     // second-truncated TIMESTAMP passed straight through — an earlier
     // revision formatted to an ISO string and re-parsed it inside

@@ -153,8 +153,16 @@ object TpchQueries {
     * SEMANTICS need order: top-k, ranked outputs, presentation slices. */
   def windowRunningSum(spark: SparkSession, dir: String): DataFrame = {
     val li = load(spark, dir, "lineitem")
+    // l_extendedprice completes the ordering: the synthetic fixture
+    // REUSES (orderkey, linenumber) pairs, and at sf0.1 one pair even
+    // shares (suppkey, shipdate, orderkey, linenumber) — an order tie
+    // each engine may break differently, making the running prefix at
+    // the tie engine-dependent. With the price in the key, tied rows
+    // have equal values and any residual order gives identical
+    // prefixes.
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     li.where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
