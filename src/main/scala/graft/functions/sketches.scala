@@ -382,7 +382,11 @@ object Sketches {
     val out = new Array[Byte](len)
     var i = 0
     while (i < len) {
-      out(i) = ((id * 31 + i * 7) % 256).toByte
+      // mask, not %: the signed modulo goes negative for negative ids
+      // (or id*31 overflow) and would diverge from the `b & 0xFF`
+      // reading in decodeFeatures; & 0xFF is identical for all
+      // non-negative inputs and total over the (long, int) domain
+      out(i) = ((id * 31 + i * 7) & 0xFF).toByte
       i += 1
     }
     out

@@ -28,21 +28,45 @@ import org.apache.spark.sql.functions._
   */
 object DupClusters {
 
+  /** Rounds are O(log diameter) by pointer jumping; real dup graphs
+    * converge in 2–4. The guard exists so that any future
+    * nondeterminism in the label rule fails the gate fast with a
+    * diagnosis instead of hanging the verify/bench run in an infinite
+    * loop (label monotonicity guarantees convergence today). */
+  private val MaxRounds = 64
+
+  /** Shuffle-partition count for the label-propagation rounds, sized
+    * from the symmetrized edge count: each shuffled row is ~24 B of
+    * longs (id, comp[, old]), target ≤128 MB per partition, floor 4
+    * (gate-scale graphs), cap 2^14. At 100 TB this makes the rounds
+    * scale with |edges| instead of inheriting a session-wide constant
+    * that is either too small (spill) or too large (task overhead). */
+  private[graft] def partitionsForEdges(symEdges: Long): Int = {
+    val target = math.ceil(symEdges.toDouble * 24 / (128L << 20)).toInt
+    math.min(1 << 14, math.max(4, target))
+  }
+
   /** Connected components of an undirected edge list (a, b) → rows
     * (id, comp) where comp = min doc_id of the component. */
   def components(edges: DataFrame, a: String, b: String): DataFrame = {
     val spark = edges.sparkSession
-    // label rows are two longs — a handful of shuffle partitions
-    // covers any gate-scale graph; production sizes this ∝ |edges|
-    graft.Tables.withShufflePartitions(spark, 4) {
-      val sym = edges.select(col(a).as("src"), col(b).as("dst"))
-        .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
-        .localCheckpoint() // materialize once; every round reuses it
+    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
+      .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
+      .localCheckpoint() // materialize once; every round reuses it
+    // label rows are a few longs — size the per-round shuffles from
+    // the (already materialized, so count() is a cheap scan) edge list
+    graft.Tables.withShufflePartitions(spark, partitionsForEdges(sym.count())) {
       var labels = sym.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id"))
         .localCheckpoint()
       var converged = false
+      var round = 0
       while (!converged) {
+        round += 1
+        if (round > MaxRounds)
+          throw new IllegalStateException(
+            s"DupClusters.components did not converge after $MaxRounds rounds — " +
+              "label rule is no longer monotone")
         // phase 1 — neighbor min: every vertex adopts the smallest
         // label among itself and its neighbors
         val nbrMin = sym.join(labels, sym("src") === labels("id"))

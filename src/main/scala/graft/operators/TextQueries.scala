@@ -383,7 +383,7 @@ object TextQueries {
     val candidates = l.join(r, Seq("b", "h"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
-    candidates
+    val pairs = candidates
       .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), Seq("a_id"))
       .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), Seq("b_id"))
       // same native merge-walk verifier as ngramJaccard
@@ -391,6 +391,16 @@ object TextQueries {
       .where(col("j").isNotNull)
       .select(col("a_id"), col("b_id"), F.roundBin(col("j"), 6).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
+    // Materialize the pair manifest (the SMALL end of the funnel)
+    // eagerly, then release the corpus-sized shingle cache: returning
+    // lazily would pin the MEMORY_AND_DISK blocks in the CacheManager
+    // for the life of the session — one leaked corpus per directory on
+    // a long-lived engine. localCheckpoint blocks are ContextCleaner-
+    // managed (freed when the result is unreachable), CacheManager
+    // entries are not.
+    val out = pairs.localCheckpoint()
+    docs.unpersist()
+    out
   }
 
   /** E2/§2.10 corpus-level MinHash rollup via the custom

@@ -178,22 +178,28 @@ object VectorQueries {
     * scan for the brute side — the accuracy-gate discipline of
     * q_approx_distinct (KpiQueries.scala) applied to ANN. */
   private def withRecall(ann: DataFrame, brute: DataFrame,
-                         k: Int = 10, minRecall: Double = 0.8): DataFrame = {
+                         minRecall: Double = 0.8): DataFrame = {
     // single evaluation of each side: mark ANN rows that appear in the
     // exact top-k (broadcast left join on the ≤k-row brute result),
     // then a one-partition window over the ≤k ANN rows turns the hit
     // count into a recall column on every row. The naive
     // collect_set-intersection formulation evaluates the ANN plan
     // twice (once for rows, once for the set) — at gate scale that is
-    // a second full probe.
+    // a second full probe. The denominator is the brute side's ACTUAL
+    // row count (carried as a window-count column through the join —
+    // no second evaluation), not the nominal k: a brute result shorter
+    // than k (tiny corpus, changed limit) must not understate recall.
     val w = Window.partitionBy(lit(1))
-    ann.join(broadcast(brute.select(col("vec_id").as("brute_id"))),
-        col("vec_id") === col("brute_id"), "left")
+    val bruteN = brute
+      .select(col("vec_id").as("brute_id"))
+      .withColumn("brute_n", count(lit(1)).over(Window.partitionBy(lit(1))))
+    ann.join(broadcast(bruteN), col("vec_id") === col("brute_id"), "left")
       .withColumn("hit", when(col("brute_id").isNotNull, 1.0).otherwise(0.0))
       .withColumn("recall_10",
-        F.roundBin(sum(col("hit")).over(w) / lit(k.toDouble), 2))
+        F.roundBin(coalesce(
+          sum(col("hit")).over(w) / max(col("brute_n")).over(w), lit(1.0)), 2))
       .withColumn("recall_ok", col("recall_10") >= lit(minRecall))
-      .drop("brute_id", "hit")
+      .drop("brute_id", "brute_n", "hit")
   }
 
   /** E3 scale path #2: IVF (inverted-file) ANN. Coarse quantizer =

@@ -22,18 +22,25 @@ class RateSourceSpec extends SparkSpec {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("250 milliseconds"))
       .start()
-    val t0 = System.nanoTime()
     try {
       Thread.sleep(2500)
       q.processAllAvailable()
-      val elapsedSec = (System.nanoTime() - t0) / 1e9
       val rows = spark.table("rt_events").collect()
-      // rate source emits floor(elapsed*rate) rows deterministically;
-      // allow generous scheduling slack on both sides
-      assert(rows.length >= rate * 1,
-        s"expected at least ~1s of events, got ${rows.length}")
-      assert(rows.length <= rate * (elapsedSec + 2),
-        s"expected at most ~${rate * (elapsedSec + 2)}, got ${rows.length}")
+      // Pacing contract asserted against the rate source's OWN emitted
+      // timestamps, not external sleep timing (a loaded machine can
+      // start the query late enough that a wall-clock lower bound
+      // flakes): the source emits rows at exactly 1/rate s spacing, so
+      // n rows span (n-1)/rate s and n ∈ [span·rate, span·rate+rate+1]
+      // even when event_ts truncates to whole seconds.
+      assert(rows.nonEmpty, "rate source emitted no rows")
+      val tsSec = rows.map { r =>
+        java.time.Instant.parse(r.getAs[String]("event_ts")).toEpochMilli / 1000.0
+      }
+      val span = tsSec.max - tsSec.min
+      assert(rows.length >= span * rate,
+        s"expected >= ${span * rate} events over ${span}s, got ${rows.length}")
+      assert(rows.length <= span * rate + rate + 1,
+        s"expected <= ${span * rate + rate + 1} events over ${span}s, got ${rows.length}")
       // wire schema + event-time partition consistency
       rows.take(100).foreach { r =>
         assert(r.getAs[String]("user_id").startsWith("u_"))
