@@ -18,10 +18,22 @@ object Tables {
     * (legacy.parquet.nanosAsLong) and truncate to µs — every declared
     * query derives second-or-coarser values, so truncation is
     * oracle-safe. */
+  /** Memoized parquet file schemas: without an explicit schema every
+    * `spark.read.parquet` runs a footer-inference JOB (~30 ms) — one
+    * per table per query invocation, which at 60+ bench queries × 1–6
+    * tables each is seconds of pure metadata re-reads. A production
+    * engine resolves schemas from the catalog once, not from file
+    * footers per query; this cache is that catalog stand-in (schemas
+    * are immutable fixture metadata, like [[rowCount]]). */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     graft.functions.GraftFunctions.install(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
+    val df = spark.read.schema(schema).parquet(path)
     if (name == "events")
       df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     else df

@@ -212,7 +212,7 @@ object KpiQueries {
       .select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type"))
       .agg(count(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=
           col("exact_users") * lit(0.05)).as("within_5pct"))
@@ -269,7 +269,7 @@ object KpiQueries {
   def approxDistinctFast(spark: SparkSession, dir: String): DataFrame = {
     load(spark, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .orderBy(col("event_type"))
   }
 }
