@@ -54,11 +54,19 @@ object Tables {
     * default (streaming gate state stores, iterative label loops).
     * Takes effect at ACTION time, so it must wrap the actions, not
     * just the plan construction. */
-  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try body finally spark.conf.set(key, old)
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(body: => T): T =
+    withConfs(spark, "spark.sql.shuffle.partitions" -> n.toString)(body)
+
+  /** Run `body` with the given session confs, restoring the previous
+    * values (or unsetting) afterwards. Like [[withShufflePartitions]],
+    * takes effect at ACTION time — wrap the actions. */
+  def withConfs[T](spark: SparkSession, kvs: (String, String)*)(body: => T): T = {
+    val olds = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   /** Builds the standard SparkSession used by mains. local[32] mirrors a

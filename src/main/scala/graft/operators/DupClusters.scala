@@ -50,15 +50,37 @@ object DupClusters {
     * (id, comp) where comp = min doc_id of the component. */
   def components(edges: DataFrame, a: String, b: String): DataFrame = {
     val spark = edges.sparkSession
+    // materialize the pair-detector output once (counting it must not
+    // re-run detection) and size the loop's shuffles from it. Note the
+    // checkpointed edge list is NOT pre-partitioned: LogicalRDD
+    // reports UnknownPartitioning, so a pre-shuffle cannot be reused
+    // by the per-round joins (verified on the physical plan) — and at
+    // gate scale the small labels side auto-broadcasts, so the edge
+    // side never shuffles anyway. At production |V| the per-round
+    // label shuffle is the large-star/small-star trade-off already
+    // described above.
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))
       .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
-      .localCheckpoint() // materialize once; every round reuses it
-    // label rows are a few longs — size the per-round shuffles from
-    // the (already materialized, so count() is a cheap scan) edge list
-    graft.Tables.withShufflePartitions(spark, partitionsForEdges(sym.count())) {
+      .localCheckpoint()
+    // AQE is OFF inside the loop: the plan shape is identical every
+    // round and the shuffle width is already sized to the data here,
+    // so AQE's per-stage re-planning round-trips (×~5 stages ×
+    // O(log diameter) rounds) buy nothing and dominated the measured
+    // round cost.
+    graft.Tables.withConfs(spark,
+      "spark.sql.shuffle.partitions" -> partitionsForEdges(sym.count()).toString,
+      "spark.sql.adaptive.enabled" -> "false") {
       var labels = sym.select(col("src").as("id")).distinct()
         .withColumn("comp", col("id"))
         .localCheckpoint()
+      // Convergence test: labels only ever DECREASE (min is monotone),
+      // so the fixpoint is reached exactly when sum(comp) stops
+      // falling. Tracking the sum replaces the previous per-round
+      // join-with-old-labels + filtered count — one fewer join in
+      // every round's lineage, and the sum is a one-stage scan of the
+      // just-checkpointed rows. No overflow: doc_ids and vertex counts
+      // are far below 2^31, so the sum stays under 2^62.
+      var prevSum = Long.MaxValue
       var converged = false
       var round = 0
       while (!converged) {
@@ -82,19 +104,17 @@ object DupClusters {
         // rounds than its extra join stages cost.
         val jump = propagated
           .select(col("id").as("jid"), col("comp").as("jcomp"))
-        // carry the previous label through the checkpoint so the
-        // convergence count is a scan of already-materialized rows —
-        // one action per round, not a second join+count job
         val next = propagated.join(jump, propagated("comp") === jump("jid"), "left")
           .select(propagated("id"),
             coalesce(col("jcomp"), propagated("comp")).as("comp"))
-          .join(labels.select(col("id"), col("comp").as("old")), "id")
           .localCheckpoint()
-        val changes = next.where(col("comp") =!= col("old")).count()
-        labels = next.select(col("id"), col("comp"))
-        converged = changes == 0L
+        val labelSum = // coalesce: sum over an empty vertex set is null
+          next.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+        labels = next
+        converged = labelSum == prevSum
+        prevSum = labelSum
         if (sys.env.contains("GRAFT_CC_DEBUG"))
-          System.err.println(s"[cc] round done, changes=$changes t=${System.nanoTime()/1e9}")
+          System.err.println(s"[cc] round done, sum=$labelSum t=${System.nanoTime()/1e9}")
       }
       labels
     }
