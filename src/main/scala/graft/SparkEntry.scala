@@ -98,6 +98,7 @@ object SparkEntry {
     "q_stream_join" -> (PipelineQueries.streamJoin _),
     "q_csv_scan" -> (PipelineQueries.csvScan _),
     "q_salted_join" -> (PipelineQueries.saltedJoin _),
+    "q_bloom_join" -> (BloomJoin.bloomSemiLineitems _),
     "q_pruned_kpis" -> (PipelineQueries.prunedKpis _),
     "q_stateful_sessions" -> (PipelineQueries.statefulSessions _),
     // §2.11 E3 vectors
@@ -280,6 +281,13 @@ object SparkEntry {
       """SELECT o_orderkey, count(*) AS n_items,
         |  round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_returnflag, count(*) AS n_lines,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pruned_kpis" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS dt,
