@@ -166,40 +166,45 @@ object VectorQueries {
   private[graft] def nlistFor(n: Long): Int =
     math.min(65536, math.max(4, math.round(math.sqrt(n.toDouble)).toInt))
 
-  /** Recall instrumentation for the ANN queries: joins the ANN top-k
-    * against the exact [[knnBrute]] top-k (both sides are ≤k rows —
-    * driver-negligible aggregates, broadcast) and emits
-    * `recall_10` (fraction of brute neighbors the ANN probe found) and
-    * `recall_ok` (recall_10 ≥ minRecall) on every output row. The
+  /** Recall instrumentation for the ANN queries: emits `recall_10`
+    * (fraction of exact [[knnBrute]] neighbors the ANN probe found)
+    * and `recall_ok` (recall_10 ≥ minRecall) on every output row. The
     * queries stay rows-only under the driver gate (bucket/centroid
-    * choice is engine-defined) but are now SELF-ASSERTING: a recall
+    * choice is engine-defined) but are SELF-ASSERTING: a recall
     * regression flips recall_ok to false in the verify dump, and
-    * VectorQueriesSpec asserts the column. Cost: one extra corpus
-    * scan for the brute side — the accuracy-gate discipline of
-    * q_approx_distinct (KpiQueries.scala) applied to ANN. */
-  private def withRecall(ann: DataFrame, brute: DataFrame,
+    * VectorQueriesSpec asserts the column.
+    *
+    * The exact top-10 ids are memoized per dir ([[bruteTop10Ids]] —
+    * the ANALYZE-TABLE discipline of Tables.rowCount / saltedJoin's
+    * hot keys): the gated queries audit recall against a FIXED probe,
+    * so the ≤k-row brute result is a per-dir statistic, not per-query
+    * work. Round 4 paid a second full corpus scan per gated run just
+    * for instrumentation; now the scan runs once per (process, dir)
+    * and recall is a driver-side ≤k-element IN list — no join, no
+    * window count, no extra scan in the steady state. This is also
+    * the production posture: recall auditing samples a fixed probe
+    * set against a maintained exact answer, it does not brute-force
+    * per query. */
+  private val bruteCache = scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
+  private def bruteTop10Ids(spark: SparkSession, dir: String): Array[Long] =
+    bruteCache.getOrElseUpdate(dir,
+      knnBrute(spark, dir).select(col("vec_id")).collect().map(_.getLong(0)))
+
+  private def withRecall(ann: DataFrame, bruteIds: Array[Long],
                          minRecall: Double = 0.8): DataFrame = {
-    // single evaluation of each side: mark ANN rows that appear in the
-    // exact top-k (broadcast left join on the ≤k-row brute result),
-    // then a one-partition window over the ≤k ANN rows turns the hit
-    // count into a recall column on every row. The naive
-    // collect_set-intersection formulation evaluates the ANN plan
-    // twice (once for rows, once for the set) — at gate scale that is
-    // a second full probe. The denominator is the brute side's ACTUAL
-    // row count (carried as a window-count column through the join —
-    // no second evaluation), not the nominal k: a brute result shorter
-    // than k (tiny corpus, changed limit) must not understate recall.
+    // recall = |ANN ∩ exact| / |exact| stamped on every row via a
+    // one-partition window over the ≤k ANN rows. The denominator is
+    // the brute side's ACTUAL row count, not the nominal k: a brute
+    // result shorter than k (tiny corpus, changed limit) must not
+    // understate recall. Empty exact set ⇒ vacuously 1.0.
     val w = Window.partitionBy(lit(1))
-    val bruteN = brute
-      .select(col("vec_id").as("brute_id"))
-      .withColumn("brute_n", count(lit(1)).over(Window.partitionBy(lit(1))))
-    ann.join(broadcast(bruteN), col("vec_id") === col("brute_id"), "left")
-      .withColumn("hit", when(col("brute_id").isNotNull, 1.0).otherwise(0.0))
-      .withColumn("recall_10",
-        F.roundBin(coalesce(
-          sum(col("hit")).over(w) / max(col("brute_n")).over(w), lit(1.0)), 2))
+    val recall =
+      if (bruteIds.isEmpty) lit(1.0)
+      else F.roundBin(
+        sum(when(col("vec_id").isin(bruteIds.map(Long.box).toSeq: _*), 1.0)
+          .otherwise(0.0)).over(w) / lit(bruteIds.length.toDouble), 2)
+    ann.withColumn("recall_10", recall)
       .withColumn("recall_ok", col("recall_10") >= lit(minRecall))
-      .drop("brute_id", "brute_n", "hit")
   }
 
   /** E3 scale path #2: IVF (inverted-file) ANN. Coarse quantizer =
@@ -336,11 +341,11 @@ object VectorQueries {
     * recall_ok assertion column every round; the raw functions stay
     * as-is for PlanSpec's no-shuffle assertions on the probe path. */
   def annLshGated(spark: SparkSession, dir: String): DataFrame =
-    withRecall(annLsh(spark, dir), knnBrute(spark, dir))
+    withRecall(annLsh(spark, dir), bruteTop10Ids(spark, dir))
   def annIvfGated(spark: SparkSession, dir: String): DataFrame =
-    withRecall(annIvf(spark, dir), knnBrute(spark, dir))
+    withRecall(annIvf(spark, dir), bruteTop10Ids(spark, dir))
   def annIvfKmeansGated(spark: SparkSession, dir: String): DataFrame =
-    withRecall(annIvfKmeans(spark, dir), knnBrute(spark, dir))
+    withRecall(annIvfKmeans(spark, dir), bruteTop10Ids(spark, dir))
 
   def annLsh(spark: SparkSession, dir: String,
              targetBucket: Int = 64): DataFrame = {
