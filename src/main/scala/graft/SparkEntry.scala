@@ -99,6 +99,7 @@ object SparkEntry {
     "q_csv_scan" -> (PipelineQueries.csvScan _),
     "q_salted_join" -> (PipelineQueries.saltedJoin _),
     "q_bloom_join" -> (BloomJoin.bloomSemiLineitems _),
+    "q_sorted_scan" -> (SortedLayout.tsRangeKpis _),
     "q_pruned_kpis" -> (PipelineQueries.prunedKpis _),
     "q_stateful_sessions" -> (PipelineQueries.statefulSessions _),
     // §2.11 E3 vectors
@@ -288,6 +289,14 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sorted_scan" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |  count(*) AS total_events,
+        |  count(DISTINCT user_id) AS unique_users,
+        |  round(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS revenue_usd
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pruned_kpis" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS dt,
