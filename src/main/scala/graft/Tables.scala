@@ -92,6 +92,11 @@ object Tables {
       // paying a full-width task-scheduling round.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // modern parquet timestamps: the INT96 default is a deprecated
+      // type with NO column statistics and no filter pushdown — any
+      // derived table written with it silently loses zone-map pruning
+      // (discovered via SortedLayout; see SortedLayoutSpec)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // task-side output commit (v2): the v1 default renames every
       // task's partition dirs sequentially on the driver at job
       // commit — O(partitions) driver wall-clock on every partitioned
