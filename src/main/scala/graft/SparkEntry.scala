@@ -95,6 +95,7 @@ object SparkEntry {
     "q_stream_hourly" -> (PipelineQueries.streamHourly _),
     "q_stream_enrich" -> (PipelineQueries.streamEnrich _),
     "q_stream_dedup" -> (PipelineQueries.streamDedup _),
+    "q_stream_upsert" -> (PipelineQueries.streamUpsertKpis _),
     "q_stream_join" -> (PipelineQueries.streamJoin _),
     "q_csv_scan" -> (PipelineQueries.csvScan _),
     "q_salted_join" -> (PipelineQueries.saltedJoin _),
@@ -265,6 +266,14 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM events WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.HourlyCutoff}'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_stream_upsert" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |  count(*) AS total_events,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('page_view','pageview','view') THEN 1 ELSE 0 END) AS BIGINT) AS pageviews,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  round(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS revenue_usd
+        |FROM events WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.StreamCutoff}'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_enrich" ->
       s"""WITH m(et, category) AS (VALUES
         |  ${operators.PipelineQueries.EnrichDim.map { case (k, v) => s"('$k', '$v')" }.mkString(", ")}),
