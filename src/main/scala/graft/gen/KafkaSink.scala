@@ -29,6 +29,6 @@ object KafkaSink {
     * serialization is unit-testable without a broker. */
   def toMessages(events: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
-    events.select(to_json(struct(events.columns.map(col): _*)).as("value"))
+    events.select(to_json(struct(events.columns.toIndexedSeq.map(col): _*)).as("value"))
   }
 }

@@ -47,7 +47,7 @@ object AsOfJoin {
       .orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val filled = rCols.foldLeft(l.unionByName(r.select(l.columns.map(col): _*))) {
+    val filled = rCols.foldLeft(l.unionByName(r.select(l.columns.toIndexedSeq.map(col): _*))) {
       case (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
     }
     filled.where(col("__side") === 1).drop("__t", "__side")

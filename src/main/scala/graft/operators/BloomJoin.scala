@@ -44,7 +44,7 @@ object BloomJoin {
   def buildSketch(build: DataFrame, key: Column, estimatedItems: Long): Array[Byte] =
     build.agg(aggColumn(new BloomFilterAggregate(
         new XxHash64(Seq(toExpr(key))), estimatedItems)))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
 
   /** Probe-side predicate: true iff `key` MIGHT be in the sketch. */
   def mightContain(sketch: Array[Byte], key: Column): Column =

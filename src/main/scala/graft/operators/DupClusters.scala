@@ -109,7 +109,7 @@ object DupClusters {
             coalesce(col("jcomp"), propagated("comp")).as("comp"))
           .localCheckpoint()
         val labelSum = // coalesce: sum over an empty vertex set is null
-          next.agg(coalesce(sum(col("comp")), lit(0L))).head.getLong(0)
+          next.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
         labels = next
         converged = labelSum == prevSum
         prevSum = labelSum

@@ -1,6 +1,7 @@
 package graft.operators
 
 import java.nio.file.Files
+import scala.annotation.nowarn
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.batch.DailyKpis
@@ -171,6 +172,7 @@ object PipelineQueries {
     * through StatefulSessions; the sentinel closes every real session
     * (its own session stays open and unemitted), so emitted counts
     * must equal a SQL lag-gap sessionization of the fixture. */
+  @nowarn("cat=deprecation") // Trigger.Once is the deliberate choice (see in-method comment); deprecation acknowledged
   def statefulSessions(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.streaming.StatefulSessions
@@ -301,6 +303,7 @@ object PipelineQueries {
     * joined pairs land append-mode in the raw zone; the gate aggregates
     * landed pairs per purchase-day against a direct SQL self-join over
     * the fixture with identical (second-truncated) timestamps. */
+  @nowarn("cat=deprecation") // Trigger.Once is the deliberate choice (see in-method comment); deprecation acknowledged
   def streamJoin(spark: SparkSession, dir: String): DataFrame = {
     // dedicated zone: only the event types either join side consumes
     // (the upstream-producer-publishes-relevant-topics shape), sliced

@@ -52,7 +52,7 @@ class PipelineSpec extends SparkSpec {
 
     // EP1: produce JSONL with reference-shaped garbage interleaved
     val events = EventGenerator.events(spark, n, seed = "e2e")
-    events.select(to_json(struct(events.columns.map(col): _*)).as("value"))
+    events.select(to_json(struct(events.columns.toIndexedSeq.map(col): _*)).as("value"))
       .coalesce(2).write.mode("overwrite").text(inDir.toString)
     Files.writeString(inDir.resolve("garbage.txt"),
       "not json at all\n\n{\"event_ts\": \"broken\n{}\n")
@@ -113,7 +113,7 @@ class PipelineSpec extends SparkSpec {
     val inDir = tmp("graft-day-in")
     val kpiDir = tmp("graft-kpis")
     val events = EventGenerator.events(spark, 1500, seed = "day")
-    events.select(to_json(struct(events.columns.map(col): _*)).as("value"))
+    events.select(to_json(struct(events.columns.toIndexedSeq.map(col): _*)).as("value"))
       .coalesce(1).write.mode("overwrite").text(inDir.toString)
 
     val all = DailyKpis.compute(spark, inDir.toString).collect()
