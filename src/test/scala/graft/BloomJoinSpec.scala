@@ -64,6 +64,20 @@ class BloomJoinSpec extends SparkSpec {
         s"pruning happens after the shuffle it was meant to avoid:\n$p")
   }
 
+  test("empty build side: null sketch filters everything, join returns empty") {
+    // BloomFilterAggregate over zero rows yields a NULL sketch;
+    // might_contain(NULL, x) is NULL, so the pre-filter drops every
+    // probe row and the semi join is vacuously empty — the same
+    // answer as the plain semi join against an empty build side,
+    // with no NPE anywhere on the path
+    val li = Tables.load(spark, sf, "lineitem")
+    val none = Tables.load(spark, sf, "orders")
+      .where(col("o_orderkey") < 0).select(col("o_orderkey"))
+    val got = graft.operators.BloomJoin
+      .semiJoin(li, none, "l_orderkey", "o_orderkey", 1024L)
+    assert(got.count() === 0L)
+  }
+
   test("gate query returns the per-flag rollup") {
     val rows = BloomJoin.bloomSemiLineitems(spark, sf).collect()
     assert(rows.nonEmpty)
