@@ -102,6 +102,7 @@ object SparkEntry {
     "q_bloom_join" -> (BloomJoin.bloomSemiLineitems _),
     "q_sorted_scan" -> (SortedLayout.tsRangeKpis _),
     "q_pruned_kpis" -> (PipelineQueries.prunedKpis _),
+    "q_compact_kpis" -> (PipelineQueries.compactKpis _),
     "q_stateful_sessions" -> (PipelineQueries.statefulSessions _),
     // §2.11 E3 vectors
     "q_knn_brute" -> (VectorQueries.knnBrute _),
@@ -306,6 +307,17 @@ object SparkEntry {
         |  round(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS revenue_usd
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_compact_kpis" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |  count(*) AS total_events,
+        |  count(DISTINCT user_id) AS unique_users,
+        |  count(DISTINCT event_id) AS unique_sessions,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('page_view','pageview','view') THEN 1 ELSE 0 END) AS BIGINT) AS pageviews,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  round(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS revenue_usd
+        |FROM events
+        |WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.StreamCutoff}'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_pruned_kpis" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS dt,

@@ -116,6 +116,49 @@ object PipelineQueries {
     out.toString
   })
 
+  /** Fragmented variant of the partitioned zone — 12 files per
+    * (date, hour) dir, the state a minutely-triggered streaming sink
+    * leaves behind (each task writes into every partition it holds
+    * rows for; the deliberately-unkeyed repartition(12) reproduces
+    * that). Fixture setup, built once per JVM. */
+  private[graft] def writeFragmentedZone(spark: SparkSession, dir: String): String =
+    zoneCache.getOrElseUpdate(("graft-fragzone", dir, None), {
+      val out = Files.createTempDirectory("graft-fragzone")
+      out.toFile.deleteOnExit()
+      load(spark, dir, "events")
+        .where(to_date(col("ts")) < lit(StreamCutoff))
+        .select(
+          concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z")).as("event_ts"),
+          col("user_id").cast("string").as("user_id"),
+          col("event_id").cast("string").as("session_id"),
+          col("event_type"),
+          col("value").as("price"),
+          date_format(col("ts"), "yyyy-MM-dd").as("date"),
+          date_format(col("ts"), "HH").as("hour"))
+        .repartition(12)
+        .write.mode("overwrite").partitionBy("date", "hour")
+        .format("json").save(out.toString)
+      out.toString
+    })
+
+  /** Small-files compaction under the oracle gate (batch/Compaction):
+    * the fragmented zone (12 files per partition dir) is compacted to
+    * one file per partition, then the standard KPI job runs over the
+    * compacted zone — the oracle certifies compaction changed the
+    * LAYOUT and nothing else. CompactionSpec additionally asserts the
+    * file-count collapse and raw-line conservation (incl. malformed
+    * lines, which a parsing compactor would destroy). */
+  def compactKpis(spark: SparkSession, dir: String): DataFrame = {
+    val frag = writeFragmentedZone(spark, dir)
+    val out = Files.createTempDirectory("graft-compact-out")
+    out.toFile.deleteOnExit()
+    graft.batch.Compaction.compactZone(spark, frag, out.toString)
+    DailyKpis.compute(spark, out.toString)
+      .select(col("dt"), col("total_events"), col("unique_users"),
+        col("unique_sessions"), col("pageviews"), col("purchases"),
+        col("revenue_usd"))
+  }
+
   /** S6 Hive-layout partition-pruned scan under the oracle gate
     * (reference: daily_kpis.py:155-156 S3 prefix prune): the KPI job
     * runs against the partitioned raw zone with `day=PruneDay`; the
