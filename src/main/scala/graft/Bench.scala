@@ -66,7 +66,12 @@ object Bench {
     val results = SparkEntry.queries.map { case (name, fn) =>
       val samples = Seq.fill(3) {
         val t0 = System.nanoTime()
-        try forceEval(fn(spark, sfDir)) catch { case _: Throwable => }
+        // a failing query must not kill the whole record, but it must
+        // not SILENTLY record a ~0 s time either — say so on stderr
+        try forceEval(fn(spark, sfDir)) catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }.sorted
       name -> samples(samples.size / 2)
