@@ -63,18 +63,22 @@ object Bench {
     // probe: a one-off scheduling stall or GC pause (or a loaded
     // machine — the round-4 committed record was 2.3× inflated by a
     // concurrent oracle sweep) lands in one sample, not the record.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // A failing query must not kill the whole record, but it must not
+    // record a time either: time-to-failure (often ~0 s) folded into
+    // the median is indistinguishable from a fast pass for a consumer
+    // of the JSON. Failed queries record as JSON null (+ stderr).
+    val results: Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
+      var failed = false
       val samples = Seq.fill(3) {
         val t0 = System.nanoTime()
-        // a failing query must not kill the whole record, but it must
-        // not SILENTLY record a ~0 s time either — say so on stderr
         try forceEval(fn(spark, sfDir)) catch {
           case e: Throwable =>
+            failed = true
             System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
-      name -> samples(samples.size / 2)
+      name -> (if (failed) None else Some(samples(samples.size / 2)))
     }
     // ms precision: full-precision doubles tripled the line length and
     // round 3's driver tail-capture truncated it mid-object (BENCH_r03
@@ -83,22 +87,28 @@ object Bench {
     // comma-decimal default locale would silently break the JSON.
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(ms) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val (pipes, ops) = results.partition { case (k, _) => Pipelines(k) }
+    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val failedNames = results.collect { case (k, None) => k }.toSeq.sorted
+    val total = ok.values.sum
+    val (pipes, ops) = ok.partition { case (k, _) => Pipelines(k) }
     val pipeNames = Pipelines.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""floor_sec":${ms(floor)},""" +
       s""""operators_sec":${ms(ops.values.sum)},"pipelines_sec":${ms(pipes.values.sum)},""" +
-      s""""pipeline_queries":$pipeNames,""" +
+      s""""pipeline_queries":$pipeNames,"failed_queries":$failedJson,""" +
       s""""queries":$qs,"sf":"$sfDir","mode":"steady-state"}"""
     // Durable copy first: if the driver's stdout tail-capture ever
     // truncates again, the committed file still holds the full record.
-    // Path is absolute (arg-overridable), not CWD-relative, and a
-    // failed write is reported — a silent failure left the committed
-    // record stale in earlier rounds.
-    val outPath = args.headOption.getOrElse("/root/repo/bench.json")
+    // Default derives from the working directory (sbt runMain runs at
+    // the repo root) so other checkouts don't write to a foreign
+    // absolute path; still arg-overridable, and a failed write is
+    // reported — a silent failure left the committed record stale in
+    // earlier rounds.
+    val outPath = args.headOption.getOrElse(
+      java.nio.file.Paths.get(sys.props("user.dir"), "bench.json").toString)
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch {
       case e: Throwable =>

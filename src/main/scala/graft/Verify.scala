@@ -19,6 +19,10 @@ object Verify {
     val spark = Tables.session()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Queries that can't be SQL-oracled (ANN) embed a self-checking
+    // `recall_ok` boolean column; a false row at ANY scale must fail the
+    // dump loudly, not slide through as a rows-only pass.
+    var recallFailures = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -26,6 +30,14 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
+        val written = spark.read.parquet(s"$outDir/$name")
+        if (written.columns.contains("recall_ok")) {
+          val bad = written.where(!org.apache.spark.sql.functions.col("recall_ok")).count()
+          if (bad > 0) {
+            recallFailures ::= name
+            System.err.println(s"[verify] $name RECALL FAILURE: $bad recall_ok=false rows")
+          }
+        }
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
@@ -47,5 +59,9 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (recallFailures.nonEmpty) {
+      System.err.println(s"[verify] RECALL GATE FAILED: ${recallFailures.mkString(", ")}")
+      sys.exit(3)
+    }
   }
 }

@@ -34,18 +34,43 @@ import org.apache.spark.sql.functions._
 object Compaction {
 
   /** Rewrite `zone` (line-oriented, `date=/hour=` Hive layout) into
-    * `out` with `filesPerPartition` files per (date, hour). Returns
-    * the compacted line count for the caller's conservation check. */
+    * `out` with `filesPerPartition` files per (date, hour).
+    *
+    * Partition values round-trip VERBATIM: partition-column type
+    * inference is disabled for the read, because inferred types
+    * silently rewrite the layout contract on the way out —
+    * `hour=00` parses as integer 0 and is re-written as `hour=0`,
+    * `date=` becomes DateType — breaking prefix-based pruners (the
+    * reference's S3 prefix prune, daily_kpis.py:155-156) that expect
+    * the documented `date=YYYY-MM-DD/hour=HH` dirs.
+    *
+    * Pure rewrite — no verification read. Callers wanting the
+    * conservation check pay for it explicitly via [[countLines]]
+    * (a second full scan of the zone; at 100 TB that doubles
+    * compaction read I/O, so it must never be on the default path). */
   def compactZone(spark: SparkSession, zone: String, out: String,
-                  filesPerPartition: Int = 1): Long = {
-    val in = spark.read.text(zone) // value + discovered date/hour
-    val keys =
-      if (filesPerPartition <= 1) Seq(col("date"), col("hour"))
-      else Seq(col("date"), col("hour"),
-        pmod(xxhash64(col("value")), lit(filesPerPartition)))
-    in.repartition(keys: _*)
-      .write.mode("overwrite")
-      .partitionBy("date", "hour").text(out)
-    spark.read.text(out).count()
+                  filesPerPartition: Int = 1): Unit = {
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val saved = spark.conf.getOption(inferKey)
+    spark.conf.set(inferKey, "false")
+    try {
+      val in = spark.read.text(zone) // value + discovered date/hour (as strings)
+      val keys =
+        if (filesPerPartition <= 1) Seq(col("date"), col("hour"))
+        else Seq(col("date"), col("hour"),
+          pmod(xxhash64(col("value")), lit(filesPerPartition)))
+      in.repartition(keys: _*)
+        .write.mode("overwrite")
+        .partitionBy("date", "hour").text(out)
+    } finally saved match {
+      case Some(v) => spark.conf.set(inferKey, v)
+      case None    => spark.conf.unset(inferKey)
+    }
   }
+
+  /** Full-scan line count of a line-oriented zone — the explicit,
+    * opt-in half of the conservation check (count before and after,
+    * compare). Spec-path only at fixture scale. */
+  def countLines(spark: SparkSession, zone: String): Long =
+    spark.read.text(zone).count()
 }

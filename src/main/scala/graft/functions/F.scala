@@ -57,9 +57,10 @@ object F {
   def nearestCentroid(v: Column, cents: Column): Column =
     column(NearestCentroid(expr(v), expr(cents)))
 
-  /** Packed sign-bit LSH bucket id (see [[HyperplaneBucket]]). */
-  def hyperplaneBucket(c: Column, bits: Int): Column =
-    column(HyperplaneBucket(expr(c), bits))
+  /** Packed sign-bit LSH bucket id (see [[HyperplaneBucket]]); `seed`
+    * selects an independent hyperplane family per LSH table. */
+  def hyperplaneBucket(c: Column, bits: Int, seed: Long = 0L): Column =
+    column(HyperplaneBucket(expr(c), bits, seed))
 
   /** Arithmetic fixture payload bytes (see [[PayloadBytes]]). */
   def payloadBytes(id: Column, len: Column): Column =

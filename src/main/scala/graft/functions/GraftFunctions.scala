@@ -41,7 +41,8 @@ object GraftFunctions {
     "l2_norm" -> (args => L2Norm(args.head)),
     "round_bin" -> (args => RoundBin(args.head, args(1))),
     "hyperplane_bucket" -> (args =>
-      HyperplaneBucket(args.head, intArg("hyperplane_bucket", args(1)))),
+      HyperplaneBucket(args.head, intArg("hyperplane_bucket", args(1)),
+        if (args.length > 2) intArg("hyperplane_bucket", args(2)).toLong else 0L)),
     "nearest_centroid" -> (args => NearestCentroid(args.head, args(1))),
     "jaccard_ge" -> (args =>
       JaccardGe(args.head, args(1), doubleArg("jaccard_ge", args(2)))),

@@ -175,7 +175,7 @@ case class L2Norm(child: Expression)
   * native loop: the higher-order-function formulation codegens a
   * bits×dim expression tree (compile-time blowup) and runs
   * interpreted. */
-case class HyperplaneBucket(child: Expression, bits: Int)
+case class HyperplaneBucket(child: Expression, bits: Int, seed: Long = 0L)
     extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -186,10 +186,11 @@ case class HyperplaneBucket(child: Expression, bits: Int)
   override def prettyName: String = "hyperplane_bucket"
 
   override def nullSafeEval(input: Any): Any =
-    Sketches.hyperplaneBucket(input.asInstanceOf[ArrayData], bits)
+    Sketches.hyperplaneBucket(input.asInstanceOf[ArrayData], bits, seed)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.Sketches.hyperplaneBucket($c, $bits)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sketches.hyperplaneBucket($c, $bits, ${seed}L)")
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneBucket =
     copy(child = newChild)
@@ -581,24 +582,31 @@ object Sketches {
   }
 
   /** Sign-matrix cache for hyperplane buckets: one bits×dim ±1 table
-    * per (bits, dim), hash-derived, built once per JVM. */
+    * per (bits, dim, seed), hash-derived, built once per JVM. The seed
+    * selects an INDEPENDENT hyperplane family — the multi-table LSH
+    * amplification lever (L independent tables OR-ed raise recall to
+    * 1-(1-p)^L while each table stays a cheap bucketed probe). */
   private val signCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Double]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Long), Array[Double]]()
 
-  private def signs(bits: Int, dim: Int): Array[Double] =
-    signCache.computeIfAbsent((bits, dim), { case (b, d) =>
+  private def signs(bits: Int, dim: Int, seed: Long): Array[Double] =
+    signCache.computeIfAbsent((bits, dim, seed), { case (b, d, s) =>
+      val tableSeed = XXH64.hashLong(s, XxSeed)
       val m = new Array[Double](b * d)
       var i = 0
       while (i < b * d) {
-        m(i) = if ((XXH64.hashLong(i.toLong, XxSeed) & 1L) == 0L) 1.0 else -1.0
+        m(i) = if ((XXH64.hashLong(i.toLong, tableSeed) & 1L) == 0L) 1.0 else -1.0
         i += 1
       }
       m
     })
 
-  def hyperplaneBucket(v: ArrayData, bits: Int): Long = {
+  def hyperplaneBucket(v: ArrayData, bits: Int): Long =
+    hyperplaneBucket(v, bits, 0L)
+
+  def hyperplaneBucket(v: ArrayData, bits: Int, seed: Long): Long = {
     val n = v.numElements()
-    val m = signs(bits, n)
+    val m = signs(bits, n, seed)
     var out = 0L
     var i = 0
     while (i < bits) {

@@ -11,28 +11,43 @@ import org.apache.spark.sql.functions._
   * alone can't answer "which docs do I drop" when dups chain
   * (a~b, b~c but a≁c must still collapse to one keeper).
   *
-  * Algorithm: min-label propagation to a fixpoint — every vertex
-  * repeatedly adopts the smallest doc_id reachable through its
-  * neighbors, converging in O(component diameter) rounds (near-dup
-  * clusters are shallow; 2–4 rounds in practice). Each round is one
-  * shuffle (join + groupBy-min); `localCheckpoint` truncates lineage
-  * per round so plan depth stays constant, and the edge list is
-  * cached once rather than re-derived from text each round.
+  * Algorithm: alternating large-star / small-star contraction
+  * (the two-rule MapReduce CC algorithm published by Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14 — public
+  * literature, restated here on DataFrames):
   *
-  * 100 TB posture: rounds ∝ diameter, not corpus size; each round
-  * shuffles (vertex, label) longs only — never text. For adversarial
-  * graphs (long chains) the alternating large-star/small-star variant
-  * bounds rounds at O(log n) with the same per-round shape; the
-  * convergence loop below is the same skeleton with a different
-  * neighbor rule.
+  *  - large-star(u): every strictly-LARGER neighbor of u re-attaches
+  *    to m = min(N(u) ∪ {u});
+  *  - small-star(u): every smaller-or-equal neighbor of u, and u
+  *    itself, re-attaches to m = min(N(u) ∪ {u}).
+  *
+  * Both rules preserve connectivity, and the alternation provably
+  * converges to a forest of stars (every vertex pointing directly at
+  * its component minimum) in O(log n) rounds EVEN ON ADVERSARIAL
+  * long-chain graphs — unlike plain neighbor-min propagation, whose
+  * round count is the component diameter (a 10^6-long chain would
+  * take 10^6 rounds; DupClustersSpec pins the log bound on a 10k
+  * path). Real near-dup clusters are shallow (2–4 rounds either
+  * way); the log bound is the insurance for the graphs you didn't
+  * anticipate.
+  *
+  * Each rule is one hash-partition of the edge list by star center
+  * (a window min + map-side re-emit — no join), `localCheckpoint`
+  * truncates lineage per round so plan depth stays constant.
+  *
+  * 100 TB posture: rounds ≤ O(log n); each round shuffles (u, v)
+  * long pairs only — never text. Edge rows only ever move DOWNWARD
+  * (every rewrite points at a neighborhood minimum), so per-round
+  * volume is bounded by the symmetrized edge count and shrinks as
+  * stars form.
   */
 object DupClusters {
 
-  /** Rounds are O(log diameter) by pointer jumping; real dup graphs
-    * converge in 2–4. The guard exists so that any future
-    * nondeterminism in the label rule fails the gate fast with a
+  /** Rounds are O(log n) by the large-star/small-star bound; real dup
+    * graphs converge in 2–4. The guard exists so that any future
+    * nondeterminism in the edge rules fails the gate fast with a
     * diagnosis instead of hanging the verify/bench run in an infinite
-    * loop (label monotonicity guarantees convergence today). */
+    * loop (star-formation convergence is proven today). */
   private val MaxRounds = 64
 
   /** Shuffle-partition count for the label-propagation rounds, sized
@@ -48,39 +63,46 @@ object DupClusters {
 
   /** Connected components of an undirected edge list (a, b) → rows
     * (id, comp) where comp = min doc_id of the component. */
-  def components(edges: DataFrame, a: String, b: String): DataFrame = {
+  def components(edges: DataFrame, a: String, b: String): DataFrame =
+    componentsWithRounds(edges, a, b)._1
+
+  /** [[components]] plus the number of large-star/small-star rounds it
+    * took — exposed so DupClustersSpec can pin the O(log n) round
+    * bound on an adversarial path graph. */
+  private[graft] def componentsWithRounds(
+      edges: DataFrame, a: String, b: String): (DataFrame, Int) = {
     val spark = edges.sparkSession
-    // materialize the pair-detector output once (counting it must not
-    // re-run detection) and size the loop's shuffles from it. Note the
-    // checkpointed edge list is NOT pre-partitioned: LogicalRDD
-    // reports UnknownPartitioning, so a pre-shuffle cannot be reused
-    // by the per-round joins (verified on the physical plan) — and at
-    // gate scale the small labels side auto-broadcasts, so the edge
-    // side never shuffles anyway. At production |V| the per-round
-    // label shuffle is the large-star/small-star trade-off already
-    // described above.
-    val sym = edges.select(col(a).as("src"), col(b).as("dst"))
-      .unionByName(edges.select(col(b).as("src"), col(a).as("dst")))
+    import org.apache.spark.sql.expressions.Window
+    // Canonical directed form (u > v), self-loops dropped, deduped;
+    // materialized once — counting it to size the loop's shuffles must
+    // not re-run pair detection.
+    val init = edges
+      .select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
+      .where(col("u") =!= col("v")).distinct()
       .localCheckpoint()
     // AQE is OFF inside the loop: the plan shape is identical every
     // round and the shuffle width is already sized to the data here,
-    // so AQE's per-stage re-planning round-trips (×~5 stages ×
-    // O(log diameter) rounds) buy nothing and dominated the measured
-    // round cost.
+    // so AQE's per-stage re-planning round-trips (× stages × rounds)
+    // buy nothing and dominated the measured round cost.
     graft.Tables.withConfs(spark,
-      "spark.sql.shuffle.partitions" -> partitionsForEdges(sym.count()).toString,
+      "spark.sql.shuffle.partitions" -> partitionsForEdges(2 * init.count()).toString,
       "spark.sql.adaptive.enabled" -> "false") {
-      var labels = sym.select(col("src").as("id")).distinct()
-        .withColumn("comp", col("id"))
-        .localCheckpoint()
-      // Convergence test: labels only ever DECREASE (min is monotone),
-      // so the fixpoint is reached exactly when sum(comp) stops
-      // falling. Tracking the sum replaces the previous per-round
-      // join-with-old-labels + filtered count — one fewer join in
-      // every round's lineage, and the sum is a one-stage scan of the
-      // just-checkpointed rows. No overflow: doc_ids and vertex counts
-      // are far below 2^31, so the sum stays under 2^62.
-      var prevSum = Long.MaxValue
+      val wU = Window.partitionBy(col("u"))
+      var e = init
+      // Convergence test stays a cheap per-round sum: the edge set is
+      // a fixpoint exactly when both star rules rewrite it to itself,
+      // detected as an unchanged (count, Σv, Σxxhash64(u,v))
+      // fingerprint — one aggregate over the just-checkpointed rows.
+      // Σv is the monotone progress witness (endpoints only ever
+      // re-attach to neighborhood MINIMA); the order-insensitive hash
+      // sum makes a changed-but-same-sums edge set (an equal-sum edge
+      // swap) collide with probability ~2^-64 instead of by
+      // construction. Σv can't overflow (doc_ids and edge counts are
+      // far below 2^31); the hash sum runs in decimal(38,0) because
+      // ANSI mode (Spark 4 default) throws on long-sum overflow and
+      // xxhash64 values span the full long range.
+      var prev: (Long, Long, java.math.BigDecimal) =
+        (-1L, -1L, java.math.BigDecimal.ZERO)
       var converged = false
       var round = 0
       while (!converged) {
@@ -88,40 +110,55 @@ object DupClusters {
         if (round > MaxRounds)
           throw new IllegalStateException(
             s"DupClusters.components did not converge after $MaxRounds rounds — " +
-              "label rule is no longer monotone")
-        // phase 1 — neighbor min: every vertex adopts the smallest
-        // label among itself and its neighbors
-        val nbrMin = sym.join(labels, sym("src") === labels("id"))
-          .select(col("dst").as("id"), col("comp"))
-        val propagated = labels.unionByName(nbrMin)
-          .groupBy(col("id")).agg(min(col("comp")).as("comp"))
-        // phase 2 — pointer jump: adopt the label OF the label (path
-        // halving). Neighbor-min alone walks a chain one hop per
-        // round (O(diameter) rounds); the jump contracts label chains
-        // exponentially — O(log diameter) rounds, the contraction
-        // behind large-star/small-star at 100 TB. One jump per round
-        // measured best here: a second in-round jump saves fewer
-        // rounds than its extra join stages cost.
-        val jump = propagated
-          .select(col("id").as("jid"), col("comp").as("jcomp"))
-        // LAZY checkpoint: the convergence-sum action right below is
-        // the round's only job — it materializes the checkpoint as a
-        // side effect, so each round pays ONE action instead of an
-        // eager-checkpoint job plus a sum job (measured ~25% off the
-        // per-round wall time at gate scale).
-        val next = propagated.join(jump, propagated("comp") === jump("jid"), "left")
-          .select(propagated("id"),
-            coalesce(col("jcomp"), propagated("comp")).as("comp"))
+              "star rules are no longer contracting")
+        // large-star: symmetrize so every vertex sees its full
+        // neighborhood, take m = min(N(u) ∪ {u}) per star center via a
+        // window min (one hash-partition by u — no join), re-attach
+        // each LARGER neighbor to m. Output is canonical (v > m since
+        // m ≤ u < v). Duplicate (v, m) rows from different centers are
+        // tolerated here — min() is duplicate-insensitive and the
+        // small-star distinct below dedupes — saving a shuffle.
+        val sym = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+        val ls = sym
+          .withColumn("m", least(min(col("v")).over(wU), col("u")))
+          .where(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        // small-star: edges already point big→small, so N(u) here is
+        // exactly the smaller neighbors; m = min over them. The row
+        // carrying the minimum re-emits the center itself (u, m) —
+        // exactly once after distinct — and every other row re-attaches
+        // its smaller endpoint (x, m). Both outputs stay canonical
+        // (x > m, u > m).
+        val nextE = ls
+          .withColumn("m", min(col("v")).over(wU))
+          .select(
+            when(col("v") === col("m"), col("u")).otherwise(col("v")).as("u"),
+            col("m").as("v"))
+          .where(col("u") =!= col("v"))
+          .distinct()
+          // LAZY checkpoint: the fingerprint action right below is the
+          // round's only job — it materializes the checkpoint as a side
+          // effect, so each round pays ONE action instead of an
+          // eager-checkpoint job plus a stats job.
           .localCheckpoint(eager = false)
-        val labelSum = // coalesce: sum over an empty vertex set is null
-          next.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
-        labels = next
-        converged = labelSum == prevSum
-        prevSum = labelSum
+        val stats = nextE.agg(
+          count(lit(1)),
+          coalesce(sum(col("v")), lit(0L)),
+          coalesce(sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head()
+        val fp = (stats.getLong(0), stats.getLong(1),
+          stats.getDecimal(2).stripTrailingZeros())
+        e = nextE
+        converged = fp == prev
+        prev = fp
         if (sys.env.contains("GRAFT_CC_DEBUG"))
-          System.err.println(s"[cc] round done, sum=$labelSum t=${System.nanoTime()/1e9}")
+          System.err.println(s"[cc] round $round fp=$fp t=${System.nanoTime() / 1e9}")
       }
-      labels
+      // Fixpoint is a forest of stars: every non-root points straight
+      // at its component min; roots appear only on the v side.
+      val labels = e.select(col("u").as("id"), col("v").as("comp"))
+        .unionByName(e.select(col("v").as("id"), col("v").as("comp")).distinct())
+      (labels, round)
     }
   }
 

@@ -211,8 +211,14 @@ object KpiQueries {
     load(spark, dir, "events")
       .select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type"))
+      // rsd 0.01 ⇒ sketch σ ≈ 1% ⇒ the 5% gate sits at ~5 sigma — a
+      // reseeded fixture or new scale can't flip it spuriously. The
+      // wide 2^14-register buffer is safe HERE because the aggregate
+      // runs over the already-deduped pair set (thousands of rows,
+      // 5 groups), not the raw scan; the scan-adjacent production
+      // variant [[approxDistinctFast]] keeps the narrow 0.02 sketch.
       .agg(count(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=
           col("exact_users") * lit(0.05)).as("within_5pct"))

@@ -329,12 +329,13 @@ object VectorQueries {
 
   /** E3 scale path: random-hyperplane LSH ANN via the native
     * hyperplane_bucket expression (graft.functions.HyperplaneBucket —
-    * one fused loop with a cached sign matrix; the HOF formulation
-    * codegen'd a bits×dim expression tree). Buckets the corpus by the
-    * signature, then searches only the query's bucket. At 100 TB the
-    * bucketed table is written once (partitioned by bucket) and each
-    * query probes one partition — no corpus scan. No SQL oracle
-    * (hash-derived hyperplanes); verified by VectorQueriesSpec. */
+    * one fused loop with a cached sign matrix per (bits, dim, seed);
+    * the HOF formulation codegen'd a bits×dim expression tree).
+    * Buckets the corpus under L seeded tables, then searches only the
+    * query's probe buckets. At 100 TB the bucketed index is written
+    * once (partitioned by (table, bucket)) and each query probes its
+    * partitions — no corpus scan. No SQL oracle (hash-derived
+    * hyperplanes); verified by VectorQueriesSpec. */
   /** Driver-gate variants of the three ANN queries: identical probe
     * plans plus [[withRecall]] instrumentation. Declared in SparkEntry
     * so the verify dump carries a quantified recall@10 and a
@@ -347,27 +348,53 @@ object VectorQueries {
   def annIvfKmeansGated(spark: SparkSession, dir: String): DataFrame =
     withRecall(annIvfKmeans(spark, dir), bruteTop10Ids(spark, dir))
 
+  /** Multi-table: L independent hyperplane families (seeded kernel),
+    * candidates OR-ed across tables. A single table multiprobed at
+    * Hamming ≤2 tops out near p ≈ 0.2–0.4 recall when true neighbors
+    * sit at weak cosine (near-orthogonal angles flip each sign bit
+    * with prob ≈ 0.4 — the r6 sf0.1 recall-gate finding); OR-ing L
+    * tables amplifies to 1-(1-p)^L (L=8, p=0.4 ⇒ ~0.98) while
+    * per-query work stays L × probes × targetBucket candidates —
+    * CONSTANT in corpus size, vs brute force's O(n). */
   def annLsh(spark: SparkSession, dir: String,
-             targetBucket: Int = 64): DataFrame = {
+             targetBucket: Int = 64, tables: Int = 8): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
     val bits = sigBitsFor(corpusSize(spark, dir), targetBucket)
-    val e = base.withColumn("bucket", F.hyperplaneBucket(col("v"), bits))
+    // one signature column per table; L fused kernel loops per row
+    val bucketCols = (0 until tables).map(t =>
+      F.hyperplaneBucket(col("v"), bits, t.toLong).as(s"b$t"))
+    val e = base.select(col("vec_id") +: col("v") +: bucketCols: _*)
     val q = e.orderBy(col("vec_id")).limit(1)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-    // multi-probe: the query's own bucket plus every Hamming-distance-1
-    // and -2 neighbor signature — recall insurance for vectors near
-    // hyperplane boundaries (each flipped bit is one plane the true
-    // neighbor may sit on the far side of). Probe count is
-    // 1 + bits + C(bits,2) — 301 at the bits=24 production clamp, of
-    // 2^24 partitions: still a vanishing fraction of the corpus. The
-    // probe list is query-side and broadcast; the corpus stays put.
-    val singles = (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))
-    val pairs = for { i <- 0 until bits; j <- i + 1 until bits }
-      yield col("bucket").bitwiseXOR(lit((1L << i) | (1L << j)))
-    val probeBuckets = col("bucket") +: (singles ++ pairs)
-    val probes = q.select(col("q_id"), col("qv"),
-      explode(array(probeBuckets: _*)).as("bucket"))
-    e.join(broadcast(probes), Seq("bucket"))
+    // multi-probe per table: the query's own bucket plus every
+    // Hamming-distance-1 and -2 neighbor signature — recall insurance
+    // for vectors near hyperplane boundaries (each flipped bit is one
+    // plane the true neighbor may sit on the far side of). Probe count
+    // is L × (1 + bits + C(bits,2)) — 2408 at the bits=24 production
+    // clamp with L=8, of L·2^24 (table, bucket) partitions: a
+    // vanishing fraction of the corpus. The probe list is query-side
+    // and broadcast; the corpus stays put.
+    val masks = 0L +: ((0 until bits).map(i => 1L << i) ++
+      (for { i <- 0 until bits; j <- i + 1 until bits }
+        yield (1L << i) | (1L << j)))
+    val probeStructs = for { t <- 0 until tables; m <- masks }
+      yield struct(lit(t).as("table"),
+        col(s"b$t").bitwiseXOR(lit(m)).as("bucket"))
+    val probes = q.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      explode(array(probeStructs: _*)).as("p"))
+      .select(col("q_id"), col("qv"), col("p.table"), col("p.bucket"))
+    // candidate resolution on (id, table, bucket) LONGS — the vector
+    // payload never rides the explode; at 100 TB this is the
+    // written-once L-table bucket index, probed by partition key
+    val sigs = e.select(col("vec_id"), posexplode(
+        array((0 until tables).map(t => col(s"b$t")): _*))
+      .as(Seq("table", "bucket")))
+    val cand = sigs.join(broadcast(probes.select(col("table"), col("bucket"))),
+        Seq("table", "bucket"))
+      .select(col("vec_id")).distinct()
+    // fetch candidate vectors map-side (candidate set is bounded by
+    // L × probes × bucket size — broadcastable by construction)
+    base.join(broadcast(cand), Seq("vec_id"))
+      .crossJoin(broadcast(q.select(col("vec_id").as("q_id"), col("v").as("qv"))))
       .where(col("vec_id") =!= col("q_id"))
       .select(col("vec_id"),
         F.roundBin(expr("cosine_sim(v, qv)"), 4).as("cos"))

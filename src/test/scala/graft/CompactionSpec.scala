@@ -42,15 +42,22 @@ class CompactionSpec extends SparkSpec {
     val partitions = dataFiles(zone).map(_.getParent.toString).distinct
     val fragPerDir = dataFiles(zone).groupBy(_.getParent.toString).map(_._2.size)
     assert(fragPerDir.max > 4, s"fixture not fragmented: $fragPerDir")
-    val before = spark.read.text(zone).count()
+    val before = Compaction.countLines(spark, zone)
     val out = Files.createTempDirectory("graft-compact-spec-out")
     out.toFile.deleteOnExit()
-    val after = Compaction.compactZone(spark, zone, out.toString)
+    Compaction.compactZone(spark, zone, out.toString)
+    val after = Compaction.countLines(spark, out.toString)
     assert(after === before, "compaction lost or invented lines")
     val compactedPerDir = dataFiles(out.toString).groupBy(_.getParent.toString)
     assert(compactedPerDir.values.forall(_.size == 1),
       s"expected 1 file per partition, got ${compactedPerDir.view.mapValues(_.size).toMap}")
     assert(compactedPerDir.size === partitions.size, "partition dirs changed")
+    // layout contract: partition dir names round-trip VERBATIM —
+    // hour=00 must NOT come back as hour=0 (type inference off)
+    def relDirs(root: String) = dataFiles(root)
+      .map(p => Paths.get(root).relativize(p.getParent).toString).distinct.sorted
+    assert(relDirs(out.toString) === relDirs(zone),
+      "partition dir names were rewritten by compaction")
     // the malformed line is still present verbatim
     val garbage = spark.read.text(out.toString)
       .where(col("value") === "not json at all").count()
@@ -61,9 +68,9 @@ class CompactionSpec extends SparkSpec {
     val zone = buildFragmented()
     val out = Files.createTempDirectory("graft-compact-spec-out3")
     out.toFile.deleteOnExit()
-    val before = spark.read.text(zone).count()
-    val after = Compaction.compactZone(spark, zone, out.toString, filesPerPartition = 3)
-    assert(after === before)
+    val before = Compaction.countLines(spark, zone)
+    Compaction.compactZone(spark, zone, out.toString, filesPerPartition = 3)
+    assert(Compaction.countLines(spark, out.toString) === before)
     val perDir = dataFiles(out.toString).groupBy(_.getParent.toString).map(_._2.size)
     assert(perDir.max <= 3, s"more files than target: $perDir")
   }

@@ -2,9 +2,26 @@ package graft
 
 import graft.operators.DupClusters
 
-/** E2 clustering: min-label propagation connected components — the
+/** E2 clustering: large-star/small-star connected components — the
   * pair-list → drop-list step of the dedup pipeline. */
 class DupClustersSpec extends SparkSpec {
+
+  test("components: 10k-vertex path graph converges in O(log n) rounds") {
+    import spark.implicits._
+    // The adversarial case for neighbor-min propagation: a path graph,
+    // where diameter = n-1 and plain propagation needs O(n) rounds.
+    // Large-star/small-star must contract it in O(log n): assert
+    // <= 2*log2(n) + 2 (the +2 covers the initial canonicalization
+    // round and the final no-change detection round).
+    val n = 10000
+    val edges = (1 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("a", "b")
+    val (labels, rounds) = DupClusters.componentsWithRounds(edges, "a", "b")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.length === n)
+    got.foreach { case (id, comp) => assert(comp === 1L, s"vertex $id") }
+    val bound = 2 * (math.log(n) / math.log(2)).ceil.toInt + 2
+    assert(rounds <= bound, s"took $rounds rounds, log-bound is $bound")
+  }
 
   test("components: chains, triangles, and separate clusters resolve to min labels") {
     import spark.implicits._
