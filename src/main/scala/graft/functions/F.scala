@@ -40,6 +40,12 @@ object F {
   def topK(score: Column, id: Column, k: Int): Column =
     aggColumn(TopKAgg(expr(score.cast("double")), expr(id.cast("long")), k))
 
+  /** Aggregate: approximate count-distinct as a single-binary-buffer
+    * HLL (see [[HllAgg]] — the codegen-friendly replacement for the
+    * builtin's ~m/32-column buffer). Error ≈ 1.04/√(2^bits). */
+  def hllDistinct(c: Column, bits: Int = 14): Column =
+    aggColumn(HllAgg(expr(c), bits))
+
   def l2Norm(c: Column): Column = column(L2Norm(expr(c)))
 
   /** Thresholded Jaccard over sorted distinct string or long arrays

@@ -52,6 +52,9 @@ object GraftFunctions {
       MinHashUnionAgg(args.head, intArg("minhash_union", args(1)))),
     "top_k" -> (args =>
       TopKAgg(args.head, args(1), intArg("top_k", args(2)))),
+    "hll_distinct" -> (args =>
+      HllAgg(args.head,
+        if (args.length > 1) intArg("hll_distinct", args(1)) else 14)),
     "payload_bytes" -> (args => PayloadBytes(args.head, args(1))),
   )
 

@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HyperLogLog register file: 2^bits byte registers, max-merged.
+  *
+  * Exists because Spark's builtin `approx_count_distinct` models its
+  * HLL as ~m/32 SEPARATE long buffer attributes — at rsd 0.01 that is
+  * a ~1537-column aggregation buffer, which knocks every carrying
+  * stage out of efficient codegen (measured 2.5× on the gated
+  * distinct query, r6). A TypedImperativeAggregate holds the same
+  * registers as ONE 2^bits-byte array on the ObjectHashAggregate
+  * path — the [[TopKAgg]]/[[MinHashUnionAgg]] discipline — so sketch
+  * precision stops taxing the rest of the plan.
+  *
+  * Standard HLL (Flajolet et al. 2007) with a 64-bit xxhash:
+  * register = max leading-zero rank of the suffix; estimate = bias-
+  * corrected harmonic mean with linear counting in the small range.
+  * No large-range correction is needed at 64 hash bits. Relative
+  * error ≈ 1.04/√m: bits=14 → 0.81% (the rsd-0.01 class), bits=12 →
+  * 1.6% (the rsd-0.02 class).
+  */
+final class HllBuffer(val bits: Int) {
+  val regs = new Array[Byte](1 << bits)
+
+  def addHash(h: Long): Unit = {
+    val idx = (h >>> (64 - bits)).toInt
+    val w = h << bits
+    // rank of the first set bit in the (64-bits)-bit suffix, 1-based;
+    // all-zero suffix gets the max rank 64-bits+1
+    val rank = if (w == 0L) (64 - bits + 1) else java.lang.Long.numberOfLeadingZeros(w) + 1
+    if (rank > regs(idx)) regs(idx) = rank.toByte
+  }
+
+  def mergeFrom(other: HllBuffer): Unit = {
+    val m = regs.length
+    var i = 0
+    while (i < m) {
+      if (other.regs(i) > regs(i)) regs(i) = other.regs(i)
+      i += 1
+    }
+  }
+
+  def estimate: Long = {
+    val m = regs.length
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      val r = regs(i)
+      sum += java.lang.Double.longBitsToDouble((1023L - r) << 52) // 2^-r exactly
+      if (r == 0) zeros += 1
+      i += 1
+    }
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val raw = alpha * m * m / sum
+    val e =
+      if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) // linear counting
+      else raw
+    math.rint(e).toLong
+  }
+}
+
+/** `hll_distinct(col[, bits])` — approximate COUNT(DISTINCT col) as a
+  * single-binary-buffer HLL aggregate (see [[HllBuffer]] for why not
+  * the builtin). Deterministic under any partitioning: register max
+  * is commutative/associative and the hash is seed-fixed. Accepts
+  * long/int/string/double inputs; nulls are ignored (matching
+  * count-distinct semantics).
+  */
+case class HllAgg(
+    child: Expression,
+    bits: Int = 14,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HllBuffer] {
+
+  require(bits >= 4 && bits <= 18, "hll_distinct requires 4 <= bits <= 18")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType | StringType | DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires bigint/int/string/double, got $other")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_distinct"
+  override def children: Seq[Expression] = Seq(child)
+
+  private final val Seed = 4243L
+
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(bits)
+
+  override def update(buf: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v match {
+        case l: java.lang.Long    => XXH64.hashLong(l, Seed)
+        case i: java.lang.Integer => XXH64.hashLong(i.toLong, Seed)
+        case s: UTF8String =>
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Seed)
+        case d: java.lang.Double =>
+          XXH64.hashLong(java.lang.Double.doubleToLongBits(d), Seed)
+      }
+      buf.addHash(h)
+    }
+    buf
+  }
+
+  override def merge(a: HllBuffer, b: HllBuffer): HllBuffer = { a.mergeFrom(b); a }
+
+  override def eval(buf: HllBuffer): Any = buf.estimate
+
+  override def serialize(buf: HllBuffer): Array[Byte] = buf.regs.clone()
+
+  override def deserialize(bytes: Array[Byte]): HllBuffer = {
+    val buf = new HllBuffer(bits)
+    System.arraycopy(bytes, 0, buf.regs, 0, bytes.length)
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllAgg =
+    copy(child = newChildren.head)
+}

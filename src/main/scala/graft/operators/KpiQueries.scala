@@ -211,14 +211,15 @@ object KpiQueries {
     load(spark, dir, "events")
       .select(col("event_type"), col("user_id")).distinct()
       .groupBy(col("event_type"))
-      // rsd 0.01 ⇒ sketch σ ≈ 1% ⇒ the 5% gate sits at ~5 sigma — a
+      // bits=14 ⇒ sketch σ ≈ 0.8% ⇒ the 5% gate sits at ~6 sigma — a
       // reseeded fixture or new scale can't flip it spuriously. The
-      // wide 2^14-register buffer is safe HERE because the aggregate
-      // runs over the already-deduped pair set (thousands of rows,
-      // 5 groups), not the raw scan; the scan-adjacent production
-      // variant [[approxDistinctFast]] keeps the narrow 0.02 sketch.
+      // native hll_distinct (graft.functions.HllAgg) carries the 2^14
+      // registers as ONE binary buffer on the ObjectHashAggregate
+      // path; the builtin at rsd 0.01 models them as ~1537 buffer
+      // COLUMNS, which knocked the whole stage out of efficient
+      // codegen (2.5× on this query, r6).
       .agg(count(col("user_id")).as("exact_users"),
-        approx_count_distinct(col("user_id"), 0.01).as("approx_users"))
+        F.hllDistinct(col("user_id"), 14).as("approx_users"))
       .select(col("event_type"), col("exact_users"),
         (abs(col("approx_users") - col("exact_users")) <=
           col("exact_users") * lit(0.05)).as("within_5pct"))
@@ -275,7 +276,9 @@ object KpiQueries {
   def approxDistinctFast(spark: SparkSession, dir: String): DataFrame = {
     load(spark, dir, "events")
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      // bits=12 ⇒ 4 KiB sketch, σ ≈ 1.6% — the narrow fast-path
+      // sketch, same single-binary-buffer kernel as the gated query
+      .agg(F.hllDistinct(col("user_id"), 12).as("approx_users"))
       .orderBy(col("event_type"))
   }
 }
