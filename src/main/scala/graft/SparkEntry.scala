@@ -86,6 +86,7 @@ object SparkEntry {
     "q_quality_prune" -> (TrainingQueries.qualityPrune _),
     "q_mixture_sample" -> (TrainingQueries.mixtureSample _),
     "q_decontaminate" -> ((s, d) => TrainingQueries.decontaminate(s, d)),
+    "q_epoch_shuffle" -> ((s, d) => TrainingQueries.epochShuffle(s, d)),
     // §2.11 E5 multimodal binary columns
     "q_media_stats" -> (MultimodalQueries.mediaStats _),
     "q_frame_sample" -> (MultimodalQueries.frameSample _),
@@ -612,6 +613,10 @@ object SparkEntry {
         |SELECT r.source AS source, r.doc_id AS doc_id
         |FROM r JOIN q ON r.source = q.source WHERE rn <= k
         |ORDER BY r.source, r.doc_id""".stripMargin,
+    "q_epoch_shuffle" ->
+      """SELECT doc_id,
+        |  md5('1:' || CAST(doc_id AS VARCHAR)) AS skey
+        |FROM documents ORDER BY skey""".stripMargin,
     "q_decontaminate" ->
       """WITH t AS (SELECT doc_id, source,
         |  regexp_split_to_array(text, '\s+') AS toks FROM documents),

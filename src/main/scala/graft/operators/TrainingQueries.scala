@@ -138,4 +138,31 @@ object TrainingQueries {
         min(col("doc_id")).as("first_bad"))
       .orderBy(col("source"))
   }
+
+  /** Deterministic per-epoch global shuffle — the data-loader
+    * primitive: every training epoch must visit the corpus in a
+    * different but REPRODUCIBLE pseudo-random order (restarts resume
+    * mid-epoch; two runs with the same seed see identical batches).
+    * Each doc gets the order key md5(epoch ':' doc_id); ordering by
+    * it IS the epoch's permutation.
+    *
+    * Scale shape: `repartitionByRange` on the key + per-partition
+    * sort — ONE range-partitioned shuffle of (key, id) pairs, each
+    * output shard internally ordered, shard boundaries globally
+    * ordered; a loader consumes shard k of epoch e without any global
+    * coordination, and NO single-partition window (the row_number
+    * formulation of "global rank" serializes at the driver-adjacent
+    * single partition — the classic 100 TB trap this avoids). md5
+    * (not xxhash64) so the key is reproducible in ANY engine a loader
+    * or auditor runs — the oracle certifies the exact permutation
+    * keys, not just the shape. */
+  def epochShuffle(spark: SparkSession, dir: String,
+                   epoch: Int = 1): DataFrame = {
+    load(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(":", lit(epoch).cast("string"),
+          col("doc_id").cast("string"))).as("skey"))
+      .repartitionByRange(col("skey"))
+      .sortWithinPartitions(col("skey"))
+  }
 }

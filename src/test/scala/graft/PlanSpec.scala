@@ -67,6 +67,23 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("annLsh: vectors never ride an exchange; candidate fetch is broadcast") {
+    val p = plan(VectorQueries.annLsh(spark, sf))
+    // every join must be broadcast — a sort-merge/shuffled-hash join
+    // would shuffle the vector payload
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast candidate fetch:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"vector-carrying shuffle join:\n$p")
+    // the only shuffles are the candidate distincts, whose partition
+    // keys ARE their full output — assert they carry (table, bucket,
+    // vec_id) longs, never the embedding/query-vector columns
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty, s"expected the candidate distinct exchange:\n$p")
+    assert(!exchanges.exists(l => l.contains("embedding") || l.contains("qv#")
+        || l.contains(" v#")),
+      s"vector column rides a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("knnBatchAgg: top_k runs as partial+final ObjectHashAggregate") {
     // SortAggregate would sort every scored row before aggregating —
     // exactly the cost the bounded top-k buffer exists to avoid; and

@@ -86,4 +86,25 @@ class TrainingQueriesSpec extends SparkSpec {
       s"bench side must broadcast:\n$p")
     assert(!p.contains("CartesianProduct"), s"no unbroadcast cross join:\n$p")
   }
+
+  test("epochShuffle: reproducible permutation per epoch, different across epochs") {
+    def order(epoch: Int): Seq[Long] =
+      TrainingQueries.epochShuffle(spark, sf, epoch)
+        .orderBy(col("skey"), col("doc_id")).collect().map(_.getLong(0)).toSeq
+    val e1a = order(1); val e1b = order(1); val e2 = order(2)
+    assert(e1a === e1b, "same epoch must reproduce the identical permutation")
+    assert(e1a.toSet === e2.toSet, "every epoch visits the whole corpus")
+    assert(e1a !== e2, "different epochs must permute differently")
+    // the permutation is non-trivial: not id order
+    assert(e1a !== e1a.sorted, "epoch order must not be doc_id order")
+  }
+
+  test("epochShuffle plan: range-partitioned total order, no single-partition window") {
+    val p = TrainingQueries.epochShuffle(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"expected a range-partitioned shuffle:\n$p")
+    assert(!p.contains("Window"), s"no window (global row_number trap):\n$p")
+    assert(!p.contains("SinglePartition"), s"no single-partition stage:\n$p")
+  }
 }
