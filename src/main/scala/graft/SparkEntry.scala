@@ -79,6 +79,8 @@ object SparkEntry {
     "q_rep_signals" -> (TextQueries.repetitionSignals _),
     "q_tfidf" -> ((s, d) => TextQueries.tfidf(s, d)),
     "q_simhash" -> (TextQueries.simhash _),
+    "q_ngram_novelty" -> ((s, d) => TextQueries.ngramNovelty(s, d)),
+    "q_doc_percentiles" -> (TextQueries.docPercentiles _),
     "q_source_minhash" -> (TextQueries.sourceMinhash _),
     // §2.11 training-data pipeline: packing, pruning, decontamination
     "q_pack_sequences" -> ((s, d) => TrainingQueries.packSequences(s, d)),
@@ -108,6 +110,8 @@ object SparkEntry {
     // §2.11 E3 vectors
     "q_knn_brute" -> (VectorQueries.knnBrute _),
     "q_vec_norms" -> (VectorQueries.vecNorms _),
+    "q_vec_quantize" -> (VectorQueries.vecQuantize _),
+    "q_centroid_outliers" -> ((s, d) => VectorQueries.centroidOutliers(s, d)),
     "q_cosine_dedup" -> (VectorQueries.cosineDedup _),
     "q_vec_clusters" -> (DupClusters.cosineClusters _),
     "q_cosine_dedup_lsh" -> (VectorQueries.cosineDedupLsh _),
@@ -613,6 +617,24 @@ object SparkEntry {
         |SELECT r.source AS source, r.doc_id AS doc_id
         |FROM r JOIN q ON r.source = q.source WHERE rn <= k
         |ORDER BY r.source, r.doc_id""".stripMargin,
+    "q_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |g AS (SELECT DISTINCT doc_id, source,
+        |  array_to_string(toks[i.g : i.g + 2], ' ') AS gram
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(0, len(toks) - 2))) AS g) i),
+        |f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+        |novel AS (SELECT first_doc AS doc_id, count(*) AS novel_n
+        |  FROM f GROUP BY 1),
+        |tot AS (SELECT doc_id, source, count(*) AS tot_n FROM g GROUP BY 1, 2),
+        |d AS (SELECT tot.source,
+        |  CAST(coalesce(novel.novel_n, 0) AS DOUBLE) / tot.tot_n AS nov
+        |  FROM tot LEFT JOIN novel USING (doc_id))
+        |SELECT source, count(*) AS n_docs, round(avg(nov), 4) AS avg_novelty,
+        |  CAST(sum(CASE WHEN nov = 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_all_novel,
+        |  CAST(sum(CASE WHEN nov < 0.25 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupey
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_epoch_shuffle" ->
       """SELECT doc_id,
         |  md5('1:' || CAST(doc_id AS VARCHAR)) AS skey
@@ -749,6 +771,44 @@ object SparkEntry {
         |  round(avg(sqrt(list_sum(list_transform(
         |    CAST(embedding AS DOUBLE[]), x -> x * x)))), 4) AS avg_norm
         |FROM embeddings GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vec_quantize" ->
+      """WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT label, v,
+        |  list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e
+        |  WHERE list_max(list_transform(v, x -> abs(x))) > 0),
+        |r AS (SELECT label,
+        |  sqrt(list_sum(list_transform(v,
+        |    x -> (x - floor(x / s + 0.5) * s) * (x - floor(x / s + 0.5) * s))))
+        |  / sqrt(list_sum(list_transform(v, x -> x * x))) AS rel FROM q)
+        |SELECT label, count(*) AS n, round(avg(rel), 4) AS avg_err,
+        |  round(max(rel), 4) AS max_err
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_centroid_outliers" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings),
+        |c AS (SELECT label, i.p AS p, avg(v[i.p]) AS m
+        |  FROM e, LATERAL (SELECT unnest(generate_series(1, len(v))) AS p) i
+        |  GROUP BY 1, 2),
+        |cent AS (SELECT label,
+        |  CAST(CAST(list(m ORDER BY p) AS FLOAT[]) AS DOUBLE[]) AS cv
+        |  FROM c GROUP BY 1),
+        |s AS (SELECT e.label, e.vec_id,
+        |  round(list_cosine_similarity(e.v, cent.cv), 4) AS cos
+        |  FROM e JOIN cent USING (label)),
+        |r AS (SELECT label, vec_id, cos, CAST(row_number() OVER (
+        |  PARTITION BY label ORDER BY cos, vec_id) AS INT) AS rn FROM s)
+        |SELECT label, rn, vec_id, cos FROM r WHERE rn <= 3
+        |ORDER BY label, rn""".stripMargin,
+    "q_doc_percentiles" ->
+      """WITH w AS (SELECT source, n_chars,
+        |  ntile(4) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS q4,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pr,
+        |  cume_dist() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS cd
+        |  FROM documents)
+        |SELECT source, CAST(q4 AS INT) AS q4, count(*) AS n,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  round(avg(pr), 4) AS avg_pr, round(avg(cd), 4) AS avg_cd
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_cosine_dedup" -> CosineDedupSql,
     "q_vec_clusters" ->
       s"""WITH RECURSIVE pairs AS ($CosineDedupSql),

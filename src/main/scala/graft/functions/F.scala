@@ -48,6 +48,11 @@ object F {
 
   def l2Norm(c: Column): Column = column(L2Norm(expr(c)))
 
+  /** Int8-quantization relative reconstruction error (see
+    * [[QuantErr]]); null for empty/all-zero vectors. */
+  def quantErr(c: Column, levels: Int = 127): Column =
+    column(QuantErr(expr(c), levels))
+
   /** Thresholded Jaccard over sorted distinct string or long arrays
     * (see [[JaccardGe]]): the value when ≥ t, else null. */
   def jaccardGe(a: Column, b: Column, t: Double): Column =

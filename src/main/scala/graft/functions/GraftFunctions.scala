@@ -39,6 +39,9 @@ object GraftFunctions {
       intArg("minhash_band_hashes", args(2)))),
     "cosine_sim" -> (args => CosineSim(args.head, args(1))),
     "l2_norm" -> (args => L2Norm(args.head)),
+    "quant_err" -> (args =>
+      QuantErr(args.head,
+        if (args.length > 1) intArg("quant_err", args(1)) else 127)),
     "round_bin" -> (args => RoundBin(args.head, args(1))),
     "hyperplane_bucket" -> (args =>
       HyperplaneBucket(args.head, intArg("hyperplane_bucket", args(1)),

@@ -168,6 +168,43 @@ case class L2Norm(child: Expression)
     copy(child = newChild)
 }
 
+/** Int8 symmetric-quantization relative reconstruction error of a
+  * float-array embedding: with per-vector scale s = max|x|/levels and
+  * codes floor(x/s + 0.5) (half-up — bit-identical floor semantics in
+  * every engine, unlike round()), returns ‖x − code·s‖₂ / ‖x‖₂ — the
+  * storage-compression audit a 100 TB embedding store runs before
+  * switching the ANN index to int8. Null for empty or all-zero
+  * vectors (no scale exists). One fused two-pass loop over the raw
+  * float ArrayData (max-abs, then error+norm) — no quantized array is
+  * ever materialized; the HOF formulation allocates two intermediate
+  * arrays per row and runs interpreted. */
+case class QuantErr(child: Expression, levels: Int = 127)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "quant_err"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.quantErr(input.asInstanceOf[ArrayData], levels)
+
+  // quantErr returns a boxed Double or null (empty / all-zero vector),
+  // so the generated code null-checks the result.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""java.lang.Double r = graft.functions.Sketches.quantErr($c, $levels);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): QuantErr =
+    copy(child = newChild)
+}
+
 /** Random-hyperplane LSH bucket id for a float-array embedding
   * (Charikar 2002): `bits` sign-bits of dot(v, h_i) packed into a
   * long, hyperplane components h_i[j] ∈ {-1,+1} derived from a seeded
@@ -651,6 +688,34 @@ object Sketches {
       i += 1
     }
     bestId
+  }
+
+  /** See [[QuantErr]]. Double math over the float values — identical
+    * bits to any engine evaluating the same formula over
+    * CAST(embedding AS DOUBLE[]), since /, floor, *, and sequential +
+    * are all IEEE-exact-deterministic. */
+  def quantErr(a: ArrayData, levels: Int): java.lang.Double = {
+    val n = a.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(a.getFloat(i).toDouble)
+      if (x > m) m = x
+      i += 1
+    }
+    if (m == 0.0) return null
+    val s = m / levels
+    var err2 = 0.0
+    var norm2 = 0.0
+    i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val d = x - math.floor(x / s + 0.5) * s
+      err2 += d * d
+      norm2 += x * x
+      i += 1
+    }
+    java.lang.Double.valueOf(math.sqrt(err2) / math.sqrt(norm2))
   }
 
   def l2Norm(a: ArrayData): Double = {

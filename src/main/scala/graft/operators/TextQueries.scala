@@ -429,6 +429,85 @@ object TextQueries {
       .orderBy(col("a_src"), col("b_src"))
   }
 
+  /** E4/E2 n-gram novelty scoring — for every document, the fraction
+    * of its distinct trigrams whose FIRST corpus occurrence (min
+    * doc_id) is this document; aggregated per source. The standard
+    * "how much of this shard is new text" signal a pretraining
+    * pipeline uses to rank crawl snapshots and catch template farms
+    * (a near-dup doc scores ≈0, fresh text ≈1), complementing
+    * pairwise dedup: novelty is corpus-global, one number per doc,
+    * no candidate pairs.
+    *
+    * Shape: fused native trigram fingerprints (F.ngramHashes — hash,
+    * distinct, sort in one pass) exploded to (doc_id, gram) longs;
+    * first-occurrence = min(doc_id) per gram; the novel-count per doc
+    * then falls out of a second groupBy on first_doc — so there is NO
+    * grams⋈grams join, just two aggregations over 16-byte rows and a
+    * final |docs|-row join of the two per-doc tallies. At 100 TB the
+    * shuffled bytes are O(distinct trigram occurrences) of compact
+    * longs — the same footprint as the MinHash manifest — and both
+    * aggs take map-side partial combine. Novelty ratios are exact
+    * k/m doubles (identical bits in any engine), so the per-doc
+    * equality/threshold cuts are oracle-stable; hashing only affects
+    * gram identity (64-bit collision margin, as dedupExact).
+    * Docs with < 3 tokens have no trigrams and drop out (mirrored by
+    * the oracle's empty generate_series). */
+  def ngramNovelty(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val docs = withTokens(load(spark, dir, "documents"))
+    val grams = docs.select(col("doc_id"), col("source"),
+      explode(F.ngramHashes(col("toks"), n)).as("gh"))
+    val novel = grams.groupBy(col("gh"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("novel_n"))
+    val tot = grams.groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("tot_n"))
+    tot.join(novel, Seq("doc_id"), "left")
+      .select(col("source"),
+        (coalesce(col("novel_n"), lit(0L)).cast("double") / col("tot_n"))
+          .as("nov"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        F.roundBin(avg(col("nov")), 4).as("avg_novelty"),
+        sum(when(col("nov") === 1.0d, 1L).otherwise(0L)).as("n_all_novel"),
+        sum(when(col("nov") < 0.25d, 1L).otherwise(0L)).as("n_dupey"))
+      .orderBy(col("source"))
+  }
+
+  /** E4/W analytic length profile: per-source quartile buckets of
+    * n_chars via ntile(4), with percent_rank/cume_dist — the
+    * length-distribution report behind curriculum bucketing and
+    * truncation-policy choices, and the coverage row for the analytic
+    * window family (ntile / percent_rank / cume_dist; row_number,
+    * frames, and lag live in TpchQueries W1–W3). The window ORDER BY
+    * is (n_chars, doc_id) — unique — so rank functions are
+    * engine-deterministic, and the output aggregates to
+    * |sources|×4 rows.
+    *
+    * Scale note: the window partitions by source, so one shuffle of
+    * (source, n_chars, doc_id) triples and per-source sorting. For a
+    * pathological single giant source the exact-rank formulation
+    * serializes that source's partition; the at-scale alternative for
+    * quantile CUTS is approx percentiles (see
+    * TrainingQueries.qualityPrune) — this operator is for when exact
+    * ranks are the requirement. */
+  def docPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars"), col("doc_id"))
+    load(spark, dir, "documents")
+      .select(col("source"), col("n_chars"), col("doc_id"))
+      .withColumn("q4", ntile(4).over(w))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .groupBy(col("source"), col("q4"))
+      .agg(count(lit(1)).as("n"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        F.roundBin(avg(col("pr")), 4).as("avg_pr"),
+        F.roundBin(avg(col("cd")), 4).as("avg_cd"))
+      .orderBy(col("source"), col("q4"))
+  }
+
   /** E2 SimHash 64-bit fingerprints via the native single-pass
     * expression (graft.functions.SimHash64 — the HOF formulation
     * re-evaluated its 64-long vote vector once per output bit).

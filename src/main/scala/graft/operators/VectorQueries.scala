@@ -109,6 +109,68 @@ object VectorQueries {
       .agg(count(lit(1)).as("n"), F.roundBin(avg(col("n2")), 4).as("avg_norm"))
       .orderBy(col("label"))
 
+  /** E3 int8-quantization audit: per-label relative reconstruction
+    * error of symmetric int8 quantization (scale = max|x|/127, codes
+    * floor(x/s + 0.5)) — the go/no-go report before an embedding
+    * store flips its ANN index from float32 to int8 (4× smaller, and
+    * at 100 TB of vectors the difference between an in-memory and an
+    * on-disk index). The kernel is the fused native quant_err
+    * expression (graft.functions.QuantErr — no quantized array is
+    * materialized, whole-stage codegen keeps scan→project→partial-agg
+    * in one span); the plan is a pure projection + two-phase agg on
+    * label, shuffling only (label, double) pairs. Vectors with no
+    * scale (all-zero) are excluded, mirrored by the oracle's m > 0
+    * guard. */
+  def vecQuantize(spark: SparkSession, dir: String): DataFrame =
+    emb(spark, dir)
+      .select(col("label"), F.quantErr(col("embedding")).as("rel"))
+      .where(col("rel").isNotNull)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        F.roundBin(avg(col("rel")), 4).as("avg_err"),
+        F.roundBin(max(col("rel")), 4).as("max_err"))
+      .orderBy(col("label"))
+
+  /** E3 embedding-quality outlier report: the k vectors FARTHEST (by
+    * cosine) from their label's mean embedding — the
+    * "mislabeled/garbage embedding" audit a training pipeline runs on
+    * each ingest batch (centroid-distance filtering is the standard
+    * cheap semantic-quality cut before expensive model-based scoring).
+    *
+    * Scale shape, all three stages 100 TB-safe:
+    *  1. centroids: posexplode to (label, pos, x) then two-phase avg —
+    *     map-side combine collapses each partition to |labels|×dim
+    *     partial sums before the shuffle;
+    *  2. scoring: centroids broadcast (|labels|×dim floats — small by
+    *     construction), corpus scanned once, never shuffled;
+    *  3. cut: bounded TopKAgg (score = 0−cos, so "top-k" = farthest)
+    *     — partial buffers never exceed k rows per label per
+    *     partition, vs the window row_number formulation which
+    *     sorts every scored row. Shuffled rows are (label, k×16 B)
+    *     structs.
+    * Centroid means cast to float on both sides (the oracle mirrors)
+    * so the cosine kernel input is bit-identical; ranking uses the
+    * 4dp-rounded cosine with vec_id tiebreak for a deterministic
+    * boundary. */
+  def centroidOutliers(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = emb(spark, dir).select(col("label"), col("vec_id"), col("embedding").as("v"))
+    val cents = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), expr("transform(pm, p -> cast(p.m as float))").as("cv"))
+    e.join(broadcast(cents), Seq("label"))
+      .select(col("label"), col("vec_id"),
+        F.roundBin(F.cosineSim(col("v"), col("cv")), 4).as("cos"))
+      .groupBy(col("label"))
+      .agg(F.topK(lit(0.0d) - col("cos"), col("vec_id"), k).as("t"))
+      .select(col("label"), posexplode(col("t")).as(Seq("rn0", "s")))
+      .select(col("label"), (col("rn0") + 1).as("rn"),
+        col("s.id").as("vec_id"), (lit(0.0d) - col("s.score")).as("cos"))
+      .orderBy(col("label"), col("rn"))
+  }
+
   /** E3/E2 embedding-cosine near-dup pairs, blocked by label: pairs
     * with cosine ≥ 0.3 (fixture cosines top out ≈0.47). The label
     * blocking bounds the self-join; at 100 TB the block key would be an

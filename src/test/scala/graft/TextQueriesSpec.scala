@@ -233,4 +233,77 @@ class TextQueriesSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n") - 1).sum >=
       docs.size - docs.map(_._2).distinct.size - dupGroups)
   }
+
+  test("ngramNovelty matches a driver-side recompute on trigram strings") {
+    // Recompute on the trigram STRINGS (the query hashes them; 64-bit
+    // collisions are vanishingly unlikely at fixture scale).
+    val ds = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val grams = ds.map { case (id, src, text) =>
+      val toks = text.trim.split("\\s+")
+      val gs = toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+      (id, src, gs)
+    }
+    val firstDoc = scala.collection.mutable.Map.empty[String, Long]
+    grams.foreach { case (id, _, gs) =>
+      gs.foreach { g =>
+        if (!firstDoc.contains(g) || firstDoc(g) > id) firstDoc(g) = id
+      }
+    }
+    val perDoc = grams.filter(_._3.nonEmpty).map { case (id, src, gs) =>
+      (src, gs.count(g => firstDoc(g) == id).toDouble / gs.size)
+    }
+    val exp = perDoc.groupBy(_._1).map { case (src, xs) =>
+      val novs = xs.map(_._2)
+      src -> ((xs.length.toLong, novs.sum / novs.length,
+        novs.count(_ == 1.0).toLong, novs.count(_ < 0.25).toLong))
+    }
+    val got = TextQueries.ngramNovelty(spark, sf).collect()
+    assert(got.map(_.getString(0)).toSeq === exp.keys.toSeq.sorted)
+    got.foreach { r =>
+      val (nDocs, avgNov, nAll, nDup) = exp(r.getString(0))
+      assert(r.getAs[Long]("n_docs") === nDocs)
+      // sum order differs between engines; tolerate a 4dp boundary flip
+      assert(math.abs(r.getAs[Double]("avg_novelty") - avgNov) <= 1.0001e-4)
+      assert(r.getAs[Long]("n_all_novel") === nAll)
+      assert(r.getAs[Long]("n_dupey") === nDup)
+    }
+  }
+
+  test("docPercentiles matches a driver-side exact-rank recompute") {
+    val ds = Tables.load(spark, sf, "documents")
+      .select("source", "n_chars", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // (source, q4) -> (n, min_chars, max_chars, avg_pr, avg_cd) with
+    // ntile/percent_rank/cume_dist over the unique (n_chars, doc_id) order
+    val exp = ds.groupBy(_._1).flatMap { case (src, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      val n = sorted.length
+      val base = n / 4
+      val extra = n % 4
+      sorted.zipWithIndex.map { case ((_, chars, _), i) =>
+        val bucket =
+          if (i < (base + 1) * extra) i / (base + 1) + 1
+          else (i - (base + 1) * extra) / base + extra + 1
+        val pr = if (n == 1) 0.0 else i.toDouble / (n - 1)
+        val cd = (i + 1).toDouble / n
+        ((src, bucket), (chars, pr, cd))
+      }.groupBy(_._1).map { case (k, xs) =>
+        val vs = xs.map(_._2)
+        k -> ((vs.length.toLong, vs.map(_._1).min, vs.map(_._1).max,
+          vs.map(_._2).sum / vs.length, vs.map(_._3).sum / vs.length))
+      }
+    }
+    val got = TextQueries.docPercentiles(spark, sf).collect()
+    assert(got.length === exp.size)
+    got.foreach { r =>
+      val (n, minC, maxC, avgPr, avgCd) = exp((r.getString(0), r.getAs[Int]("q4")))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("min_chars") === minC)
+      assert(r.getAs[Long]("max_chars") === maxC)
+      assert(math.abs(r.getAs[Double]("avg_pr") - avgPr) <= 1.0001e-4)
+      assert(math.abs(r.getAs[Double]("avg_cd") - avgCd) <= 1.0001e-4)
+    }
+  }
 }

@@ -206,6 +206,87 @@ class VectorQueriesSpec extends SparkSpec {
     }
   }
 
+  private lazy val labeled: Seq[(Int, Long, Array[Float])] =
+    Tables.load(spark, sf, "embeddings").select("label", "vec_id", "embedding")
+      .collect().toSeq
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Float](2).toArray))
+
+  private def quantRelErr(v: Array[Float], levels: Int = 127): Option[Double] = {
+    val m = v.foldLeft(0.0)((acc, x) => math.max(acc, math.abs(x.toDouble)))
+    if (m == 0.0) None
+    else {
+      val s = m / levels
+      var err2 = 0.0; var norm2 = 0.0
+      v.foreach { f =>
+        val x = f.toDouble
+        val d = x - math.floor(x / s + 0.5) * s
+        err2 += d * d; norm2 += x * x
+      }
+      Some(math.sqrt(err2) / math.sqrt(norm2))
+    }
+  }
+
+  test("quant_err kernel: matches formula recompute, null for zero/empty vectors") {
+    import org.apache.spark.sql.functions.col
+    val sample = labeled.take(5)
+    sample.foreach { case (_, id, v) =>
+      val got = Tables.load(spark, sf, "embeddings")
+        .where(col("vec_id") === id)
+        .select(graft.functions.F.quantErr(col("embedding"))).collect().head.getDouble(0)
+      assert(math.abs(got - quantRelErr(v).get) < 1e-12, s"vec $id")
+    }
+    val nulls = spark.sql(
+      "SELECT quant_err(array(cast(0.0 as float), cast(0.0 as float))), " +
+        "quant_err(cast(array() as array<float>)), " +
+        "quant_err(cast(null as array<float>))").collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
+    // levels knob: coarser grid (fewer levels) cannot reduce the error
+    val coarse = spark.sql(
+      "SELECT quant_err(array(cast(0.3 as float), cast(-1.1 as float), cast(0.7 as float)), 3), " +
+        "quant_err(array(cast(0.3 as float), cast(-1.1 as float), cast(0.7 as float)), 127)").collect().head
+    assert(coarse.getDouble(0) >= coarse.getDouble(1))
+  }
+
+  test("vecQuantize matches a per-label driver recompute") {
+    val errs = labeled.flatMap { case (lab, _, v) => quantRelErr(v).map(lab -> _) }
+    val exp = errs.groupBy(_._1).map { case (lab, xs) =>
+      lab -> ((xs.length.toLong, xs.map(_._2).sum / xs.length, xs.map(_._2).max))
+    }
+    val got = VectorQueries.vecQuantize(spark, sf).collect()
+    assert(got.length === exp.size)
+    got.foreach { r =>
+      val (n, avgE, maxE) = exp(r.getInt(0))
+      assert(r.getAs[Long]("n") === n)
+      assert(math.abs(r.getAs[Double]("avg_err") - avgE) <= 1.0001e-4)
+      assert(math.abs(r.getAs[Double]("max_err") - (math.rint(maxE * 1e4) / 1e4)) < 1e-9)
+    }
+  }
+
+  test("centroidOutliers: the k least-central vectors per label, exact ranks") {
+    val byLabel = labeled.groupBy(_._1)
+    val exp = byLabel.toSeq.flatMap { case (lab, xs) =>
+      val dim = xs.head._3.length
+      // mean per position in double, then cast to float — as the query does
+      val cent = Array.tabulate(dim) { p =>
+        (xs.map(_._3(p).toDouble).sum / xs.length).toFloat
+      }.map(_.toDouble)
+      xs.map { case (_, id, v) =>
+        val c = math.rint(cos(v.map(_.toDouble), cent) * 1e4) / 1e4
+        (lab, id, c)
+      }.sortBy { case (_, id, c) => (c, id) }.take(3).zipWithIndex.map {
+        case ((l, id, c), i) => ((l, i + 1), (id, c))
+      }
+    }.toMap
+    val got = VectorQueries.centroidOutliers(spark, sf).collect()
+    assert(got.length === exp.size)
+    got.foreach { r =>
+      val (id, c) = exp((r.getInt(0), r.getAs[Int]("rn")))
+      assert(r.getAs[Long]("vec_id") === id,
+        s"label ${r.getInt(0)} rn ${r.getAs[Int]("rn")}")
+      assert(math.abs(r.getAs[Double]("cos") - c) < 1e-9)
+    }
+  }
+
   test("sigBitsFor / nlistFor knob math: clamped, monotone in corpus size") {
     import VectorQueries.{sigBitsFor, nlistFor}
     assert(sigBitsFor(100) === 4)               // clamp floor
