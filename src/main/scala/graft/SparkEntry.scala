@@ -43,6 +43,7 @@ object SparkEntry {
     "q_join_semi" -> (TpchQueries.joinSemi _),
     "q_join_anti" -> (TpchQueries.joinAnti _),
     "q_join_outer_counts" -> (TpchQueries.joinOuterCounts _),
+    "q_join_full" -> (TpchQueries.joinFull _),
     "q_topk_orders" -> (TpchQueries.topkOrders _),
     "q_window_top_per_customer" -> (TpchQueries.windowTopPerCustomer _),
     "q_window_running_sum" -> (TpchQueries.windowRunningSum _),
@@ -70,6 +71,8 @@ object SparkEntry {
     "q_lang_id" -> (TextQueries.langId _),
     "q_fingerprint" -> (TextQueries.fingerprint _),
     "q_vocab_topk" -> ((s, d) => TextQueries.vocabTopk(s, d)),
+    "q_heavy_hitters" -> ((s, d) => TextQueries.heavyHitters(s, d)),
+    "q_pii_scrub" -> (TextQueries.piiScrub _),
     "q_stratified_sample" -> (TextQueries.stratifiedSample _),
     "q_sample_topk" -> ((s, d) => TextQueries.sampleTopkPerStratum(s, d)),
     "q_sample_hash" -> ((s, d) => TextQueries.sampleHashCutoff(s, d)),
@@ -107,6 +110,7 @@ object SparkEntry {
     "q_pruned_kpis" -> (PipelineQueries.prunedKpis _),
     "q_compact_kpis" -> (PipelineQueries.compactKpis _),
     "q_stateful_sessions" -> (PipelineQueries.statefulSessions _),
+    "q_tws_sessions" -> (PipelineQueries.twsSessions _),
     // §2.11 E3 vectors
     "q_knn_brute" -> (VectorQueries.knnBrute _),
     "q_vec_norms" -> (VectorQueries.vecNorms _),
@@ -345,6 +349,18 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // transformWithState variant: same sessions, same oracle (the two
+    // stateful APIs are pinned to agree)
+    "q_tws_sessions" ->
+      s"""WITH g AS (
+        |  SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR date_diff('millisecond', lag(ts) OVER w, ts) > 1800000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.SessionCutoff}'
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
@@ -390,6 +406,20 @@ object SparkEntry {
         |  round(sum(coalesce(o_totalprice, 0)), 2) AS total_spend
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_join_full" ->
+      """WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    count(*) AS n_orders, round(sum(o_totalprice), 2) AS ordered_value
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT strftime(l_shipdate, '%Y-%m') AS month,
+        |    count(*) AS n_returns, round(sum(l_extendedprice), 2) AS returned_value
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT coalesce(o.month, r.month) AS month,
+        |  coalesce(n_orders, 0) AS n_orders,
+        |  coalesce(ordered_value, 0.0) AS ordered_value,
+        |  coalesce(n_returns, 0) AS n_returns,
+        |  coalesce(returned_value, 0.0) AS returned_value
+        |FROM o FULL OUTER JOIN r ON o.month = r.month
+        |ORDER BY 1""".stripMargin,
     "q_topk_orders" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
@@ -553,6 +583,29 @@ object SparkEntry {
         |g AS (SELECT token, doc_id, count(*) AS n FROM t GROUP BY 1, 2)
         |SELECT token, CAST(sum(n) AS BIGINT) AS tf, count(*) AS df
         |FROM g GROUP BY 1 ORDER BY tf DESC, token LIMIT 20""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH t AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
+        |  FROM documents)
+        |SELECT token, count(*) AS tf FROM t
+        |GROUP BY 1 ORDER BY tf DESC, token LIMIT 10""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH r AS (SELECT source, text,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |    regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{6,}\b', '<ID>', 'g'),
+        |    '\bcustomer\b', '<TERM>', 'g') AS redacted
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN text <> redacted THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS docs_redacted,
+        |  CAST(sum(len(regexp_extract_all(text, '\bcustomer\b'))) AS BIGINT)
+        |    AS n_matches,
+        |  CAST(sum(length(text)) AS BIGINT) AS chars_before,
+        |  CAST(sum(length(redacted)) AS BIGINT) AS chars_after
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stratified_sample" ->
       """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
         |r AS (SELECT lang, doc_id, row_number() OVER (

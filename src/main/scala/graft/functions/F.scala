@@ -40,6 +40,13 @@ object F {
   def topK(score: Column, id: Column, k: Int): Column =
     aggColumn(TopKAgg(expr(score.cast("double")), expr(id.cast("long")), k))
 
+  /** Aggregate: Misra-Gries frequent-items sketch with ≤ capacity
+    * counters (see [[FreqSketchAgg]]): array<struct<token,count>>
+    * sorted (count DESC, token ASC), counts are lower bounds within
+    * N/(capacity+1) of truth. */
+  def freqSketch(key: Column, capacity: Int): Column =
+    aggColumn(FreqSketchAgg(expr(key), capacity))
+
   /** Aggregate: approximate count-distinct as a single-binary-buffer
     * HLL (see [[HllAgg]] — the codegen-friendly replacement for the
     * builtin's ~m/32-column buffer). Error ≈ 1.04/√(2^bits). */

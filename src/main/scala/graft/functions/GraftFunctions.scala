@@ -37,6 +37,8 @@ object GraftFunctions {
     "minhash_band_hashes" -> (args => MinHashBandHashes(args.head,
       intArg("minhash_band_hashes", args(1)),
       intArg("minhash_band_hashes", args(2)))),
+    "freq_sketch" -> (args =>
+      FreqSketchAgg(args.head, intArg("freq_sketch", args(1)))),
     "cosine_sim" -> (args => CosineSim(args.head, args(1))),
     "l2_norm" -> (args => L2Norm(args.head)),
     "quant_err" -> (args =>

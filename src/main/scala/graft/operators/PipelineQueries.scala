@@ -2,7 +2,7 @@ package graft.operators
 
 import java.nio.file.Files
 import scala.annotation.nowarn
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.batch.DailyKpis
 import graft.streaming.RawIngest
@@ -215,8 +215,36 @@ object PipelineQueries {
     * through StatefulSessions; the sentinel closes every real session
     * (its own session stays open and unemitted), so emitted counts
     * must equal a SQL lag-gap sessionization of the fixture. */
+  def statefulSessions(spark: SparkSession, dir: String): DataFrame =
+    sessionsGate(spark, dir,
+      src => graft.streaming.StatefulSessions.sessionize(src, gapSeconds = 1800))
+
+  /** transformWithState sessionization (ST7 on the Spark 4 arbitrary-
+    * state API — named state slots + explicit event-time timers; see
+    * graft.streaming.TwsSessions) through the IDENTICAL gate and
+    * oracle as q_stateful_sessions, so the two stateful APIs are
+    * pinned to produce the same sessions. The API runs only on the
+    * RocksDB state-store provider — which is also the right answer at
+    * scale (disk-backed state + changelog checkpointing where the
+    * default in-memory store OOMs at 100 TB key cardinality) — so the
+    * provider is set for this query and restored after. */
+  def twsSessions(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try sessionsGate(spark, dir,
+      src => graft.streaming.TwsSessions.sessionize(src, gapSeconds = 1800))
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   @nowarn("cat=deprecation") // Trigger.Once is the deliberate choice (see in-method comment); deprecation acknowledged
-  def statefulSessions(spark: SparkSession, dir: String): DataFrame = {
+  private def sessionsGate(spark: SparkSession, dir: String,
+      sessionize: Dataset[graft.streaming.StatefulSessions.SessionEvent] =>
+        Dataset[graft.streaming.StatefulSessions.SessionOut]): DataFrame = {
     import spark.implicits._
     import graft.streaming.StatefulSessions
     val ck = Files.createTempDirectory("graft-sess-ck")
@@ -249,7 +277,7 @@ object PipelineQueries {
     // exercises the timeout-flush path itself across AvailableNow
     // runs.
     withShufflePartitions(spark, 8) {
-      val q = StatefulSessions.sessionize(src, gapSeconds = 1800)
+      val q = sessionize(src)
         .writeStream.format("parquet").option("path", out.toString)
         .outputMode("append").option("checkpointLocation", ck.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()

@@ -85,6 +85,89 @@ object TextQueries {
       .limit(k)
   }
 
+  /** E4 heavy hitters — approximate top-k tokens with BOUNDED memory:
+    * a Misra-Gries freq_sketch pass nominates ≤ capacity candidate
+    * tokens (graft.functions.FreqSketchAgg — every token with true
+    * frequency > N/(capacity+1) is guaranteed nominated, under any
+    * partitioning/merge order), then an exact second pass recounts
+    * only the candidates and cuts the true top-k. The result is
+    * EXACT (same oracle shape as vocabTopk) whenever the top-k
+    * frequencies clear the sketch bound — trivially true for Zipf-ish
+    * token distributions with capacity a few times k.
+    *
+    * Why this beats the exact cascade at 100 TB: vocabTopk's first
+    * groupBy shuffles the full vocabulary (web-scale corpora:
+    * 10^9–10^10 distinct tokens); here pass 1 shuffles ONE ≤
+    * capacity-entry sketch per partition to a single reducer, and
+    * pass 2 shuffles only rows matching the ≤ capacity-token
+    * candidate list (pushed into the scan as an IN filter). Two
+    * corpus scans, zero vocabulary-wide state. The candidate collect
+    * is ≤ capacity rows — bounded by construction. */
+  def heavyHitters(spark: SparkSession, dir: String,
+                   k: Int = 10, capacity: Int = 64): DataFrame = {
+    val toks = withTokens(load(spark, dir, "documents"))
+      .select(explode(col("toks")).as("token"))
+    val candidates = toks
+      .agg(F.freqSketch(col("token"), capacity).as("sk"))
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.token")).collect().map(_.getString(0)).toSeq
+    toks.where(col("token").isin(candidates: _*))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("token"))
+      .limit(k)
+  }
+
+  /** Default PII redaction patterns (name, Java+RE2-compatible regex,
+    * replacement) — the pre-release scrub a training corpus gets:
+    * emails, IPv4 addresses, US-style phone numbers, and long digit
+    * runs (account/SSN-shaped ids). Patterns deliberately use only
+    * syntax with identical semantics in Java regex and RE2 so the
+    * same strings drive Spark, the DuckDB oracle, and any sibling
+    * engine. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"),
+    ("idrun", "\\b\\d{6,}\\b", "<ID>"))
+
+  /** Apply a redaction pattern chain to `textCol` (in order — earlier
+    * patterns see the original text, later ones the partially-redacted
+    * text, so e.g. the digit-run rule can't re-match inside an
+    * already-masked phone). Pure codegen'd regexp_replace chain:
+    * map-only, no shuffle at any scale. */
+  def redact(df: DataFrame, textCol: String,
+             patterns: Seq[(String, String, String)] = piiPatterns): DataFrame =
+    patterns.foldLeft(df) { case (d, (_, re, repl)) =>
+      d.withColumn(textCol, regexp_replace(col(textCol), re, repl))
+    }
+
+  /** E4 PII scrubbing gate: the full default pattern chain plus a
+    * corpus-matching term rule (the fixture corpus is synthetic word
+    * soup with no real PII, so the PII rules must be exact no-ops —
+    * itself an assertion the oracle certifies — while the term rule
+    * exercises real replacement accounting). Per source: docs
+    * touched, match count, chars before/after. The redaction itself
+    * is map-only; this report adds one |sources|-row two-phase agg.
+    * Real-PII behavior of the default patterns is pinned by
+    * PiiRedactSpec on constructed rows. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val termRe = "\\bcustomer\\b"
+    val chain = piiPatterns :+ (("term", termRe, "<TERM>"))
+    val docs = load(spark, dir, "documents")
+      .select(col("source"), col("text"))
+    val red = redact(docs.withColumn("redacted", col("text")), "redacted", chain)
+    red.select(col("source"), col("text"), col("redacted"),
+        size(regexp_extract_all(col("text"), lit(termRe), lit(0))).as("nm"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("text") =!= col("redacted"), 1L).otherwise(0L)).as("docs_redacted"),
+        sum(col("nm").cast("long")).as("n_matches"),
+        sum(length(col("text")).cast("long")).as("chars_before"),
+        sum(length(col("redacted")).cast("long")).as("chars_after"))
+      .orderBy(col("source"))
+  }
+
   /** Context-window chunking (E6): split each document into
     * fixed-size token windows with overlap — the pre-tokenizer pass
     * that turns long documents into model-context-sized pieces
