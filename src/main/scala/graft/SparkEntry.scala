@@ -60,11 +60,16 @@ object SparkEntry {
     "q14_promo_share" -> (TpchQueries.q14PromoShare _),
     "q_asof_join" -> (TpchQueries.asofLineitemOrder _),
     "q_cube_orders" -> (TpchQueries.cubeOrders _),
+    "q_grouping_sets" -> (TpchQueries.groupingSetsOrders _),
+    "q_ffill" -> (TpchQueries.forwardFill _),
+    "q_snapshot_diff" -> (TpchQueries.snapshotDiff _),
     "q_range_join" -> (TpchQueries.rangeJoinShipments _),
     "q_bucketed_join" -> (BucketedJoin.ordersPerKey _),
     // §2.11 E1/E2/E4 text & dedup
     "q_dedup_exact" -> (TextQueries.dedupExact _),
     "q_dedup_wordset" -> (TextQueries.dedupWordset _),
+    "q_incremental_dedup" -> (TextQueries.incrementalDedup _),
+    "q_array_funcs" -> (TextQueries.arrayFuncs _),
     "q_token_count" -> (TextQueries.tokenCount _),
     "q_token_bpe" -> (TextQueries.tokenBpe _),
     "q_text_quality" -> (TextQueries.textQuality _),
@@ -524,12 +529,81 @@ object SparkEntry {
         |  round(sum(o_totalprice), 2) AS total_price
         |FROM orders GROUP BY CUBE(1, 2)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_priority,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
+    "q_ffill" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |    CASE WHEN l_linenumber % 3 = 1 THEN NULL
+        |         ELSE round(l_extendedprice, 2) END AS price_gappy
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01'),
+        |w AS (
+        |  SELECT l_orderkey, l_linenumber, price_gappy,
+        |    last_value(price_gappy IGNORE NULLS) OVER (
+        |      PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS price_ffill,
+        |    first_value(price_gappy IGNORE NULLS) OVER (
+        |      PARTITION BY l_orderkey ORDER BY l_linenumber, l_extendedprice
+        |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS price_bfill
+        |  FROM b)
+        |SELECT l_orderkey, l_linenumber, price_gappy, price_ffill,
+        |  coalesce(price_ffill, price_bfill) AS price_filled
+        |FROM w""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH a AS (
+        |  SELECT o_orderkey AS key_a, round(o_totalprice, 2) AS price_a
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |b AS (
+        |  SELECT o_orderkey AS key_b,
+        |    round(CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 1.1
+        |               ELSE o_totalprice END, 2) AS price_b
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT CASE WHEN key_a IS NULL THEN 'insert'
+        |            WHEN key_b IS NULL THEN 'delete'
+        |            WHEN price_a <> price_b THEN 'update'
+        |            ELSE 'unchanged' END AS change,
+        |  count(*) AS n, min(coalesce(key_a, key_b)) AS min_key,
+        |  max(coalesce(key_a, key_b)) AS max_key
+        |FROM a FULL OUTER JOIN b ON key_a = key_b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_dedup_exact" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS n, min(doc_id) AS keep_id
         |  FROM documents GROUP BY 1)
         |SELECT count(*) AS n_distinct_texts, CAST(sum(n) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_redundant
         |FROM g""".stripMargin,
+    "q_incremental_dedup" ->
+      """WITH k AS (SELECT doc_id, source,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |c AS (SELECT DISTINCT nt FROM k WHERE doc_id % 2 = 0),
+        |b AS (SELECT k.doc_id, k.source,
+        |    (c.nt IS NOT NULL) AS in_corpus,
+        |    min(k.doc_id) OVER (PARTITION BY k.nt) AS keep_id
+        |  FROM k LEFT JOIN c ON k.nt = c.nt WHERE k.doc_id % 2 = 1)
+        |SELECT source,
+        |  CASE WHEN in_corpus THEN 'dup_corpus'
+        |       WHEN doc_id <> keep_id THEN 'dup_batch'
+        |       ELSE 'kept' END AS status,
+        |  count(*) AS n, min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_array_funcs" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_split_to_array(text, '\s+') AS toks FROM documents)
+        |SELECT doc_id,
+        |  len(toks) AS n_toks,
+        |  len(list_distinct(toks)) AS n_unique,
+        |  array_to_string(list_slice(list_sort(list_distinct(toks)), 1, 3), '|')
+        |    AS first3,
+        |  list_max(list_transform(toks, x -> length(x))) AS max_len,
+        |  len(list_filter(toks, x -> length(x) > 6)) AS n_long,
+        |  list_sum(list_transform(toks, x -> length(x))) AS sum_len
+        |FROM t""".stripMargin,
     "q_dedup_wordset" ->
       """SELECT count(*) AS n, min(doc_id) AS keep_id, max(doc_id) AS max_id
         |FROM documents

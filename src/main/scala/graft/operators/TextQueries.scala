@@ -605,4 +605,66 @@ object TextQueries {
       .where(col("n") > 1)
       .orderBy(col("simhash"))
   }
+
+  /** E1 incremental dedup: dedup an incoming BATCH against an already
+    * -deduped CORPUS — the continuous-crawl shape, where re-dedup of
+    * the whole corpus per ingest is the thing a 100 TB pipeline cannot
+    * afford. Each batch doc is classified exactly once:
+    * `dup_corpus` (normalized text already in the corpus — anti-join
+    * miss), `dup_batch` (first seen in this batch but not its group's
+    * keeper), or `kept`. Cost per ingest is O(|batch| + corpus
+    * membership probe): the corpus side reduces to distinct 128-bit
+    * keys (two seeded xxhash64 halves of the normalized text, same
+    * margin as [[dedupExact]]) — never the corpus text — and at scale
+    * the probe is exactly the [[graft.operators.BloomJoin]] /
+    * bucketed-semi-join shape. Normalization (lower + whitespace
+    * collapse) is the standard near-exact key. The fixture carves
+    * corpus/batch from doc_id parity so both dup classes populate at
+    * every scale. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val keyed = load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        xxhash64(norm).as("h1"),
+        xxhash64(lit("graft-seed2"), norm).as("h2"))
+    val corpusKeys = keyed.where(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("h1"), col("h2")).distinct()
+      .withColumn("in_corpus", lit(1))
+    val batch = keyed.where(pmod(col("doc_id"), lit(2)) === 1)
+    val keeper = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("h1"), col("h2"))
+    batch
+      .join(corpusKeys, Seq("h1", "h2"), "left_outer")
+      .withColumn("keep_id", min(col("doc_id")).over(keeper))
+      .select(col("source"),
+        when(col("in_corpus") === 1, lit("dup_corpus"))
+          .when(col("doc_id") =!= col("keep_id"), lit("dup_batch"))
+          .otherwise(lit("kept")).as("status"),
+        col("doc_id"))
+      .groupBy(col("source"), col("status"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("source"), col("status"))
+  }
+
+  /** F-family breadth: the array / higher-order-function surface over
+    * real token arrays — size, distinct, sort+slice, transform,
+    * filter, and an aggregate() fold, all codegen'd builtins (never a
+    * UDF), so the whole projection stays inside one WholeStageCodegen
+    * span and the only job structure is scan→project. Per-row outputs
+    * (no aggregation) keep every function's value oracle-checked
+    * row-by-row against DuckDB's list_* equivalents. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withTokens(load(spark, dir, "documents"))
+    docs.select(
+      col("doc_id"),
+      size(col("toks")).as("n_toks"),
+      size(array_distinct(col("toks"))).as("n_unique"),
+      array_join(slice(array_sort(array_distinct(col("toks"))), 1, 3), "|")
+        .as("first3"),
+      array_max(transform(col("toks"), t => length(t))).as("max_len"),
+      size(filter(col("toks"), t => length(t) > 6)).as("n_long"),
+      aggregate(transform(col("toks"), t => length(t)),
+        lit(0), (acc, x) => acc + x).as("sum_len"))
+  }
 }

@@ -401,6 +401,97 @@ object TpchQueries {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** GROUPING SETS over two disjoint dimension slices plus the grand
+    * total — the generalized grouping surface beyond [[cubeOrders]]'s
+    * full cube (SURVEY.md §2.3). Catalyst expands to a single Expand +
+    * one two-phase hash aggregate: one scan and one shuffle no matter
+    * how many sets are declared, where the naive formulation runs
+    * three scan+agg jobs and unions them — at 100 TB that is 3× the
+    * read I/O for the same answer. grouping() flags distinguish "NULL
+    * because aggregated away" from a genuine NULL key, so consumers
+    * never guess from the null pattern. */
+  def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq.empty),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_status"),
+        grouping(col("o_orderpriority")).cast("int").as("g_priority"),
+        count(lit(1)).as("n_orders"),
+        F.roundBin(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy(col("g_status"), col("g_priority"),
+        col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Forward/backward-fill imputation (last observation carried
+    * forward) via last/first IGNORE NULLS over running frames — the
+    * gap-repair pass of a feature pipeline before training. Both
+    * directions ride the SAME single shuffle on the partition key
+    * (Catalyst plans one Exchange; the opposite-direction window adds
+    * only an in-partition re-sort), so gap repair costs one pass at
+    * any scale — never a self-join or driver-side loop. Gaps are
+    * synthesized deterministically (every linenumber ≡ 1 mod 3
+    * masked), which leaves leading nulls in most orders so the
+    * backward-fill fallback is genuinely exercised. Ordering includes
+    * l_extendedprice because the fixture reuses (orderkey, linenumber)
+    * pairs (see [[windowRunningSum]]); with the price in the key, tied
+    * rows carry equal values and any residual order fills identically. */
+  def forwardFill(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+        when(pmod(col("l_linenumber"), lit(3)) === 1, lit(null))
+          .otherwise(F.roundBin(col("l_extendedprice"), 2)).as("price_gappy"))
+    val fwd = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_extendedprice"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_extendedprice"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    li.select(col("l_orderkey"), col("l_linenumber"), col("price_gappy"),
+        last(col("price_gappy"), ignoreNulls = true).over(fwd).as("price_ffill"),
+        coalesce(
+          last(col("price_gappy"), ignoreNulls = true).over(fwd),
+          first(col("price_gappy"), ignoreNulls = true).over(bwd))
+          .as("price_filled"))
+    // unsorted full-fact output — same rationale as windowRunningSum
+  }
+
+  /** Snapshot diff / CDC classification: given two keyed snapshots of
+    * the same table, classify every key as insert / delete / update /
+    * unchanged — the change-data-capture primitive behind incremental
+    * syncs and MERGE feeds. One full-outer join on the key plus a
+    * two-phase count agg: the join shuffles each snapshot once on the
+    * key it is already keyed by, so at 100 TB the cost is two scans +
+    * one co-partitioned join (and bucketing both snapshots on the key
+    * makes it exchange-free — see [[BucketedJoin]]). The fixture is
+    * static, so the two snapshots are carved deterministically: A
+    * drops every 5th key, B drops every 7th and reprices every 3rd —
+    * all four classes are populated at every scale. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val ord = load(spark, dir, "orders")
+    val snapA = ord.where(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      .select(col("o_orderkey").as("key_a"),
+        F.roundBin(col("o_totalprice"), 2).as("price_a"))
+    val snapB = ord.where(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      .select(col("o_orderkey").as("key_b"),
+        F.roundBin(when(pmod(col("o_orderkey"), lit(3)) === 0,
+            col("o_totalprice") * 1.1).otherwise(col("o_totalprice")), 2)
+          .as("price_b"))
+    snapA.join(snapB, col("key_a") === col("key_b"), "full_outer")
+      .select(
+        when(col("key_a").isNull, lit("insert"))
+          .when(col("key_b").isNull, lit("delete"))
+          .when(col("price_a") =!= col("price_b"), lit("update"))
+          .otherwise(lit("unchanged")).as("change"),
+        coalesce(col("key_a"), col("key_b")).as("key"))
+      .groupBy(col("change"))
+      .agg(count(lit(1)).as("n"), min(col("key")).as("min_key"),
+        max(col("key")).as("max_key"))
+      .orderBy(col("change"))
+  }
+
   /** Correlated-scalar-subquery shape: orders above their customer's
     * average order value. Catalyst decorrelates to a join+agg. */
   def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {

@@ -306,4 +306,58 @@ class TextQueriesSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("avg_cd") - avgCd) <= 1.0001e-4)
     }
   }
+
+  test("incrementalDedup matches a driver-side corpus/batch classification") {
+    val rows = Tables.load(spark, sf, "documents")
+      .select("doc_id", "source", "text").collect().toSeq
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def norm(t: String): String = t.toLowerCase.replaceAll("\\s+", " ").trim
+    val corpus = rows.collect { case (id, _, t) if id % 2 == 0 => norm(t) }.toSet
+    val batch = rows.filter(_._1 % 2 == 1)
+    val keepId = batch.groupBy(t => norm(t._3))
+      .map { case (k, v) => k -> v.map(_._1).min }
+    val exp = batch.groupBy { case (id, src, t) =>
+      val status =
+        if (corpus(norm(t))) "dup_corpus"
+        else if (id != keepId(norm(t))) "dup_batch"
+        else "kept"
+      (src, status)
+    }.map { case (k, v) =>
+      k -> ((v.size.toLong, v.map(_._1).min, v.map(_._1).max))
+    }
+    val got = TextQueries.incrementalDedup(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("min_doc"), r.getAs[Long]("max_doc"))))
+      .toMap
+    assert(got === exp)
+    // every batch doc classified exactly once
+    assert(got.values.map(_._1).sum === batch.size)
+  }
+
+  test("arrayFuncs matches a driver-side recompute per document") {
+    // UTF-8 byte order = code-point order (what Spark/DuckDB sort by);
+    // JVM String < is UTF-16 code-unit order, which diverges above BMP
+    val utf8Ord: Ordering[String] = new Ordering[String] {
+      def compare(a: String, b: String): Int =
+        java.util.Arrays.compareUnsigned(
+          a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+    }
+    val exp = docs.map { case (id, text) =>
+      val toks = text.split("\\s+", -1).toSeq
+      val uniq = toks.distinct
+      id -> ((toks.size, uniq.size,
+        uniq.sorted(utf8Ord).take(3).mkString("|"),
+        toks.map(_.length).max, toks.count(_.length > 6),
+        toks.map(_.length).sum))
+    }.toMap
+    val got = TextQueries.arrayFuncs(spark, sf).collect()
+    assert(got.length === docs.size)
+    got.foreach { r =>
+      val e = exp(r.getLong(0))
+      val a = (r.getAs[Int]("n_toks"), r.getAs[Int]("n_unique"),
+        r.getAs[String]("first3"), r.getAs[Int]("max_len"),
+        r.getAs[Int]("n_long"), r.getAs[Int]("sum_len"))
+      assert(a === e, s"doc ${r.getLong(0)}")
+    }
+  }
 }
