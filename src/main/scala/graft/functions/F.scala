@@ -53,6 +53,21 @@ object F {
   def hllDistinct(c: Column, bits: Int = 14): Column =
     aggColumn(HllAgg(expr(c), bits))
 
+  /** Aggregate: the HLL register file itself as binary — the
+    * sketch-persistence half of incremental distinct maintenance
+    * (see [[HllSketchAgg]]). */
+  def hllSketch(c: Column, bits: Int = 14): Column =
+    aggColumn(HllSketchAgg(expr(c), bits))
+
+  /** Aggregate: register-max fold of stored sketches (see
+    * [[HllUnionAgg]]); emits the merged sketch so rollups compose. */
+  def hllUnion(c: Column, bits: Int = 14): Column =
+    aggColumn(HllUnionAgg(expr(c), bits))
+
+  /** Scalar: cardinality estimate of a stored sketch (see
+    * [[HllEstimate]]). */
+  def hllEstimate(c: Column): Column = column(HllEstimate(expr(c)))
+
   def l2Norm(c: Column): Column = column(L2Norm(expr(c)))
 
   /** Int8-quantization relative reconstruction error (see

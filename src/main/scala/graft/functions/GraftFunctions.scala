@@ -60,6 +60,13 @@ object GraftFunctions {
     "hll_distinct" -> (args =>
       HllAgg(args.head,
         if (args.length > 1) intArg("hll_distinct", args(1)) else 14)),
+    "hll_sketch" -> (args =>
+      HllSketchAgg(args.head,
+        if (args.length > 1) intArg("hll_sketch", args(1)) else 14)),
+    "hll_union" -> (args =>
+      HllUnionAgg(args.head,
+        if (args.length > 1) intArg("hll_union", args(1)) else 14)),
+    "hll_estimate" -> (args => HllEstimate(args.head)),
     "payload_bytes" -> (args => PayloadBytes(args.head, args(1))),
   )
 

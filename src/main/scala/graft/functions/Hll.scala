@@ -2,8 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -37,11 +38,15 @@ final class HllBuffer(val bits: Int) {
     if (rank > regs(idx)) regs(idx) = rank.toByte
   }
 
-  def mergeFrom(other: HllBuffer): Unit = {
+  def mergeFrom(other: HllBuffer): Unit = mergeBytes(other.regs)
+
+  def mergeBytes(other: Array[Byte]): Unit = {
+    require(other.length == regs.length,
+      s"sketch width mismatch: ${other.length} registers vs ${regs.length}")
     val m = regs.length
     var i = 0
     while (i < m) {
-      if (other.regs(i) > regs(i)) regs(i) = other.regs(i)
+      if (other(i) > regs(i)) regs(i) = other(i)
       i += 1
     }
   }
@@ -71,21 +76,27 @@ final class HllBuffer(val bits: Int) {
   }
 }
 
-/** `hll_distinct(col[, bits])` — approximate COUNT(DISTINCT col) as a
-  * single-binary-buffer HLL aggregate (see [[HllBuffer]] for why not
-  * the builtin). Deterministic under any partitioning: register max
-  * is commutative/associative and the hash is seed-fixed. Accepts
-  * long/int/string/double inputs; nulls are ignored (matching
-  * count-distinct semantics).
-  */
-case class HllAgg(
-    child: Expression,
-    bits: Int = 14,
-    mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[HllBuffer] {
+object HllBuffer {
+  /** Estimate straight from a serialized register file (the form
+    * [[HllSketchAgg]]/[[HllUnionAgg]] emit). Register count must be a
+    * power of two — enforced at sketch build, asserted here. Called
+    * from generated code by [[HllEstimate]]. */
+  def estimateOf(regs: Array[Byte]): Long = {
+    val bits = java.lang.Integer.numberOfTrailingZeros(regs.length)
+    require(regs.length == (1 << bits), s"not a register file: len=${regs.length}")
+    val b = new HllBuffer(bits)
+    System.arraycopy(regs, 0, b.regs, 0, regs.length)
+    b.estimate
+  }
+}
 
-  require(bits >= 4 && bits <= 18, "hll_distinct requires 4 <= bits <= 18")
+/** Shared TypedImperativeAggregate plumbing for the HLL family:
+  * element-hashing update, register-max merge, raw-register serde. */
+abstract class HllAggBase extends TypedImperativeAggregate[HllBuffer] {
+  def child: Expression
+  def bits: Int
+
+  require(bits >= 4 && bits <= 18, s"$prettyName requires 4 <= bits <= 18")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case LongType | IntegerType | StringType | DoubleType =>
@@ -94,9 +105,7 @@ case class HllAgg(
       s"$prettyName requires bigint/int/string/double, got $other")
   }
 
-  override def dataType: DataType = LongType
   override def nullable: Boolean = false
-  override def prettyName: String = "hll_distinct"
   override def children: Seq[Expression] = Seq(child)
 
   private final val Seed = 4243L
@@ -121,7 +130,110 @@ case class HllAgg(
 
   override def merge(a: HllBuffer, b: HllBuffer): HllBuffer = { a.mergeFrom(b); a }
 
+  override def serialize(buf: HllBuffer): Array[Byte] = buf.regs.clone()
+
+  override def deserialize(bytes: Array[Byte]): HllBuffer = {
+    val buf = new HllBuffer(bits)
+    System.arraycopy(bytes, 0, buf.regs, 0, bytes.length)
+    buf
+  }
+}
+
+/** `hll_distinct(col[, bits])` — approximate COUNT(DISTINCT col) as a
+  * single-binary-buffer HLL aggregate (see [[HllBuffer]] for why not
+  * the builtin). Deterministic under any partitioning: register max
+  * is commutative/associative and the hash is seed-fixed. Accepts
+  * long/int/string/double inputs; nulls are ignored (matching
+  * count-distinct semantics).
+  */
+case class HllAgg(
+    child: Expression,
+    bits: Int = 14,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends HllAggBase {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_distinct"
+
   override def eval(buf: HllBuffer): Any = buf.estimate
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllAgg =
+    copy(child = newChildren.head)
+}
+
+/** `hll_sketch(col[, bits])` — the register file ITSELF as binary:
+  * the sketch-persistence half of incremental distinct maintenance.
+  * Write one sketch row per partition key (e.g. per day) into a
+  * sketch table; any later rollup unions the stored sketches instead
+  * of rescanning raw data — at 100 TB that turns "distinct users this
+  * quarter" from a full-corpus shuffle into a |days|-row fold
+  * ([[HllUnionAgg]]). Register max is lossless under re-merge, so the
+  * stored sketch composes across arbitrary regroupings (the classic
+  * mergeable-summaries contract).
+  */
+case class HllSketchAgg(
+    child: Expression,
+    bits: Int = 14,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends HllAggBase {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "hll_sketch"
+
+  override def eval(buf: HllBuffer): Any = buf.regs.clone()
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllSketchAgg =
+    copy(child = newChildren.head)
+}
+
+/** `hll_union(sketchCol[, bits])` — register-max fold of stored
+  * sketches (binary columns produced by [[HllSketchAgg]] or a prior
+  * union). The rollup half of the sketch-table pattern: aggregates
+  * |groups| × 2^bits bytes, never the raw corpus. Emits the merged
+  * sketch (binary) so rollups themselves compose; apply
+  * [[HllEstimate]] for the number.
+  */
+case class HllUnionAgg(
+    child: Expression,
+    bits: Int = 14,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[HllBuffer] {
+
+  require(bits >= 4 && bits <= 18, "hll_union requires 4 <= bits <= 18")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary sketch column, got $other")
+  }
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "hll_union"
+  override def children: Seq[Expression] = Seq(child)
+
+  override def createAggregationBuffer(): HllBuffer = new HllBuffer(bits)
+
+  override def update(buf: HllBuffer, input: InternalRow): HllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.mergeBytes(v.asInstanceOf[Array[Byte]])
+    buf
+  }
+
+  override def merge(a: HllBuffer, b: HllBuffer): HllBuffer = { a.mergeFrom(b); a }
+
+  override def eval(buf: HllBuffer): Any = buf.regs.clone()
 
   override def serialize(buf: HllBuffer): Array[Byte] = buf.regs.clone()
 
@@ -131,10 +243,33 @@ case class HllAgg(
     buf
   }
 
-  override def withNewMutableAggBufferOffset(newOffset: Int): HllAgg =
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllUnionAgg =
     copy(mutableAggBufferOffset = newOffset)
-  override def withNewInputAggBufferOffset(newOffset: Int): HllAgg =
+  override def withNewInputAggBufferOffset(newOffset: Int): HllUnionAgg =
     copy(inputAggBufferOffset = newOffset)
-  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllAgg =
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): HllUnionAgg =
     copy(child = newChildren.head)
+}
+
+/** `hll_estimate(sketch)` — cardinality estimate of a stored sketch
+  * (scalar, codegen'd). Lets any reader of a sketch table get numbers
+  * without re-aggregating. */
+case class HllEstimate(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a binary sketch column, got $other")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hll_estimate"
+
+  override def nullSafeEval(v: Any): Any =
+    HllBuffer.estimateOf(v.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, x => s"graft.functions.HllBuffer.estimateOf($x)")
+
+  override protected def withNewChildrenInternal(newChild: Expression): HllEstimate =
+    copy(child = newChild)
 }
