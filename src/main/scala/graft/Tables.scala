@@ -12,12 +12,6 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** The `events` fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's TimestampType (µs) cannot read directly
-    * ([PARQUET_TYPE_ILLEGAL]). We read it as raw long nanos
-    * (legacy.parquet.nanosAsLong) and truncate to µs — every declared
-    * query derives second-or-coarser values, so truncation is
-    * oracle-safe. */
   /** Memoized parquet file schemas: without an explicit schema every
     * `spark.read.parquet` runs a footer-inference JOB (~30 ms) — one
     * per table per query invocation, which at 60+ bench queries × 1–6
@@ -34,9 +28,20 @@ object Tables {
     val path = s"$sfDir/$name.parquet"
     val schema = schemaCache.getOrElseUpdate(path, spark.read.parquet(path).schema)
     val df = spark.read.schema(schema).parquet(path)
-    if (name == "events")
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    // Normalize `events.ts` to TimestampType regardless of how the
+    // fixture generator encoded it — BIGINT nanos (older fixtures,
+    // read via legacy.parquet.nanosAsLong) or native TIMESTAMP_MICROS
+    // (current fixtures, surfacing as TIMESTAMP_NTZ). Downstream query
+    // code sees one type either way; with the session pinned to UTC the
+    // NTZ→TZ cast is value-identity.
+    if (name == "events") {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      schema("ts").dataType match {
+        case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        case TimestampNTZType => df.withColumn("ts", expr("cast(ts as timestamp)"))
+        case _ => df
+      }
+    } else df
   }
 
   /** Memoized fixture row counts — knob derivation (LSH bits, IVF

@@ -96,9 +96,14 @@ abstract class HllAggBase extends TypedImperativeAggregate[HllBuffer] {
   def child: Expression
   def bits: Int
 
-  require(bits >= 4 && bits <= 18, s"$prettyName requires 4 <= bits <= 18")
-
+  // NOTE: no `require(bits ...)` here — an abstract-superclass constructor
+  // body runs during executor-side reflective deserialization while the
+  // subclass `bits` field is still 0, which turns the require into
+  // InvalidClassException on every task. Bounds are validated in
+  // checkInputDataTypes (analysis time) instead.
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if bits < 4 || bits > 18 => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires 4 <= bits <= 18, got $bits")
     case LongType | IntegerType | StringType | DoubleType =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -270,6 +275,6 @@ case class HllEstimate(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, x => s"graft.functions.HllBuffer.estimateOf($x)")
 
-  override protected def withNewChildrenInternal(newChild: Expression): HllEstimate =
+  override protected def withNewChildInternal(newChild: Expression): HllEstimate =
     copy(child = newChild)
 }
