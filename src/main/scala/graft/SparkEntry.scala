@@ -34,6 +34,8 @@ object SparkEntry {
     "q_sliding_window" -> (KpiQueries.slidingWindow _),
     "q_approx_distinct" -> (KpiQueries.approxDistinct _),
     "q_approx_distinct_fast" -> (KpiQueries.approxDistinctFast _),
+    "q_sketch_rollup" -> (KpiQueries.sketchRollup _),
+    "q_quantile_rollup" -> (TpchQueries.quantileRollup _),
     "q_pivot_events" -> (KpiQueries.pivotEvents _),
     "q_unpivot_kpis" -> (KpiQueries.unpivotKpis _),
     // §2.4 joins / §2.5 windows / §2.6 sorts / §2.7 set ops

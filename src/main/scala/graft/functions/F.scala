@@ -68,6 +68,22 @@ object F {
     * [[HllEstimate]]). */
   def hllEstimate(c: Column): Column = column(HllEstimate(expr(c)))
 
+  /** Aggregate: mergeable log-histogram quantile sketch of a numeric
+    * column, binary (see [[QSketchAgg]]); value-relative error ≤
+    * 2^-(sub+1). */
+  def qSketch(c: Column, sub: Int = 5): Column =
+    aggColumn(QSketchAgg(expr(c), sub))
+
+  /** Aggregate: exact pointwise-count fold of stored quantile sketches
+    * (see [[QSketchUnionAgg]]); emits the merged sketch. */
+  def qSketchUnion(c: Column, sub: Int = 5): Column =
+    aggColumn(QSketchUnionAgg(expr(c), sub))
+
+  /** Scalar: nearest-rank quantile estimate of a stored sketch (see
+    * [[QSketchQuantile]]). */
+  def qSketchQuantile(c: Column, p: Double): Column =
+    column(QSketchQuantile(expr(c), p))
+
   def l2Norm(c: Column): Column = column(L2Norm(expr(c)))
 
   /** Int8-quantization relative reconstruction error (see

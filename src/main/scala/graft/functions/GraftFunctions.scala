@@ -25,6 +25,9 @@ object GraftFunctions {
 
   private def doubleArg(fn: String, e: Expression): Double = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Double, _) => v
+    // SQL fractional literals (`0.5`) parse as DecimalType literals
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: org.apache.spark.sql.types.Decimal, _) =>
+      v.toDouble
     case IntegerLiteral(v) => v.toDouble
     case other => throw new IllegalArgumentException(
       s"$fn expects a literal double argument, got $other")
@@ -67,6 +70,14 @@ object GraftFunctions {
       HllUnionAgg(args.head,
         if (args.length > 1) intArg("hll_union", args(1)) else 14)),
     "hll_estimate" -> (args => HllEstimate(args.head)),
+    "qsketch" -> (args =>
+      QSketchAgg(args.head,
+        if (args.length > 1) intArg("qsketch", args(1)) else 5)),
+    "qsketch_union" -> (args =>
+      QSketchUnionAgg(args.head,
+        if (args.length > 1) intArg("qsketch_union", args(1)) else 5)),
+    "qsketch_quantile" -> (args =>
+      QSketchQuantile(args.head, doubleArg("qsketch_quantile", args(1)))),
     "payload_bytes" -> (args => PayloadBytes(args.head, args(1))),
   )
 

@@ -281,4 +281,27 @@ object KpiQueries {
       .agg(F.hllDistinct(col("user_id"), 12).as("approx_users"))
       .orderBy(col("event_type"))
   }
+
+  /** Sketch-table distinct maintenance — the incremental-rollup half
+    * of the HLL family (reference analog: the daily KPI recompute at
+    * daily_kpis.py:109-140 generalized to mergeable summaries). Level
+    * 1 builds one 4 KiB sketch per (day, event_type) — at 100 TB this
+    * is the per-partition sketch table a nightly job appends to.
+    * Level 2 answers "distinct users per event_type over the whole
+    * range" by register-max-folding the |days| stored sketches —
+    * O(days × 4 KiB), never rescanning raw events. Register max is
+    * lossless under re-merge, so the fold's estimate is BIT-IDENTICAL
+    * to a direct hll_distinct over the raw rows (asserted by HllSpec);
+    * rows-only gate since the estimate itself is engine-defined. */
+  def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
+    val daily = load(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("event_type"))
+      .agg(F.hllSketch(col("user_id"), 12).as("sk"))
+    daily
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("days"),
+        F.hllEstimate(F.hllUnion(col("sk"), 12)).as("approx_users"))
+      .orderBy(col("event_type"))
+  }
 }

@@ -492,6 +492,40 @@ object TpchQueries {
       .orderBy(col("change"))
   }
 
+  /** Quantile-sketch-table rollup — the percentile analog of
+    * [[graft.operators.KpiQueries.sketchRollup]]'s distinct
+    * maintenance. Level 1 builds one mergeable log-histogram sketch
+    * ([[graft.functions.QSketchAgg]]) per (ship-month, returnflag) —
+    * the per-partition sketch table a nightly job appends to at
+    * 100 TB. Level 2 answers "price percentiles per returnflag over
+    * the whole range" by pointwise-count-folding the stored sketches —
+    * O(months × sketch-size), never rescanning raw lineitem, and the
+    * fold is EXACT (union-of-sketches ≡ sketch-of-union, asserted by
+    * QSketchSpec), so estimates match a direct sketch of the raw rows
+    * bit-for-bit. Rows-only gate: bucket-midpoint estimates are
+    * engine-defined; accuracy vs exact percentiles (≤ 2^-6 relative)
+    * is spec-gated. */
+  def quantileRollup(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = load(spark, dir, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        col("l_returnflag"))
+      .agg(F.qSketch(col("l_extendedprice"), 5).as("sk"),
+        count(lit(1)).as("rows"))
+    monthly
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(col("rows")).as("rows"),
+        count(lit(1)).as("months"),
+        // ONE union fold; the three quantile reads are scalar probes
+        // of the merged sketch in the post-aggregation projection
+        F.qSketchUnion(col("sk"), 5).as("usk"))
+      .select(col("l_returnflag"), col("rows"), col("months"),
+        F.qSketchQuantile(col("usk"), 0.5).as("p50"),
+        F.qSketchQuantile(col("usk"), 0.9).as("p90"),
+        F.qSketchQuantile(col("usk"), 0.99).as("p99"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Correlated-scalar-subquery shape: orders above their customer's
     * average order value. Catalyst decorrelates to a join+agg. */
   def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {

@@ -64,6 +64,38 @@ class HllSpec extends SparkSpec {
     assert(defBits === est, "default bits must be 14")
   }
 
+  test("sketch persistence: union of stored sketches == direct estimate") {
+    // The mergeable-summaries contract behind q_sketch_rollup: build
+    // one sketch per group (simulating the stored per-day sketch
+    // table), register-max-fold them, and require the estimate to be
+    // BIT-IDENTICAL to a direct hll_distinct over the raw rows —
+    // register max is lossless under re-merge, so sketch-table rollup
+    // loses nothing vs rescanning the corpus.
+    val df = spark.range(40000)
+      .select((col("id") % 17).as("g"), (col("id") * 6361 % 9973).as("v"))
+    val direct = df.agg(F.hllDistinct(col("v"), 12)).head().getLong(0)
+    val viaSketches = df
+      .groupBy(col("g")).agg(F.hllSketch(col("v"), 12).as("sk"))
+      .agg(F.hllEstimate(F.hllUnion(col("sk"), 12)).as("e"))
+      .head().getLong(0)
+    assert(viaSketches === direct, "sketch-table fold must equal direct estimate")
+    assert(math.abs(direct - 9973L).toDouble / 9973 <= 0.05, s"direct=$direct")
+  }
+
+  test("hll_estimate of a single stored sketch matches its aggregate estimate") {
+    val direct = spark.range(7000).agg(F.hllDistinct(col("id"), 12)).head().getLong(0)
+    val stored = spark.range(7000).agg(F.hllSketch(col("id"), 12).as("sk"))
+      .select(F.hllEstimate(col("sk")).as("e")).head().getLong(0)
+    assert(stored === direct)
+  }
+
+  test("out-of-range bits fails at analysis time, not on executors") {
+    val e = intercept[Exception] {
+      spark.range(10).agg(F.hllDistinct(col("id"), 3)).collect()
+    }
+    assert(e.getMessage.contains("4 <= bits <= 18"), e.getMessage)
+  }
+
   test("map-side partial aggregation: plan uses ObjectHashAggregate") {
     val plan = spark.range(1000).groupBy((col("id") % 5).as("g"))
       .agg(F.hllDistinct(col("id"), 14))
