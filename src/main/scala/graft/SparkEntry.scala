@@ -114,6 +114,7 @@ object SparkEntry {
     "q_salted_join" -> (PipelineQueries.saltedJoin _),
     "q_bloom_join" -> (BloomJoin.bloomSemiLineitems _),
     "q_sorted_scan" -> (SortedLayout.tsRangeKpis _),
+    "q_zorder_scan" -> (ZOrderLayout.userTimeBoxKpis _),
     "q_pruned_kpis" -> (PipelineQueries.prunedKpis _),
     "q_compact_kpis" -> (PipelineQueries.compactKpis _),
     "q_stateful_sessions" -> (PipelineQueries.statefulSessions _),
@@ -324,6 +325,14 @@ object SparkEntry {
         |FROM events
         |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_zorder_scan" ->
+      """SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt,
+        |  count(*) AS total_events,
+        |  round(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS revenue_usd
+        |FROM events
+        |WHERE user_id < 3
+        |  AND ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_compact_kpis" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS dt,
         |  count(*) AS total_events,

@@ -84,6 +84,11 @@ object F {
   def qSketchQuantile(c: Column, p: Double): Column =
     column(QSketchQuantile(expr(c), p))
 
+  /** Scalar: 2-D Morton key of two pre-scaled 21-bit coordinates (see
+    * [[InterleaveBits]]) — the Z-order clustering key. */
+  def interleaveBits(a: Column, b: Column): Column =
+    column(InterleaveBits(expr(a), expr(b)))
+
   def l2Norm(c: Column): Column = column(L2Norm(expr(c)))
 
   /** Int8-quantization relative reconstruction error (see

@@ -79,6 +79,7 @@ object GraftFunctions {
     "qsketch_quantile" -> (args =>
       QSketchQuantile(args.head, doubleArg("qsketch_quantile", args(1)))),
     "payload_bytes" -> (args => PayloadBytes(args.head, args(1))),
+    "interleave_bits" -> (args => InterleaveBits(args.head, args(1))),
   )
 
   /** Idempotent per-session registration. */
