@@ -78,6 +78,7 @@ object SparkEntry {
     "q_lang_id" -> (TextQueries.langId _),
     "q_fingerprint" -> (TextQueries.fingerprint _),
     "q_vocab_topk" -> ((s, d) => TextQueries.vocabTopk(s, d)),
+    "q_inverted_index" -> (TextQueries.invertedIndex _),
     "q_heavy_hitters" -> ((s, d) => TextQueries.heavyHitters(s, d)),
     "q_pii_scrub" -> (TextQueries.piiScrub _),
     "q_stratified_sample" -> (TextQueries.stratifiedSample _),
@@ -668,6 +669,13 @@ object SparkEntry {
         |g AS (SELECT token, doc_id, count(*) AS n FROM t GROUP BY 1, 2)
         |SELECT token, CAST(sum(n) AS BIGINT) AS tf, count(*) AS df
         |FROM g GROUP BY 1 ORDER BY tf DESC, token LIMIT 20""".stripMargin,
+    "q_inverted_index" ->
+      """WITH t AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents)
+        |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf,
+        |  (list_sort(list(DISTINCT doc_id)))[1:16] AS postings
+        |FROM t GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10
+        |ORDER BY term""".stripMargin,
     "q_heavy_hitters" ->
       """WITH t AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS token
         |  FROM documents)

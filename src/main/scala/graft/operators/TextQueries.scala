@@ -85,6 +85,30 @@ object TextQueries {
       .limit(k)
   }
 
+  /** E4 inverted-index build: token-sharded posting lists — the
+    * retrieval-side structure a training pipeline builds for
+    * decontamination lookups and corpus search. One explode + one
+    * groupBy(term): the shuffle IS the index partitioner (terms
+    * co-locate on their reducer, which at 100 TB writes one
+    * term-range-bucketed index shard per partition). Posting lists
+    * are sorted doc_id arrays capped at 16 entries (`slice`) so
+    * stop-word rows carry bounded payload — the full-list variant
+    * would make the hottest term's row as large as the corpus'
+    * document count (production delta-encodes and chunks postings;
+    * the cap models the chunking). df ≥ 10 keeps the gate output
+    * term-selective the way a real index drops hapax noise. */
+  def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val docs = withTokens(load(spark, dir, "documents"))
+    docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("term"))
+      .agg(
+        countDistinct(col("doc_id")).as("df"),
+        count(lit(1)).as("tf"),
+        slice(array_sort(collect_set(col("doc_id"))), 1, 16).as("postings"))
+      .where(col("df") >= 10)
+      .orderBy(col("term"))
+  }
+
   /** E4 heavy hitters — approximate top-k tokens with BOUNDED memory:
     * a Misra-Gries freq_sketch pass nominates ≤ capacity candidate
     * tokens (graft.functions.FreqSketchAgg — every token with true

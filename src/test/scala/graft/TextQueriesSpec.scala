@@ -360,4 +360,26 @@ class TextQueriesSpec extends SparkSpec {
       assert(a === e, s"doc ${r.getLong(0)}")
     }
   }
+
+  test("invertedIndex matches a driver-side posting-list recompute") {
+    val exp = docs
+      .flatMap { case (id, text) => text.split("\\s+", -1).map(t => (t, id)) }
+      .groupBy(_._1)
+      .map { case (term, pairs) =>
+        val ids = pairs.map(_._2)
+        term -> ((ids.distinct.size.toLong, ids.size.toLong,
+          ids.distinct.sorted.take(16)))
+      }
+      .filter(_._2._1 >= 10)
+    val got = TextQueries.invertedIndex(spark, sf).collect()
+    assert(got.length === exp.size, s"term count: got ${got.length}, exp ${exp.size}")
+    assert(got.nonEmpty, "df>=10 cut left no terms — fixture drifted?")
+    got.foreach { r =>
+      val term = r.getString(0)
+      val e = exp(term)
+      assert(r.getAs[Long]("df") === e._1, s"df($term)")
+      assert(r.getAs[Long]("tf") === e._2, s"tf($term)")
+      assert(r.getAs[Seq[Long]]("postings") === e._3, s"postings($term)")
+    }
+  }
 }
