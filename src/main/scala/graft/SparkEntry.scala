@@ -57,6 +57,8 @@ object SparkEntry {
     "q_string_funcs" -> (TpchQueries.stringFuncs _),
     "q_date_funcs" -> (TpchQueries.dateFuncs _),
     "q_above_avg_orders" -> (TpchQueries.aboveAvgOrders _),
+    "q_agg_corr" -> (TpchQueries.aggCorr _),
+    "q_window_firstlast" -> (TpchQueries.windowFirstLast _),
     "q6_forecast_revenue" -> (TpchQueries.q6ForecastRevenue _),
     "q12_priority" -> (TpchQueries.q12Priority _),
     "q14_promo_share" -> (TpchQueries.q14PromoShare _),
@@ -500,6 +502,27 @@ object SparkEntry {
         |JOIN (SELECT o_custkey AS ck, avg(o_totalprice) AS avg_price
         |      FROM orders GROUP BY 1) a ON o.o_custkey = a.ck
         |WHERE o_totalprice > avg_price * 1.5
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_agg_corr" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_s,
+        |  round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_p,
+        |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 2) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 4) AS r2
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_firstlast" ->
+      """WITH w AS (SELECT o_orderkey, o_custkey, o_orderdate,
+        |    round(first_value(o_totalprice) OVER win, 2) AS first_price,
+        |    round(last_value(o_totalprice) OVER win, 2) AS last_price,
+        |    round(nth_value(o_totalprice, 2) OVER win, 2) AS second_price
+        |  FROM orders
+        |  WINDOW win AS (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT o_orderkey, o_custkey, first_price, last_price, second_price
+        |FROM w WHERE o_orderdate >= TIMESTAMP '1998-01-01'
         |ORDER BY o_orderkey""".stripMargin,
     "q6_forecast_revenue" ->
       """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue

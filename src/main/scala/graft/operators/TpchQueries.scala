@@ -526,6 +526,49 @@ object TpchQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Bivariate statistics aggregates (§2.3 A+ breadth): corr /
+    * covariance / least-squares regression of extended price on
+    * quantity per returnflag. All are single-pass partial+final
+    * aggregates (sum/sum-of-products moments), so they ride the same
+    * one-shuffle plan as q1 — no second pass, no sort, at any scale.
+    * 4dp rounding: moment sums are order-dependent doubles. */
+  def aggCorr(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    li.groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        F.roundBin(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        F.roundBin(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_s"),
+        F.roundBin(covar_pop(col("l_quantity"), col("l_extendedprice")), 2).as("covar_p"),
+        F.roundBin(regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope"),
+        F.roundBin(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2).as("intercept"),
+        F.roundBin(regr_r2(col("l_extendedprice"), col("l_quantity")), 4).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Window first/last/nth (§2.5 W-family breadth): per-customer
+    * order-history framing — first order value, latest order value,
+    * and the second order's value for every 1998 order. One window
+    * partition key → ONE exchange; the three functions share the same
+    * (custkey, orderdate, orderkey) sort, and the full-frame variants
+    * (last/nth over the whole partition) reuse the same sorted run.
+    * Ordering includes o_orderkey: o_orderdate ties would otherwise
+    * make first/last engine-ambiguous. */
+  def windowFirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val ord = load(spark, dir, "orders")
+    val asc = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val full = asc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ord
+      .withColumn("first_price", F.roundBin(first(col("o_totalprice")).over(full), 2))
+      .withColumn("last_price", F.roundBin(last(col("o_totalprice")).over(full), 2))
+      .withColumn("second_price", F.roundBin(nth_value(col("o_totalprice"), 2).over(full), 2))
+      .where(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("first_price"), col("last_price"), col("second_price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Correlated-scalar-subquery shape: orders above their customer's
     * average order value. Catalyst decorrelates to a join+agg. */
   def aboveAvgOrders(spark: SparkSession, dir: String): DataFrame = {

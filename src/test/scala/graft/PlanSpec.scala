@@ -131,6 +131,43 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p)
   }
 
+  test("sketchRollup: both sketch levels run as partial+final ObjectHashAggregate") {
+    // the sketch-table pattern's scale contract: level-1 sketches are
+    // built map-side (partial ObjectHashAggregate before the shuffle),
+    // so the exchange carries |groups| sketches, never raw rows; the
+    // level-2 fold is again partial+final over the stored sketches
+    val p = plan(KpiQueries.sketchRollup(spark, sf))
+    assert(p.split("ObjectHashAggregate").length - 1 >= 4,
+      s"expected 2 levels x (partial+final) ObjectHashAggregate:\n$p")
+  }
+
+  test("quantileRollup: sketch aggs on the ObjectHashAggregate path, no sort") {
+    val p = plan(TpchQueries.quantileRollup(spark, sf))
+    assert(p.split("ObjectHashAggregate").length - 1 >= 4,
+      s"expected 2 levels x (partial+final) ObjectHashAggregate:\n$p")
+    // quantiles come from the folded sketch, never from sorting data
+    // rows: the only Sort allowed is the |returnflag|-row presentation
+    // sort ABOVE the final aggregate (no Sort below any aggregate)
+    val firstAgg = p.indexOf("ObjectHashAggregate")
+    assert(!p.substring(firstAgg).contains("+- Sort"),
+      s"row sort crept in below the sketch aggregation:\n$p")
+  }
+
+  test("windowFirstLast: the three frame functions share one exchange + sort") {
+    val p = plan(TpchQueries.windowFirstLast(spark, sf))
+    // one hash exchange for the window key; the final presentation
+    // order adds one range exchange — but never a third
+    assert(p.contains("hashpartitioning(o_custkey"), p)
+    assert(p.split("\\bWindow\\b").length - 1 <= 2,
+      s"window functions did not share a physical Window node:\n$p")
+  }
+
+  test("invertedIndex: partial aggregation precedes the term shuffle") {
+    val p = plan(graft.operators.TextQueries.invertedIndex(spark, sf))
+    assert(p.contains("ObjectHashAggregate") || p.split("HashAggregate").length >= 3,
+      s"no partial agg before the term exchange:\n$p")
+  }
+
   test("media synthesis: pure column projection, no object round-trip") {
     // r4: synthesize is a native-expression projection; a typed
     // Dataset.map would show DeserializeToObject/MapElements/
