@@ -112,6 +112,7 @@ object SparkEntry {
     "q_stream_enrich" -> (PipelineQueries.streamEnrich _),
     "q_stream_dedup" -> (PipelineQueries.streamDedup _),
     "q_stream_upsert" -> (PipelineQueries.streamUpsertKpis _),
+    "q_stream_sketch" -> (PipelineQueries.streamSketchTable _),
     "q_stream_join" -> (PipelineQueries.streamJoin _),
     "q_csv_scan" -> (PipelineQueries.csvScan _),
     "q_salted_join" -> (PipelineQueries.saltedJoin _),

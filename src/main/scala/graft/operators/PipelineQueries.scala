@@ -587,4 +587,81 @@ object PipelineQueries {
       .orderBy(col("dt"))
     (table, nBatches.get())
   }
+
+  def streamSketchTable(spark: SparkSession, dir: String): DataFrame =
+    streamSketchTableCounted(spark, dir)._1
+
+  /** ST12 × E6: CONTINUOUS mergeable-sketch-table maintenance — the
+    * streaming half of [[graft.operators.KpiQueries.sketchRollup]].
+    * Each micro-batch (a) folds ITS OWN rows into one per-day HLL
+    * sketch (plain batch agg inside foreachBatch — no streaming state
+    * store; the sketch table IS the state), (b) partition-prunes the
+    * stored table to the days the batch touched (the touched-day list
+    * is ≤ |batch days| — collected from a grouped batch, never raw
+    * rows), (c) register-max-folds stored ∪ batch sketches and
+    * dynamic-partition-overwrites ONLY those days. Work per trigger is
+    * O(new data + touched-day sketches) — never O(history) — and the
+    * result is EXACT w.r.t. a from-scratch rebuild because register
+    * max is lossless under re-merge (asserted bit-level by
+    * StreamSketchSpec). Idempotent under micro-batch replay: re-merging
+    * a batch's users into a sketch that already holds them is a no-op
+    * (max is idempotent) — stronger than the additive-upsert gate,
+    * which relies on overwrite granularity alone. Rows-only gate (the
+    * estimate is engine-defined). */
+  private[graft] def streamSketchTableCounted(
+      spark: SparkSession, dir: String): (DataFrame, Long) = {
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val in = writeJsonl(spark, dir, "graft-sksync-in", cutoffDate = Some(StreamCutoff))
+    val out = Files.createTempDirectory("graft-sksync-out")
+    val ck = Files.createTempDirectory("graft-sksync-ck")
+    out.toFile.deleteOnExit(); ck.toFile.deleteOnExit()
+    val sketchSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("sk",
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.types.StructField("dt",
+        org.apache.spark.sql.types.StringType)))
+    val wire = spark.readStream.schema(graft.model.EventSchema.schema)
+      .option("maxFilesPerTrigger", 1) // 4 zone files ⇒ ≥4 maintenance batches
+      .json(in)
+    withShufflePartitions(spark, 8) {
+      val q = wire.writeStream.outputMode("append")
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          nBatches.incrementAndGet()
+          val batchSketches = batch.where(col("event_ts").isNotNull)
+            .withColumn("dt", substring(col("event_ts"), 1, 10))
+            .groupBy(col("dt"))
+            .agg(graft.functions.F.hllSketch(col("user_id"), 12).as("sk"))
+            .cache()
+          try {
+            val touched = batchSketches.select(col("dt"))
+              .collect().map(_.getString(0)).toSeq
+            if (touched.nonEmpty) {
+              val stored =
+                if (new java.io.File(out.toString, "_SUCCESS").exists())
+                  spark.read.schema(sketchSchema).parquet(out.toString)
+                    // lands on the dt PARTITION column → prunes the
+                    // listing to touched-day dirs, never full history
+                    .where(col("dt").cast("string").isin(touched: _*))
+                    .select(col("dt").cast("string").as("dt"), col("sk"))
+                else batchSketches.limit(0)
+              stored.union(batchSketches)
+                .groupBy(col("dt"))
+                .agg(graft.functions.F.hllUnion(col("sk"), 12).as("sk"))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("dt")
+                .parquet(out.toString)
+            }
+          } finally batchSketches.unpersist()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val table = spark.read.parquet(out.toString)
+      .select(col("dt").cast("string").as("dt"),
+        graft.functions.F.hllEstimate(col("sk")).as("approx_users"))
+      .orderBy(col("dt"))
+    (table, nBatches.get())
+  }
 }
