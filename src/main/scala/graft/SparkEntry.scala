@@ -115,6 +115,7 @@ object SparkEntry {
     "q_stream_sketch" -> (PipelineQueries.streamSketchTable _),
     "q_stream_join" -> (PipelineQueries.streamJoin _),
     "q_csv_scan" -> (PipelineQueries.csvScan _),
+    "q_orc_scan" -> (PipelineQueries.orcScan _),
     "q_salted_join" -> (PipelineQueries.saltedJoin _),
     "q_bloom_join" -> (BloomJoin.bloomSemiLineitems _),
     "q_sorted_scan" -> (SortedLayout.tsRangeKpis _),
@@ -864,6 +865,13 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users,
         |  round(sum(coalesce(value, 0)), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_orc_scan" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-07-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ngram_jaccard" -> NgramJaccardSql,
     // components via transitive closure: reach(id, r) = ids reachable
     // from id over the symmetrized pair edges; comp = min(reachable)

@@ -488,6 +488,35 @@ object PipelineQueries {
       .orderBy(col("event_type"))
   }
 
+  /** S-family format breadth: ORC zone round-trip. Spark's second
+    * first-class columnar format gets the same treatment as the CSV
+    * zone — fixture rows re-serialized once (memoized setup), then the
+    * timed/gated region is a predicate-pushdown scan + aggregate over
+    * ORC. ORC carries its own stripe-level min/max indexes, so the
+    * shipdate filter prunes stripes exactly like parquet row groups
+    * (PushedFilters asserted in the plan string by PipelineQueriesSpec
+    * conventions); the oracle is the identical SQL over the original
+    * parquet fixture — byte-equal rows prove the round trip. */
+  def orcScan(spark: SparkSession, dir: String): DataFrame = {
+    val zone = zoneCache.getOrElseUpdate(("graft-orc", dir, None), {
+      val z = Files.createTempDirectory("graft-orc")
+      z.toFile.deleteOnExit()
+      load(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"),
+          col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+        .coalesce(4).write.mode("overwrite").orc(z.toString)
+      z.toString
+    })
+    spark.read.orc(zone)
+      .where(col("l_shipdate") >= lit("1997-07-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.F.roundBin(sum(col("l_quantity")), 2).as("sum_qty"),
+        graft.functions.F.roundBin(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** EP2 streaming ingest (file-source stand-in for the Kafka topic,
     * Trigger.AvailableNow) → event-time partitioned raw zone → per-
     * partition counts. Exercises S4/S5/ST1/ST2 under the DuckDB gate:

@@ -41,4 +41,21 @@ class PipelineQueriesSpec extends SparkSpec {
       .orderBy(col("dt")).collect()
     assert(got.map(_.toSeq).toSeq === exp.map(_.toSeq).toSeq)
   }
+
+  test("orcScan equals the parquet computation and pushes the filter into ORC") {
+    val got = PipelineQueries.orcScan(spark, sf)
+    val exp = Tables.load(spark, sf, "lineitem")
+      .where(col("l_shipdate") >= lit("1997-07-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.F.roundBin(sum(col("l_quantity")), 2).as("sum_qty"),
+        graft.functions.F.roundBin(
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("l_returnflag")).collect()
+    assert(got.collect().map(_.toSeq).toSeq === exp.map(_.toSeq).toSeq)
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("Format: ORC") || p.contains("orc"), s"not an ORC scan:\n$p")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThanOrEqual(l_shipdate"),
+      s"shipdate bound not pushed into the ORC scan:\n$p")
+  }
 }
