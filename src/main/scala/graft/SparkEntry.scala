@@ -51,6 +51,8 @@ object SparkEntry {
     "q_window_running_sum" -> (TpchQueries.windowRunningSum _),
     "q_window_lag" -> (TpchQueries.windowLag _),
     "q_set_ops" -> (TpchQueries.setOps _),
+    "q_set_ops_all" -> (TpchQueries.setOpsAll _),
+    "q_user_overlap" -> (KpiQueries.userOverlap _),
     "q_distinct_brand_type" -> (TpchQueries.distinctBrandType _),
     "q_agg_stats" -> (TpchQueries.aggStats _),
     "q_approx_percentile" -> (TpchQueries.approxPercentile _),
@@ -505,6 +507,18 @@ object SparkEntry {
         |      FROM orders GROUP BY 1) a ON o.o_custkey = a.ck
         |WHERE o_totalprice > avg_price * 1.5
         |ORDER BY o_orderkey""".stripMargin,
+    "q_set_ops_all" ->
+      """WITH a AS (SELECT l_suppkey FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-07-01'),
+        |b AS (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+        |ia AS (SELECT l_suppkey FROM a INTERSECT ALL SELECT l_suppkey FROM b),
+        |ea AS (SELECT l_suppkey FROM a EXCEPT ALL SELECT l_suppkey FROM b),
+        |ua AS (SELECT l_suppkey FROM a UNION ALL SELECT l_suppkey FROM b)
+        |SELECT 'except_all' AS op, count(*) AS n_rows,
+        |  count(DISTINCT l_suppkey) AS n_keys FROM ea
+        |UNION ALL SELECT 'intersect_all', count(*), count(DISTINCT l_suppkey) FROM ia
+        |UNION ALL SELECT 'union_all', count(*), count(DISTINCT l_suppkey) FROM ua
+        |ORDER BY op""".stripMargin,
     "q_agg_corr" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,

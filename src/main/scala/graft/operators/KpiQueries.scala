@@ -282,6 +282,38 @@ object KpiQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Day-over-day audience-overlap estimation — sketch ALGEBRA across
+    * both summary families, entirely on pre-aggregated state. Per day:
+    * a 64-hash MinHash signature of the user SET (element-wise-min
+    * union of single-element signatures) and an HLL cardinality. For
+    * each consecutive-day pair: Jaccard Ĵ = matching-component
+    * fraction, then inclusion-exclusion turns it into set sizes —
+    * |A∪B| = (|A|+|B|)/(1+Ĵ) and |A∩B| = Ĵ·|A∪B|. The pair join
+    * touches |days| rows of (64×8 B + 4 KiB) sketches, NEVER raw
+    * events — the retention-curve query a 100 TB warehouse answers
+    * from its sketch table alone. Rows-only gate (hash-defined
+    * estimates); KpiQueriesSpec bounds the estimate against the exact
+    * overlap. */
+  def userOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val N = 64
+    val daily = load(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("user_id"))
+      .withColumn("sig", F.minhashSig(array(col("user_id")), N))
+      .groupBy(col("dt"))
+      .agg(
+        F.minhashUnion(col("sig"), N).as("usig"),
+        F.hllDistinct(col("user_id"), 12).as("nd"))
+    val a = daily.select(col("dt").as("day_a"), col("usig").as("a_sig"), col("nd").as("n_a"))
+    val b = daily.select(col("dt").as("day_b"), col("usig").as("b_sig"), col("nd").as("n_b"))
+    a.join(b, to_date(col("day_b")) === date_add(to_date(col("day_a")), 1))
+      .withColumn("est_jaccard", F.roundBin(expr(
+        s"size(filter(zip_with(a_sig, b_sig, (x, y) -> x = y), v -> v)) / cast($N as double)"), 4))
+      .select(col("day_a"), col("day_b"), col("n_a"), col("n_b"), col("est_jaccard"),
+        round(col("est_jaccard") / (col("est_jaccard") + 1.0) * (col("n_a") + col("n_b")))
+          .cast("long").as("est_overlap"))
+      .orderBy(col("day_a"))
+  }
+
   /** Sketch-table distinct maintenance — the incremental-rollup half
     * of the HLL family (reference analog: the daily KPI recompute at
     * daily_kpis.py:109-140 generalized to mergeable summaries). Level

@@ -224,6 +224,28 @@ object TpchQueries {
     u.union(i).union(e).orderBy(col("op"), col("c_custkey"))
   }
 
+  /** Multiset set operations (§2.7 breadth): INTERSECT ALL / EXCEPT
+    * ALL preserve multiplicity — Spark's intersectAll/exceptAll plan
+    * them as a single count-compare aggregation per side (one shuffle
+    * on the row value), not a join, so duplicate-heavy inputs never
+    * expand. Output is the per-op row/key accounting (full multiset
+    * dumps would be |lineitem|-sized). */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val a = li.where(col("l_shipdate") >= lit("1997-07-01").cast("timestamp"))
+      .select(col("l_suppkey"))
+    val b = li.where(col("l_returnflag") === "R").select(col("l_suppkey"))
+    def acct(df: DataFrame, op: String): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("l_suppkey")).as("n_keys"))
+        .withColumn("op", lit(op))
+    acct(a.intersectAll(b), "intersect_all")
+      .union(acct(a.exceptAll(b), "except_all"))
+      .union(acct(a.union(b), "union_all"))
+      .select(col("op"), col("n_rows"), col("n_keys"))
+      .orderBy(col("op"))
+  }
+
   /** DISTINCT projection (exact dedup of a key combination). */
   def distinctBrandType(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "part")

@@ -105,4 +105,26 @@ class KpiQueriesSpec extends SparkSpec {
     val rows = KpiQueries.existsFresh(spark, sf).collect()
     assert(rows.length === 1 && rows.head.getAs[Boolean]("fresh"))
   }
+
+  test("userOverlap estimates track the exact day-over-day intersection") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val days: Map[String, Set[Long]] = Tables.load(spark, sf, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("user_id"))
+      .collect().toSeq.groupBy(_.getString(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    val rows = KpiQueries.userOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (da, db) = (r.getString(0), r.getString(1))
+      val exact = (days(da) & days(db)).size
+      val est = r.getAs[Long]("est_overlap")
+      val j = r.getAs[Double]("est_jaccard")
+      assert(j >= 0.0 && j <= 1.0, s"jaccard out of range: $j")
+      // 64-hash MinHash σ_J ≈ 0.06 + HLL σ ≈ 1.6% propagate into the
+      // inclusion-exclusion; bound at 15% relative (fixture user sets
+      // are dense so J is high and the estimator is near its best case)
+      assert(math.abs(est - exact) <= math.max(2.0, 0.15 * exact),
+        s"$da→$db: est=$est exact=$exact")
+    }
+  }
 }
