@@ -32,6 +32,7 @@ object SparkEntry {
     "q_sessionize" -> (KpiQueries.sessionize _),
     "q_session_window" -> (KpiQueries.sessionWindow _),
     "q_sliding_window" -> (KpiQueries.slidingWindow _),
+    "q_resample_hourly" -> (KpiQueries.resampleHourly _),
     "q_approx_distinct" -> (KpiQueries.approxDistinct _),
     "q_approx_distinct_fast" -> (KpiQueries.approxDistinctFast _),
     "q_sketch_rollup" -> (KpiQueries.sketchRollup _),
@@ -277,6 +278,19 @@ object SparkEntry {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
         |  count(*) AS n_events
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_resample_hourly" ->
+      """WITH grid AS (SELECT unnest(generate_series(
+        |    TIMESTAMP '2024-01-01 00:00:00',
+        |    TIMESTAMP '2024-01-05 23:00:00', INTERVAL 1 HOUR)) AS h),
+        |c AS (SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour,
+        |    count(*) AS n_events,
+        |    round(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS rev
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-06' GROUP BY 1)
+        |SELECT strftime(grid.h, '%Y-%m-%d %H:00') AS hour,
+        |  coalesce(n_events, 0) AS n_events,
+        |  coalesce(rev, 0) AS revenue_usd
+        |FROM grid LEFT JOIN c ON strftime(grid.h, '%Y-%m-%d %H:00') = c.hour
+        |ORDER BY 1""".stripMargin,
     "q_raw_kpis" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt,
         |  count(*) AS total_events,

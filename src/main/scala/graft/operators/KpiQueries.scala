@@ -282,6 +282,36 @@ object KpiQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Gap-filling hourly resample — project events onto a REGULAR time
+    * grid, materializing empty hours as zero rows (the step ffill-
+    * style imputation ([[graft.operators.TpchQueries.forwardFill]])
+    * cannot do: it repairs values on existing rows; a resample must
+    * CREATE the missing rows).
+    * The grid is one `sequence(start, stop, 1 hour)` + explode
+    * — |hours| rows built without a scan — broadcast against the
+    * hourly aggregate, so the only data-sized work is the one
+    * groupBy(hour) pass; at 100 TB the grid side stays |hours| rows
+    * regardless of corpus size. Joined on the formatted hour key so
+    * both sides carry identical string semantics. */
+  def resampleHourly(spark: SparkSession, dir: String): DataFrame = {
+    val grid = spark.range(1)
+      .select(explode(expr(
+        "sequence(timestamp '2024-01-01 00:00:00', timestamp '2024-01-05 23:00:00', interval 1 hour)"))
+        .as("h"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"))
+    val hourly = load(spark, dir, "events")
+      .where(col("ts") < lit("2024-01-06").cast("timestamp"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"))
+      .agg(count(lit(1)).as("n_events"),
+        F.roundBin(sum(when(isPurchase(col("event_type")),
+          coalesce(col("value"), lit(0.0))).otherwise(0.0)), 2).as("rev"))
+    broadcast(grid).join(hourly, Seq("hour"), "left_outer")
+      .select(col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("rev"), lit(0.0)).as("revenue_usd"))
+      .orderBy(col("hour"))
+  }
+
   /** Day-over-day audience-overlap estimation — sketch ALGEBRA across
     * both summary families, entirely on pre-aggregated state. Per day:
     * a 64-hash MinHash signature of the user SET (element-wise-min

@@ -106,6 +106,19 @@ class KpiQueriesSpec extends SparkSpec {
     assert(rows.length === 1 && rows.head.getAs[Boolean]("fresh"))
   }
 
+  test("resampleHourly: full 120-hour grid, zero-filled gaps, count-preserving") {
+    import org.apache.spark.sql.functions.col
+    val rows = KpiQueries.resampleHourly(spark, sf).collect()
+    assert(rows.length === 120, s"grid must be exactly 5 days x 24 h, got ${rows.length}")
+    assert(rows.exists(_.getAs[Long]("n_events") === 0L),
+      "sf0.001 (~1.4 events/h) must leave empty hours — zero-fill path untested")
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    val exact = Tables.load(spark, sf, "events")
+      .where(col("ts") < org.apache.spark.sql.functions.lit("2024-01-06").cast("timestamp"))
+      .count()
+    assert(total === exact, s"resample lost/invented events: $total vs $exact")
+  }
+
   test("userOverlap estimates track the exact day-over-day intersection") {
     import org.apache.spark.sql.functions.{col, date_format}
     val days: Map[String, Set[Long]] = Tables.load(spark, sf, "events")
