@@ -33,6 +33,7 @@ object SparkEntry {
     "q_session_window" -> (KpiQueries.sessionWindow _),
     "q_sliding_window" -> (KpiQueries.slidingWindow _),
     "q_resample_hourly" -> (KpiQueries.resampleHourly _),
+    "q_funnel" -> (KpiQueries.funnel _),
     "q_approx_distinct" -> (KpiQueries.approxDistinct _),
     "q_approx_distinct_fast" -> (KpiQueries.approxDistinctFast _),
     "q_sketch_rollup" -> (KpiQueries.sketchRollup _),
@@ -278,6 +279,24 @@ object SparkEntry {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
         |  count(*) AS n_events
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt,
+        |    lower(coalesce(event_type, '')) AS et, ts FROM events),
+        |v AS (SELECT user_id, dt, min(ts) AS tv FROM e
+        |  WHERE et = 'view' GROUP BY 1, 2),
+        |c AS (SELECT e.user_id, e.dt, min(e.ts) AS tc FROM e
+        |  JOIN v ON e.user_id = v.user_id AND e.dt = v.dt
+        |  WHERE e.et = 'click' AND e.ts > v.tv GROUP BY 1, 2),
+        |p AS (SELECT e.user_id, e.dt, min(e.ts) AS tp FROM e
+        |  JOIN c ON e.user_id = c.user_id AND e.dt = c.dt
+        |  WHERE e.et = 'purchase' AND e.ts > c.tc GROUP BY 1, 2)
+        |SELECT v.dt AS dt, count(DISTINCT v.user_id) AS n_view,
+        |  count(DISTINCT c.user_id) AS n_view_click,
+        |  count(DISTINCT p.user_id) AS n_full_funnel
+        |FROM v
+        |LEFT JOIN c ON v.user_id = c.user_id AND v.dt = c.dt
+        |LEFT JOIN p ON v.user_id = p.user_id AND v.dt = p.dt
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_resample_hourly" ->
       """WITH grid AS (SELECT unnest(generate_series(
         |    TIMESTAMP '2024-01-01 00:00:00',

@@ -282,6 +282,40 @@ object KpiQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Ordered multi-step funnel (view → click → purchase within a
+    * user-day) — THE clickstream analytics operator. Stage times are
+    * computed as chained conditional mins over one (user_id, dt)
+    * window: t_view = min view ts; t_click = min click ts AFTER
+    * t_view; t_purchase = min purchase ts after t_click — strict
+    * ordering, so out-of-order events never count (a purchase before
+    * any view is not a conversion). All three passes share ONE hash
+    * exchange on the window key (Catalyst stacks the Window nodes on
+    * the same partitioning — no re-shuffle per stage), then a
+    * |days|-row conditional-distinct rollup. At 100 TB: one shuffle
+    * of (user, dt, type, ts) tuples, state bounded per user-day. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"), col("dt"))
+    val e = load(spark, dir, "events")
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        lower(coalesce(col("event_type"), lit(""))).as("et"),
+        col("ts"))
+    val staged = e
+      .withColumn("tv", min(when(col("et") === "view", col("ts"))).over(w))
+      .withColumn("tc", min(when(col("et") === "click" && col("ts") > col("tv"),
+        col("ts"))).over(w))
+      .withColumn("tp", min(when(col("et") === "purchase" && col("ts") > col("tc"),
+        col("ts"))).over(w))
+    staged.groupBy(col("dt"))
+      .agg(
+        count_distinct(when(col("tv").isNotNull, col("user_id"))).as("n_view"),
+        count_distinct(when(col("tc").isNotNull, col("user_id"))).as("n_view_click"),
+        count_distinct(when(col("tp").isNotNull, col("user_id"))).as("n_full_funnel"))
+      .where(col("n_view") > 0)
+      .orderBy(col("dt"))
+  }
+
   /** Gap-filling hourly resample — project events onto a REGULAR time
     * grid, materializing empty hours as zero rows (the step ffill-
     * style imputation ([[graft.operators.TpchQueries.forwardFill]])

@@ -168,6 +168,17 @@ class PlanSpec extends SparkSpec {
       s"no partial agg before the term exchange:\n$p")
   }
 
+  test("funnel: the three chained stage windows share one hash exchange") {
+    val p = plan(KpiQueries.funnel(spark, sf))
+    // stages re-sort within partitions but must NOT re-shuffle: exactly
+    // one exchange on (user_id, dt) below the windows (the final agg +
+    // presentation sort add their own exchanges above)
+    val winPart = "hashpartitioning(user_id"
+    assert(p.split(java.util.regex.Pattern.quote(winPart)).length - 1 <= 1,
+      s"each funnel stage re-shuffled on the window key:\n$p")
+    assert(p.split("\\bWindow\\b").length - 1 >= 1, p)
+  }
+
   test("media synthesis: pure column projection, no object round-trip") {
     // r4: synthesize is a native-expression projection; a typed
     // Dataset.map would show DeserializeToObject/MapElements/
