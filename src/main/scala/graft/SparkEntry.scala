@@ -34,6 +34,8 @@ object SparkEntry {
     "q_sliding_window" -> (KpiQueries.slidingWindow _),
     "q_resample_hourly" -> (KpiQueries.resampleHourly _),
     "q_funnel" -> (KpiQueries.funnel _),
+    "q_retention_cohorts" -> (KpiQueries.retentionCohorts _),
+    "q_event_transitions" -> (KpiQueries.eventTransitions _),
     "q_approx_distinct" -> (KpiQueries.approxDistinct _),
     "q_approx_distinct_fast" -> (KpiQueries.approxDistinctFast _),
     "q_sketch_rollup" -> (KpiQueries.sketchRollup _),
@@ -279,6 +281,22 @@ object SparkEntry {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
         |  count(*) AS n_events
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_retention_cohorts" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT user_id, min(d) AS cohort FROM ud GROUP BY 1)
+        |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort,
+        |  date_diff('day', f.cohort, ud.d) AS day_k,
+        |  count(*) AS n_active
+        |FROM ud JOIN f ON ud.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_event_transitions" ->
+      """WITH s AS (SELECT user_id, lower(coalesce(event_type, '')) AS et,
+        |    lead(lower(coalesce(event_type, ''))) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS next_et
+        |  FROM events)
+        |SELECT et, next_et, count(*) AS n FROM s
+        |WHERE next_et IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_funnel" ->
       """WITH e AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt,
         |    lower(coalesce(event_type, '')) AS et, ts FROM events),

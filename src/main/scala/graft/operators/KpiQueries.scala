@@ -282,6 +282,46 @@ object KpiQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Retention cohort triangle — users grouped by FIRST-seen day,
+    * counted on each subsequent active day (the (cohort, day-offset)
+    * matrix behind every retention curve). Shape: one distinct pass
+    * to (user, day) pairs, a min-reduce for the cohort day, and a
+    * join BACK on user_id — all three stages share the user_id hash
+    * partitioning, so Catalyst plans one exchange for the distinct
+    * and reuses it (the first-touch reduce and the join are
+    * co-partitioned); the cohort rollup is |days²/2| rows. At 100 TB
+    * the only data-sized shuffle is the initial distinct. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ud = load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+    val first = ud.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
+    ud.join(first, Seq("user_id"))
+      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("d"), col("cohort")).as("day_k"))
+      .groupBy(col("cohort"), col("day_k"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort"), col("day_k"))
+  }
+
+  /** Event-type transition matrix — next-event frequencies per user
+    * timeline (the Markov-chain view of clickstream behavior, and the
+    * input to next-action models). One lead() over the per-user
+    * time-ordered window (event_id tiebreak: the fixture can carry
+    * equal timestamps), then a |types²|-row count rollup. One
+    * exchange on user_id; the window state is one row. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        lower(coalesce(col("event_type"), lit(""))).as("et"))
+      .withColumn("next_et", lead(col("et"), 1).over(w))
+      .where(col("next_et").isNotNull)
+      .groupBy(col("et"), col("next_et"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("et"), col("next_et"))
+  }
+
   /** Ordered multi-step funnel (view → click → purchase within a
     * user-day) — THE clickstream analytics operator. Stage times are
     * computed as chained conditional mins over one (user_id, dt)
