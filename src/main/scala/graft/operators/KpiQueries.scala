@@ -284,20 +284,22 @@ object KpiQueries {
 
   /** Retention cohort triangle — users grouped by FIRST-seen day,
     * counted on each subsequent active day (the (cohort, day-offset)
-    * matrix behind every retention curve). Shape: one distinct pass
-    * to (user, day) pairs, a min-reduce for the cohort day, and a
-    * join BACK on user_id — all three stages share the user_id hash
-    * partitioning, so Catalyst plans one exchange for the distinct
-    * and reuses it (the first-touch reduce and the join are
-    * co-partitioned); the cohort rollup is |days²/2| rows. At 100 TB
-    * the only data-sized shuffle is the initial distinct. */
+    * matrix behind every retention curve). Shape: ONE data-sized
+    * shuffle — collect_set(active days) per user (map-side partial
+    * dedup makes the shuffled payload ≤ |window days| per user, here
+    * 30, production ≤ retention horizon) — then cohort day, offsets,
+    * and the |days²/2|-row rollup all derive map-side from that
+    * per-user array (array_min + explode). The naive formulation
+    * (distinct (user,day) pairs → min-reduce → join back) shuffles
+    * the pair set twice and joins; this one never joins at all. */
   def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
-    val ud = load(spark, dir, "events")
-      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
-    val first = ud.groupBy(col("user_id")).agg(min(col("d")).as("cohort"))
-    ud.join(first, Seq("user_id"))
-      .select(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"),
-        datediff(col("d"), col("cohort")).as("day_k"))
+    load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .groupBy(col("user_id"))
+      .agg(collect_set(col("d")).as("days"))
+      .select(array_min(col("days")).as("first_day"), explode(col("days")).as("d"))
+      .select(date_format(col("first_day"), "yyyy-MM-dd").as("cohort"),
+        datediff(col("d"), col("first_day")).as("day_k"))
       .groupBy(col("cohort"), col("day_k"))
       .agg(count(lit(1)).as("n_active"))
       .orderBy(col("cohort"), col("day_k"))

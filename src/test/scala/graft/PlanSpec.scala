@@ -179,6 +179,14 @@ class PlanSpec extends SparkSpec {
     assert(p.split("\\bWindow\\b").length - 1 >= 1, p)
   }
 
+  test("retentionCohorts: one data-sized exchange, no join") {
+    val p = plan(KpiQueries.retentionCohorts(spark, sf))
+    assert(!p.contains("Join"), s"cohort triangle must not join:\n$p")
+    // exchanges: user_id (data-sized) + (cohort, day_k) rollup +
+    // presentation sort — the first is the only one carrying raw rows
+    assert(p.contains("hashpartitioning(user_id"), p)
+  }
+
   test("media synthesis: pure column projection, no object round-trip") {
     // r4: synthesize is a native-expression projection; a typed
     // Dataset.map would show DeserializeToObject/MapElements/
