@@ -36,6 +36,7 @@ object SparkEntry {
     "q_funnel" -> (KpiQueries.funnel _),
     "q_retention_cohorts" -> (KpiQueries.retentionCohorts _),
     "q_event_transitions" -> (KpiQueries.eventTransitions _),
+    "q_anomaly_hours" -> (KpiQueries.anomalyHours _),
     "q_approx_distinct" -> (KpiQueries.approxDistinct _),
     "q_approx_distinct_fast" -> (KpiQueries.approxDistinctFast _),
     "q_sketch_rollup" -> (KpiQueries.sketchRollup _),
@@ -281,6 +282,19 @@ object SparkEntry {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
         |  count(*) AS n_events
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_anomaly_hours" ->
+      """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT h, n,
+        |    avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd
+        |  FROM hourly
+        |  WINDOW w AS (ORDER BY h
+        |    RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND INTERVAL 1 HOUR PRECEDING))
+        |SELECT strftime(h, '%Y-%m-%d %H:00') AS hour, n,
+        |  round(mu, 4) AS mu, round(sd, 4) AS sd,
+        |  round((n - mu) / sd, 3) AS z
+        |FROM s WHERE sd IS NOT NULL AND sd > 0
+        |ORDER BY 1""".stripMargin,
     "q_retention_cohorts" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |f AS (SELECT user_id, min(d) AS cohort FROM ud GROUP BY 1)

@@ -324,6 +324,35 @@ object KpiQueries {
       .orderBy(col("et"), col("next_et"))
   }
 
+  /** Trailing-range-frame anomaly scoring (W-family: RANGE frames
+    * over event time, vs [[graft.operators.TpchQueries
+    * .windowRunningSum]]'s ROWS frames): each hour's event count
+    * z-scored against the trailing 6-excluding-current-hour window —
+    * RANGE bounds are value-based (epoch-second offsets), so missing
+    * hours genuinely shrink the frame instead of sliding over them,
+    * which is the semantic difference this operator exists to cover.
+    * The window is global-ordered but runs over the ALREADY-AGGREGATED
+    * hourly table (|hours| rows — 8.8k/year at any corpus size), so
+    * the single-partition sort is a non-issue at 100 TB; the
+    * data-sized work is the one groupBy(hour) underneath. */
+  def anomalyHours(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = load(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val trailing = Window.orderBy(unix_timestamp(col("h")))
+      .rangeBetween(-6 * 3600, -3600)
+    hourly
+      .withColumn("mu", avg(col("n")).over(trailing))
+      .withColumn("sd", stddev_samp(col("n")).over(trailing))
+      .where(col("sd").isNotNull && col("sd") > 0)
+      .select(date_format(col("h"), "yyyy-MM-dd HH:00").as("hour"), col("n"),
+        F.roundBin(col("mu"), 4).as("mu"),
+        F.roundBin(col("sd"), 4).as("sd"),
+        F.roundBin((col("n") - col("mu")) / col("sd"), 3).as("z"))
+      .orderBy(col("hour"))
+  }
+
   /** Ordered multi-step funnel (view → click → purchase within a
     * user-day) — THE clickstream analytics operator. Stage times are
     * computed as chained conditional mins over one (user_id, dt)
