@@ -37,6 +37,7 @@ object SparkEntry {
     "q_retention_cohorts" -> (KpiQueries.retentionCohorts _),
     "q_event_transitions" -> (KpiQueries.eventTransitions _),
     "q_anomaly_hours" -> (KpiQueries.anomalyHours _),
+    "q_rfm_segments" -> (KpiQueries.rfmSegments _),
     "q_approx_distinct" -> (KpiQueries.approxDistinct _),
     "q_approx_distinct_fast" -> (KpiQueries.approxDistinctFast _),
     "q_sketch_rollup" -> (KpiQueries.sketchRollup _),
@@ -282,6 +283,22 @@ object SparkEntry {
         |SELECT strftime(ws, '%Y-%m-%d %H:%M') AS window_start,
         |  count(*) AS n_events
         |FROM w GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_rfm_segments" ->
+      """WITH per AS (SELECT user_id,
+        |    date_diff('day', max(CAST(ts AS DATE)), DATE '2024-01-31') AS recency_days,
+        |    count(*) AS frequency,
+        |    round(sum(coalesce(value, 0)), 2) AS monetary
+        |  FROM events
+        |  WHERE lower(coalesce(event_type, '')) IN ('purchase','order','checkout')
+        |  GROUP BY 1),
+        |s AS (SELECT *,
+        |    ntile(4) OVER (ORDER BY recency_days, user_id) AS r_q,
+        |    ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_q,
+        |    ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_q
+        |  FROM per)
+        |SELECT r_q, f_q, m_q, count(*) AS n_users,
+        |  round(avg(monetary), 2) AS avg_monetary
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q_anomaly_hours" ->
       """WITH hourly AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n
         |  FROM events GROUP BY 1),

@@ -324,6 +324,40 @@ object KpiQueries {
       .orderBy(col("et"), col("next_et"))
   }
 
+  /** RFM segmentation — the per-entity scoring + quantile-bucketing
+    * pattern (recency / frequency / monetary quartiles per purchasing
+    * user, rolled up to segment sizes). Shape: one groupBy(user) over
+    * purchase rows, then three ntile(4) windows over the |users|-row
+    * AGGREGATE (global-ordered with user_id tiebreaks so quartile
+    * assignment is engine-stable), then a ≤64-row segment rollup. At
+    * 100 TB the user aggregate is the only data-sized pass; the
+    * window sorts |users| scoring rows, and if even that overflows
+    * one partition the ntile generalizes to the qsketch quantile cut
+    * ([[graft.operators.TpchQueries.quantileRollup]] thresholds +
+    * map-side bucketing) at ε accuracy. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val anchor = lit("2024-01-31").cast("date")
+    val per = load(spark, dir, "events")
+      .where(isPurchase(col("event_type")))
+      .groupBy(col("user_id"))
+      .agg(
+        datediff(anchor, max(to_date(col("ts")))).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        F.roundBin(sum(coalesce(col("value"), lit(0.0))), 2).as("monetary"))
+    val scored = per
+      .withColumn("r_q", ntile(4).over(
+        Window.orderBy(col("recency_days"), col("user_id"))))
+      .withColumn("f_q", ntile(4).over(
+        Window.orderBy(col("frequency").desc, col("user_id"))))
+      .withColumn("m_q", ntile(4).over(
+        Window.orderBy(col("monetary").desc, col("user_id"))))
+    scored.groupBy(col("r_q"), col("f_q"), col("m_q"))
+      .agg(count(lit(1)).as("n_users"),
+        F.roundBin(avg(col("monetary")), 2).as("avg_monetary"))
+      .orderBy(col("r_q"), col("f_q"), col("m_q"))
+  }
+
   /** Trailing-range-frame anomaly scoring (W-family: RANGE frames
     * over event time, vs [[graft.operators.TpchQueries
     * .windowRunningSum]]'s ROWS frames): each hour's event count
