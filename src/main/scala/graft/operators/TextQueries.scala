@@ -100,11 +100,18 @@ object TextQueries {
   def invertedIndex(spark: SparkSession, dir: String): DataFrame = {
     val docs = withTokens(load(spark, dir, "documents"))
     docs.select(col("doc_id"), explode(col("toks")).as("term"))
+      // two-level aggregation: (term, doc) partial counts first, then
+      // the term rollup — mixing countDistinct with collect_set in ONE
+      // agg would plan the Expand-based distinct (row duplication per
+      // aggregate); here distinctness falls out of level 1 and level 2
+      // is a plain agg over pre-shrunk (term, doc, tf) rows
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("doc_tf"))
       .groupBy(col("term"))
       .agg(
-        countDistinct(col("doc_id")).as("df"),
-        count(lit(1)).as("tf"),
-        slice(array_sort(collect_set(col("doc_id"))), 1, 16).as("postings"))
+        count(lit(1)).as("df"),
+        sum(col("doc_tf")).as("tf"),
+        slice(array_sort(collect_list(col("doc_id"))), 1, 16).as("postings"))
       .where(col("df") >= 10)
       .orderBy(col("term"))
   }
