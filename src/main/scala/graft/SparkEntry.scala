@@ -66,6 +66,7 @@ object SparkEntry {
     "q_date_funcs" -> (TpchQueries.dateFuncs _),
     "q_above_avg_orders" -> (TpchQueries.aboveAvgOrders _),
     "q_agg_corr" -> (TpchQueries.aggCorr _),
+    "q_table_stats" -> (TpchQueries.tableStats _),
     "q_window_firstlast" -> (TpchQueries.windowFirstLast _),
     "q6_forecast_revenue" -> (TpchQueries.q6ForecastRevenue _),
     "q12_priority" -> (TpchQueries.q12Priority _),
@@ -601,6 +602,23 @@ object SparkEntry {
         |UNION ALL SELECT 'intersect_all', count(*), count(DISTINCT l_suppkey) FROM ia
         |UNION ALL SELECT 'union_all', count(*), count(DISTINCT l_suppkey) FROM ua
         |ORDER BY op""".stripMargin,
+    "q_table_stats" ->
+      """SELECT 'l_quantity' AS col_name, round(min(l_quantity), 2) AS min_v,
+        |  round(max(l_quantity), 2) AS max_v,
+        |  count(DISTINCT l_quantity) AS ndv,
+        |  count(*) - count(l_quantity) AS n_nulls FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', round(min(l_extendedprice), 2),
+        |  round(max(l_extendedprice), 2), count(DISTINCT l_extendedprice),
+        |  count(*) - count(l_extendedprice) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', round(min(l_discount), 2),
+        |  round(max(l_discount), 2), count(DISTINCT l_discount),
+        |  count(*) - count(l_discount) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_tax', round(min(l_tax), 2), round(max(l_tax), 2),
+        |  count(DISTINCT l_tax), count(*) - count(l_tax) FROM lineitem
+        |ORDER BY col_name""".stripMargin,
     "q_agg_corr" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,

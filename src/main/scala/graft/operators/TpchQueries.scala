@@ -548,6 +548,44 @@ object TpchQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** ANALYZE-style column statistics — the catalog-stats job a
+    * cost-based optimizer feeds on (ndv → join cardinality estimates,
+    * min/max → range selectivity, null counts → filter factors). One
+    * scan computes every column's stats in a single agg row, then
+    * `stack` unpivots to one row per column — no per-column scans.
+    * Exact ndv here (oracle-checkable; the distinct expands the agg
+    * ×|columns|); at 100 TB swap the count_distincts for
+    * [[graft.functions.HllAgg]] and the plan loses the Expand
+    * entirely — the stats table tolerates ±1% ndv by construction. */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val agg = li.agg(
+      F.roundBin(min(col("l_quantity")), 2).as("q_min"),
+      F.roundBin(max(col("l_quantity")), 2).as("q_max"),
+      count_distinct(col("l_quantity")).as("q_ndv"),
+      (count(lit(1)) - count(col("l_quantity"))).as("q_nulls"),
+      F.roundBin(min(col("l_extendedprice")), 2).as("p_min"),
+      F.roundBin(max(col("l_extendedprice")), 2).as("p_max"),
+      count_distinct(col("l_extendedprice")).as("p_ndv"),
+      (count(lit(1)) - count(col("l_extendedprice"))).as("p_nulls"),
+      F.roundBin(min(col("l_discount")), 2).as("d_min"),
+      F.roundBin(max(col("l_discount")), 2).as("d_max"),
+      count_distinct(col("l_discount")).as("d_ndv"),
+      (count(lit(1)) - count(col("l_discount"))).as("d_nulls"),
+      F.roundBin(min(col("l_tax")), 2).as("t_min"),
+      F.roundBin(max(col("l_tax")), 2).as("t_max"),
+      count_distinct(col("l_tax")).as("t_ndv"),
+      (count(lit(1)) - count(col("l_tax"))).as("t_nulls"))
+    agg.select(expr(
+      """stack(4,
+        |  'l_quantity', q_min, q_max, q_ndv, q_nulls,
+        |  'l_extendedprice', p_min, p_max, p_ndv, p_nulls,
+        |  'l_discount', d_min, d_max, d_ndv, d_nulls,
+        |  'l_tax', t_min, t_max, t_ndv, t_nulls)
+        |AS (col_name, min_v, max_v, ndv, n_nulls)""".stripMargin))
+      .orderBy(col("col_name"))
+  }
+
   /** Bivariate statistics aggregates (§2.3 A+ breadth): corr /
     * covariance / least-squares regression of extended price on
     * quantity per returnflag. All are single-pass partial+final
