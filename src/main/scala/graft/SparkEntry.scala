@@ -67,6 +67,8 @@ object SparkEntry {
     "q_above_avg_orders" -> (TpchQueries.aboveAvgOrders _),
     "q_agg_corr" -> (TpchQueries.aggCorr _),
     "q_table_stats" -> (TpchQueries.tableStats _),
+    "q_join_card_est" -> (TpchQueries.joinCardinalityEst _),
+    "q_histogram" -> (TpchQueries.histogram _),
     "q_window_firstlast" -> (TpchQueries.windowFirstLast _),
     "q6_forecast_revenue" -> (TpchQueries.q6ForecastRevenue _),
     "q12_priority" -> (TpchQueries.q12Priority _),
@@ -602,6 +604,10 @@ object SparkEntry {
         |UNION ALL SELECT 'intersect_all', count(*), count(DISTINCT l_suppkey) FROM ia
         |UNION ALL SELECT 'union_all', count(*), count(DISTINCT l_suppkey) FROM ua
         |ORDER BY op""".stripMargin,
+    "q_histogram" ->
+      """SELECT least(CAST(floor(l_extendedprice / 5000) AS BIGINT), 21) AS bucket,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_table_stats" ->
       """SELECT 'l_quantity' AS col_name, round(min(l_quantity), 2) AS min_v,
         |  round(max(l_quantity), 2) AS max_v,

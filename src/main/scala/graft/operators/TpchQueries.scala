@@ -548,6 +548,51 @@ object TpchQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Sampled join-cardinality estimation — predict |A ⋈ B| WITHOUT
+    * running the join (the other half of the CBO story next to
+    * [[tableStats]]). Correlated KEY-level sampling: both sides keep
+    * exactly the keys with xxhash64(key) ≡ 0 (mod 16), so every
+    * sampled key contributes its FULL cross-product (the estimator is
+    * exact per sampled key and unbiased over keys: E[16·|sample
+    * join|] = |join|). Row-level Bernoulli sampling would break the
+    * correlation (P[pair survives] = p², variance explodes on heavy
+    * keys); key-level keeps the per-key multiplicity structure that
+    * join-size estimation is actually about. Cost: two pushed-down
+    * filtered scans at 1/16 density + a 1/16-size join. Deterministic
+    * (seeded hash) → the estimate is oracle-checkable EXACTLY: the
+    * oracle runs the same modular-hash sample in DuckDB... except
+    * hash functions differ per engine, so the gate is rows-only and
+    * RelationalExtrasSpec bounds the estimate against the true join
+    * size instead. */
+  def joinCardinalityEst(spark: SparkSession, dir: String): DataFrame = {
+    val p = 16L
+    def keyed(df: DataFrame, key: String) =
+      df.where(pmod(xxhash64(col(key)), lit(p)) === 0)
+    val li = keyed(load(spark, dir, "lineitem").select(col("l_orderkey")), "l_orderkey")
+    val ord = keyed(load(spark, dir, "orders").select(col("o_orderkey")), "o_orderkey")
+    val sampleJoin = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    sampleJoin.agg(
+        count(lit(1)).as("sample_pairs"),
+        count_distinct(col("l_orderkey")).as("sample_keys"))
+      .select(col("sample_pairs"), col("sample_keys"),
+        (col("sample_pairs") * p).as("est_join_rows"),
+        (col("sample_keys") * p).as("est_join_keys"))
+  }
+
+  /** Equi-width histogram (§2.3 A+ breadth): 22 fixed-width buckets
+    * over l_extendedprice via pure floor arithmetic — one partial+
+    * final count agg, the distribution profile every stats/quality
+    * dashboard starts from. Bucket ids are exact integer math on the
+    * rounded value, so the gate is hash-exact. */
+  def histogram(spark: SparkSession, dir: String): DataFrame = {
+    val width = 5000.0
+    load(spark, dir, "lineitem")
+      .select(least(floor(col("l_extendedprice") / width), lit(21L)).cast("long").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket"))
+  }
+
   /** ANALYZE-style column statistics — the catalog-stats job a
     * cost-based optimizer feeds on (ndv → join cardinality estimates,
     * min/max → range selectivity, null counts → filter factors). One

@@ -89,4 +89,25 @@ class RelationalExtrasSpec extends SparkSpec {
     assert(got.keySet === Set("insert", "delete", "update", "unchanged"),
       "all four CDC classes must be populated")
   }
+
+  test("joinCardinalityEst tracks the true join size (key-correlated sampling)") {
+    import org.apache.spark.sql.functions.col
+    val r = TpchQueries.joinCardinalityEst(spark, sf).collect().head
+    val est = r.getAs[Long]("est_join_rows")
+    val estKeys = r.getAs[Long]("est_join_keys")
+    val li = Tables.load(spark, sf, "lineitem").select(col("l_orderkey"))
+    val ord = Tables.load(spark, sf, "orders").select(col("o_orderkey"))
+    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+    val exact = joined.count()
+    val exactKeys = joined.select(col("l_orderkey")).distinct().count()
+    assert(r.getAs[Long]("sample_pairs") > 0, "sample must be non-empty")
+    // key-level sampling at p=1/16: per-key contribution is exact, so
+    // the deviation is purely which keys the fixed hash keeps. The
+    // sf0.001 sample holds ~95 keys; 3.5σ of the key-count binomial is
+    // ~35% — deterministic (seeded hash), so this is a fixed gate, not
+    // a flaky one.
+    assert(math.abs(est - exact) <= 0.35 * exact, s"rows: est=$est exact=$exact")
+    assert(math.abs(estKeys - exactKeys) <= 0.35 * exactKeys,
+      s"keys: est=$estKeys exact=$exactKeys")
+  }
 }
