@@ -69,6 +69,7 @@ object SparkEntry {
     "q_table_stats" -> (TpchQueries.tableStats _),
     "q_join_card_est" -> (TpchQueries.joinCardinalityEst _),
     "q_histogram" -> (TpchQueries.histogram _),
+    "q_dq_checks" -> (TpchQueries.dqChecks _),
     "q_window_firstlast" -> (TpchQueries.windowFirstLast _),
     "q6_forecast_revenue" -> (TpchQueries.q6ForecastRevenue _),
     "q12_priority" -> (TpchQueries.q12Priority _),
@@ -604,6 +605,17 @@ object SparkEntry {
         |UNION ALL SELECT 'intersect_all', count(*), count(DISTINCT l_suppkey) FROM ia
         |UNION ALL SELECT 'union_all', count(*), count(DISTINCT l_suppkey) FROM ua
         |ORDER BY op""".stripMargin,
+    "q_dq_checks" ->
+      """SELECT 'lineitem_orphans' AS check_name, count(*) AS n_violations
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |UNION ALL
+        |SELECT 'orders_dup_keys', count(*) FROM (
+        |  SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'lineitem_null_qty', count(*) FROM lineitem WHERE l_quantity IS NULL
+        |UNION ALL
+        |SELECT 'orders_negative_price', count(*) FROM orders WHERE o_totalprice < 0
+        |ORDER BY check_name""".stripMargin,
     "q_histogram" ->
       """SELECT least(CAST(floor(l_extendedprice / 5000) AS BIGINT), 21) AS bucket,
         |  count(*) AS n

@@ -548,6 +548,39 @@ object TpchQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Data-quality audit report — the dbt-test / Deequ-style
+    * constraint sweep a pipeline runs before publishing a table:
+    * referential integrity (orphaned lineitems, left-anti),
+    * key uniqueness (duplicate orderkeys), null-rate and domain
+    * checks — one violation count per named rule. Each check is an
+    * independent aggregate over a pushed-down scan; the union is a
+    * 4-row report. At 100 TB the checks share scans via common
+    * subexpression reuse or run as one multi-aggregate pass; the
+    * anti-join is the only shuffle and broadcast-prunes when the
+    * parent key side fits. */
+  def dqChecks(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val ord = load(spark, dir, "orders")
+    def check(name: String, n: DataFrame): DataFrame =
+      n.select(lit(name).as("check_name"), col("n_violations"))
+    val orphans = li.select(col("l_orderkey"))
+      .join(ord.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+    val dupKeys = ord.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("c")).where(col("c") > 1)
+      .agg(count(lit(1)).as("n_violations"))
+    val nullQty = li.where(col("l_quantity").isNull)
+      .agg(count(lit(1)).as("n_violations"))
+    val negPrice = ord.where(col("o_totalprice") < 0)
+      .agg(count(lit(1)).as("n_violations"))
+    check("lineitem_orphans", orphans)
+      .union(check("orders_dup_keys", dupKeys))
+      .union(check("lineitem_null_qty", nullQty))
+      .union(check("orders_negative_price", negPrice))
+      .orderBy(col("check_name"))
+  }
+
   /** Sampled join-cardinality estimation — predict |A ⋈ B| WITHOUT
     * running the join (the other half of the CBO story next to
     * [[tableStats]]). Correlated KEY-level sampling: both sides keep
