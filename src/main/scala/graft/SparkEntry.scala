@@ -59,6 +59,7 @@ object SparkEntry {
     "q_set_ops" -> (TpchQueries.setOps _),
     "q_set_ops_all" -> (TpchQueries.setOpsAll _),
     "q_user_overlap" -> (KpiQueries.userOverlap _),
+    "q_kmv_overlap" -> (KpiQueries.kmvOverlap _),
     "q_distinct_brand_type" -> (TpchQueries.distinctBrandType _),
     "q_agg_stats" -> (TpchQueries.aggStats _),
     "q_approx_percentile" -> (TpchQueries.approxPercentile _),

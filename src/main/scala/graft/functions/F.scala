@@ -89,6 +89,25 @@ object F {
   def interleaveBits(a: Column, b: Column): Column =
     column(InterleaveBits(expr(a), expr(b)))
 
+  /** Aggregate: KMV theta sketch — k smallest distinct element hashes
+    * as binary (see [[KmvSketchAgg]]); supports union AND
+    * intersection over stored sketches. */
+  def kmvSketch(c: Column, k: Int = 1024): Column =
+    aggColumn(KmvSketchAgg(expr(c), k))
+
+  /** Aggregate: merge of stored KMV sketches (see [[KmvUnionAgg]]). */
+  def kmvUnion(c: Column, k: Int = 1024): Column =
+    aggColumn(KmvUnionAgg(expr(c), k))
+
+  /** Scalar: distinct-count estimate of a stored KMV sketch. */
+  def kmvEstimate(c: Column): Column = column(KmvEstimate(expr(c)))
+
+  /** Scalar: intersection-cardinality estimate of two stored KMV
+    * sketches (see [[KmvIntersect]]) — the set operation HLL cannot
+    * answer. */
+  def kmvIntersect(a: Column, b: Column): Column =
+    column(KmvIntersect(expr(a), expr(b)))
+
   def l2Norm(c: Column): Column = column(L2Norm(expr(c)))
 
   /** Int8-quantization relative reconstruction error (see

@@ -78,6 +78,14 @@ object GraftFunctions {
         if (args.length > 1) intArg("qsketch_union", args(1)) else 5)),
     "qsketch_quantile" -> (args =>
       QSketchQuantile(args.head, doubleArg("qsketch_quantile", args(1)))),
+    "kmv_sketch" -> (args =>
+      KmvSketchAgg(args.head,
+        if (args.length > 1) intArg("kmv_sketch", args(1)) else 1024)),
+    "kmv_union" -> (args =>
+      KmvUnionAgg(args.head,
+        if (args.length > 1) intArg("kmv_union", args(1)) else 1024)),
+    "kmv_estimate" -> (args => KmvEstimate(args.head)),
+    "kmv_intersect" -> (args => KmvIntersect(args.head, args(1))),
     "payload_bytes" -> (args => PayloadBytes(args.head, args(1))),
     "interleave_bits" -> (args => InterleaveBits(args.head, args(1))),
   )

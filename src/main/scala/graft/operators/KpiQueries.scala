@@ -483,6 +483,32 @@ object KpiQueries {
       .orderBy(col("day_a"))
   }
 
+  /** Day-over-day overlap via KMV theta sketches — the DIRECT
+    * set-intersection estimate ([[graft.functions.KmvIntersect]]:
+    * shared retained hashes below the common θ, scaled 1/θ), vs
+    * [[userOverlap]]'s MinHash×HLL inclusion-exclusion. Same stored-
+    * sketch economics (the pair join touches |days| × ≤8 KiB
+    * sketches, never raw events), better estimator: additive
+    * O(n/√k) error that stays tight even when the overlap is a small
+    * FRACTION of either set — the regime where Jaccard-based
+    * inclusion-exclusion washes out. Below k distinct users/day the
+    * sketch holds the full hash set and the intersection is exact
+    * (fixture regime; KmvSpec also gates the at-capacity estimator on
+    * synthetic large sets). Rows-only gate (hash-defined). */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val daily = load(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .agg(F.kmvSketch(col("user_id"), 1024).as("sk"))
+    val a = daily.select(col("dt").as("day_a"), col("sk").as("a_sk"))
+    val b = daily.select(col("dt").as("day_b"), col("sk").as("b_sk"))
+    a.join(b, to_date(col("day_b")) === date_add(to_date(col("day_a")), 1))
+      .select(col("day_a"), col("day_b"),
+        F.kmvEstimate(col("a_sk")).as("n_a"),
+        F.kmvEstimate(col("b_sk")).as("n_b"),
+        F.kmvIntersect(col("a_sk"), col("b_sk")).as("est_overlap"))
+      .orderBy(col("day_a"))
+  }
+
   /** Sketch-table distinct maintenance — the incremental-rollup half
     * of the HLL family (reference analog: the daily KPI recompute at
     * daily_kpis.py:109-140 generalized to mergeable summaries). Level
