@@ -133,6 +133,7 @@ object SparkEntry {
     "q_bloom_join" -> (BloomJoin.bloomSemiLineitems _),
     "q_sorted_scan" -> (SortedLayout.tsRangeKpis _),
     "q_zorder_scan" -> (ZOrderLayout.userTimeBoxKpis _),
+    "q_file_manifest" -> (SortedLayout.fileManifest _),
     "q_pruned_kpis" -> (PipelineQueries.prunedKpis _),
     "q_compact_kpis" -> (PipelineQueries.compactKpis _),
     "q_stateful_sessions" -> (PipelineQueries.statefulSessions _),

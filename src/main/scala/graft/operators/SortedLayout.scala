@@ -69,6 +69,30 @@ object SortedLayout {
   private[graft] def sortedEvents(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(ensureSorted(spark, dir))
 
+  /** Manifest build (q_file_manifest): per-FILE min/max/count stats
+    * over the sorted layout — the Iceberg/Delta-style metadata table
+    * that lets a planner prune whole files from O(|files|) driver-side
+    * metadata without opening a single parquet footer. One scan
+    * grouped by `input_file_name()` (file identity is a scan-local
+    * column — no shuffle key wider than the stats); file paths are
+    * env-specific temp names, so the output carries a rank index
+    * instead (rows-only gate; SortedLayoutSpec asserts the properties
+    * that make the manifest usable: disjoint [min,max] time ranges
+    * across files and full row coverage). At 100 TB this job IS the
+    * manifest-refresh a table format runs per commit. */
+  def fileManifest(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stats = sortedEvents(spark, dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+        count(lit(1)).as("n_rows"))
+    stats
+      .select(
+        row_number().over(Window.orderBy(col("min_ts"), col("file"))).as("file_idx"),
+        col("min_ts"), col("max_ts"), col("n_rows"))
+      .orderBy(col("file_idx"))
+  }
+
   /** Gate query (q_sorted_scan): daily KPIs over a 3-of-30-day time
     * window on the sorted layout. Result is identical to the same
     * filter over the raw events table (the layout holds the same

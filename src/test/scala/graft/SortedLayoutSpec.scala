@@ -67,6 +67,26 @@ class SortedLayoutSpec extends SparkSpec {
       s"row-group skipping ineffective: decoded=$decoded of total=$total")
   }
 
+  test("fileManifest: disjoint per-file time ranges covering every row") {
+    val rows = SortedLayout.fileManifest(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // ordered by min_ts: each file's range must end before the next
+    // begins (range partitioning ⇒ disjoint bands — the property that
+    // makes file-level pruning sound)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(!a.getTimestamp(2).after(b.getTimestamp(1)),
+          s"overlapping file ranges: ${a.getTimestamp(2)} vs ${b.getTimestamp(1)}")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(!r.getTimestamp(1).after(r.getTimestamp(2)), "min_ts > max_ts")
+    }
+    val total = Tables.rowCount(spark, sf, "events")
+    assert(rows.map(_.getAs[Long]("n_rows")).sum === total,
+      "manifest row counts must cover the table exactly")
+  }
+
   test("control: the same predicate over an UNSORTED layout decodes everything") {
     // same rows, same row-group size, no clustering — zone maps are
     // useless and the reader must decode every group: proves the
