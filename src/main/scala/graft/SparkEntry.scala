@@ -134,6 +134,7 @@ object SparkEntry {
     "q_sorted_scan" -> (SortedLayout.tsRangeKpis _),
     "q_zorder_scan" -> (ZOrderLayout.userTimeBoxKpis _),
     "q_file_manifest" -> (SortedLayout.fileManifest _),
+    "q_manifest_kpis" -> (SortedLayout.manifestPrunedKpis _),
     "q_pruned_kpis" -> (PipelineQueries.prunedKpis _),
     "q_compact_kpis" -> (PipelineQueries.compactKpis _),
     "q_stateful_sessions" -> (PipelineQueries.statefulSessions _),
@@ -411,6 +412,14 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_manifest_kpis" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |  count(*) AS total_events,
+        |  count(DISTINCT user_id) AS unique_users,
+        |  round(sum(CASE WHEN lower(coalesce(event_type,'')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS revenue_usd
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-13'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sorted_scan" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS dt,

@@ -93,6 +93,43 @@ object SortedLayout {
       .orderBy(col("file_idx"))
   }
 
+  /** Per-file stats WITH paths — the planner-side form of
+    * [[fileManifest]] (paths are env-specific, so the gated query
+    * exposes only the rank index). */
+  private[graft] def manifestWithPaths(spark: SparkSession, dir: String): DataFrame =
+    sortedEvents(spark, dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("ts")).as("min_ts"), max(col("ts")).as("max_ts"),
+        count(lit(1)).as("n_rows"))
+
+  /** Manifest-DRIVEN scan (q_manifest_kpis): the consuming half of
+    * [[fileManifest]] — plan the file list from the stats table
+    * (an O(|files|) driver-side filter over manifest rows, the move
+    * every table format makes instead of listing+footer-reading), then
+    * read ONLY the files whose [min,max] band intersects the
+    * predicate. Result is identical to filtering the full layout (the
+    * oracle is the plain WHERE SQL — same one as q_sorted_scan);
+    * SortedLayoutSpec asserts the plan opened a strict subset of
+    * files. */
+  def manifestPrunedKpis(spark: SparkSession, dir: String): DataFrame = {
+    val (lo, hi) = ("2024-01-10", "2024-01-13")
+    val files = manifestWithPaths(spark, dir)
+      .where(col("max_ts") >= lit(lo).cast("timestamp") &&
+        col("min_ts") < lit(hi).cast("timestamp"))
+      .select(col("file"))
+      .collect().map(_.getString(0)) // O(|files|) planner metadata, never data
+    spark.read.parquet(files.toIndexedSeq: _*)
+      .where(col("ts") >= lit(lo).cast("timestamp") &&
+        col("ts") < lit(hi).cast("timestamp"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countDistinct(col("user_id")).as("unique_users"),
+        F.roundBin(sum(when(isPurchase(col("event_type")),
+          coalesce(col("value"), lit(0.0))).otherwise(0.0)), 2).as("revenue_usd"))
+      .orderBy(col("dt"))
+  }
+
   /** Gate query (q_sorted_scan): daily KPIs over a 3-of-30-day time
     * window on the sorted layout. Result is identical to the same
     * filter over the raw events table (the layout holds the same

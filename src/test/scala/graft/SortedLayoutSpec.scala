@@ -87,6 +87,17 @@ class SortedLayoutSpec extends SparkSpec {
       "manifest row counts must cover the table exactly")
   }
 
+  test("manifestPrunedKpis: equals the filtered layout, reads a strict file subset") {
+    val got = SortedLayout.manifestPrunedKpis(spark, sf).collect().map(_.toSeq)
+    val exp = SortedLayout.tsRangeKpis(spark, sf).collect().map(_.toSeq)
+    assert(got.nonEmpty && got.toSeq === exp.toSeq)
+    val all = SortedLayout.manifestWithPaths(spark, sf).count()
+    val kept = SortedLayout.manifestWithPaths(spark, sf)
+      .where(col("max_ts") >= lit("2024-01-10").cast("timestamp") &&
+        col("min_ts") < lit("2024-01-13").cast("timestamp")).count()
+    assert(kept < all, s"manifest pruned nothing: $kept of $all files")
+  }
+
   test("control: the same predicate over an UNSORTED layout decodes everything") {
     // same rows, same row-group size, no clustering — zone maps are
     // useless and the reader must decode every group: proves the
