@@ -129,6 +129,7 @@ object SparkEntry {
     "q_stream_join" -> (PipelineQueries.streamJoin _),
     "q_csv_scan" -> (PipelineQueries.csvScan _),
     "q_orc_scan" -> (PipelineQueries.orcScan _),
+    "q_schema_evolution" -> (PipelineQueries.schemaEvolution _),
     "q_salted_join" -> (PipelineQueries.saltedJoin _),
     "q_bloom_join" -> (BloomJoin.bloomSemiLineitems _),
     "q_sorted_scan" -> (SortedLayout.tsRangeKpis _),
@@ -1008,6 +1009,11 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users,
         |  round(sum(coalesce(value, 0)), 2) AS total_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_schema_evolution" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN o_orderpriority
+        |    ELSE '<missing>' END AS priority,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_orc_scan" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_quantity), 2) AS sum_qty,

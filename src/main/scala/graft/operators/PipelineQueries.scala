@@ -517,6 +517,38 @@ object PipelineQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** S-family schema evolution: a raw zone whose LATER batches carry a
+    * column the earlier ones lack (the upstream-producer-upgraded
+    * mid-stream reality every long-lived pipeline hits). Batch 1
+    * writes (o_orderkey, o_totalprice); batch 2 adds o_orderpriority.
+    * `mergeSchema` unions the footers into one superset schema and
+    * old files surface the new column as NULL — schema-on-read
+    * evolution with zero rewrites of historical data (the 100 TB
+    * property: an ALTER that touches no bytes). The gate aggregates
+    * with an explicit '<missing>' bucket so the null-fill path is
+    * oracle-visible; batches are carved by orderkey parity so the
+    * split is deterministic at every scale. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val zone = zoneCache.getOrElseUpdate(("graft-schevo", dir, None), {
+      val z = Files.createTempDirectory("graft-schevo")
+      z.toFile.deleteOnExit()
+      val ord = load(spark, dir, "orders")
+      ord.where(pmod(col("o_orderkey"), lit(2)) === 1)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .coalesce(2).write.mode("overwrite").parquet(z.resolve("batch=1").toString)
+      ord.where(pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        .coalesce(2).write.mode("overwrite").parquet(z.resolve("batch=2").toString)
+      z.toString
+    })
+    spark.read.option("mergeSchema", "true")
+      .option("basePath", zone).parquet(s"$zone/batch=1", s"$zone/batch=2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("<missing>")).as("priority"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.F.roundBin(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("priority"))
+  }
+
   /** EP2 streaming ingest (file-source stand-in for the Kafka topic,
     * Trigger.AvailableNow) → event-time partitioned raw zone → per-
     * partition counts. Exercises S4/S5/ST1/ST2 under the DuckDB gate:
