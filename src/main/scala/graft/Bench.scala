@@ -31,8 +31,23 @@ object Bench {
   private def forceEval(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
 
+  /** Cumulative hypervisor steal time (seconds) from /proc/stat — the
+    * 9th cpu field, in 10 ms jiffies. This VM's host runs periodic
+    * steal storms (observed: a 187 CPU-second burst mid-bench turning
+    * a 50 s record into 91 s with identical code), so the record
+    * carries the delta: a `steal_sec` far above ~0 means the numbers
+    * measure the neighbor, not the engine — rerun on a quiet window
+    * before comparing rounds. */
+  private def stealSeconds(): Double =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      if (cpu.length > 8) cpu(8).toDouble / 100.0 else 0.0
+    } catch { case _: Throwable => 0.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val stealStart = stealSeconds()
     val spark = Tables.session()
     spark.sparkContext.setLogLevel("WARN")
     (1 to 2).foreach { _ =>
@@ -99,6 +114,7 @@ object Bench {
       s""""floor_sec":${ms(floor)},""" +
       s""""operators_sec":${ms(ops.values.sum)},"pipelines_sec":${ms(pipes.values.sum)},""" +
       s""""pipeline_queries":$pipeNames,"failed_queries":$failedJson,""" +
+      s""""steal_sec":${ms(stealSeconds() - stealStart)},""" +
       s""""queries":$qs,"sf":"$sfDir","mode":"steady-state"}"""
     // Durable copy first: if the driver's stdout tail-capture ever
     // truncates again, the committed file still holds the full record.
