@@ -119,6 +119,25 @@ class KpiQueriesSpec extends SparkSpec {
     assert(total === exact, s"resample lost/invented events: $total vs $exact")
   }
 
+  test("kmvOverlap: day-over-day intersections are EXACT below sketch capacity") {
+    import org.apache.spark.sql.functions.{col, date_format}
+    val days: Map[String, Set[Long]] = Tables.load(spark, sf, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("user_id"))
+      .collect().toSeq.groupBy(_.getString(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
+    val rows = KpiQueries.kmvOverlap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (da, db) = (r.getString(0), r.getString(1))
+      // fixture daily user sets are far below k=1024, so the sketch
+      // holds the full hash sets and every number must be EXACT
+      assert(r.getAs[Long]("n_a") === days(da).size.toLong, s"n_a($da)")
+      assert(r.getAs[Long]("n_b") === days(db).size.toLong, s"n_b($db)")
+      assert(r.getAs[Long]("est_overlap") === (days(da) & days(db)).size.toLong,
+        s"overlap($da→$db)")
+    }
+  }
+
   test("userOverlap estimates track the exact day-over-day intersection") {
     import org.apache.spark.sql.functions.{col, date_format}
     val days: Map[String, Set[Long]] = Tables.load(spark, sf, "events")
