@@ -153,6 +153,14 @@ object SparkEntry {
     "q_ann_ivf_kmeans" -> (VectorQueries.annIvfKmeansGated _),
     "q_knn_batch" -> ((s, d) => VectorQueries.knnBatch(s, d)),
     "q_knn_batch_agg" -> ((s, d) => VectorQueries.knnBatchAgg(s, d)),
+    // §2.11 E7 second-wave analytics + training-pipeline extras
+    "q_top_paths" -> (AnalyticsExtras.topPaths _),
+    "q_scd2_dims" -> (AnalyticsExtras.scd2Dims _),
+    "q_sliding_distinct" -> (AnalyticsExtras.slidingDistinct _),
+    "q_train_split" -> (AnalyticsExtras.trainSplit _),
+    "q_fuzzy_join" -> (AnalyticsExtras.fuzzyJoin _),
+    "q_variant_json" -> (AnalyticsExtras.variantShred _),
+    "q_ewma_hours" -> (AnalyticsExtras.ewmaSmooth _),
   )
 
   /** Shared by q_ngram_jaccard and (as the edge-list CTE) the
@@ -1148,5 +1156,76 @@ object SparkEntry {
         |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
         |SELECT comp AS keep_id, count(*) AS n_members, max(id) AS max_id
         |FROM comp GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    // §2.11 E7 second-wave analytics + training-pipeline extras
+    "q_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |    lower(coalesce(event_type, '')) AS et FROM events),
+        |g AS (SELECT user_id, event_id, ts, et,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, et, ts, event_id,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+        |  FROM g),
+        |r AS (SELECT user_id, sess_id, et,
+        |  row_number() OVER (PARTITION BY user_id, sess_id ORDER BY ts, event_id) AS rn
+        |  FROM s),
+        |p AS (SELECT user_id, sess_id, string_agg(et, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 8 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+    "q_scd2_dims" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |    o_orderpriority AS priority FROM orders),
+        |c AS (SELECT o_custkey, o_orderkey, od, priority,
+        |  lag(priority) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS prev
+        |  FROM o),
+        |ch AS (SELECT o_custkey, o_orderkey, od, priority FROM c
+        |  WHERE prev IS NULL OR prev <> priority),
+        |v AS (SELECT o_custkey, priority, od,
+        |  lead(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS vt
+        |  FROM ch)
+        |SELECT o_custkey, priority, strftime(od, '%Y-%m-%d') AS valid_from,
+        |  strftime(vt, '%Y-%m-%d') AS valid_to, vt IS NULL AS is_current
+        |FROM v ORDER BY o_custkey, valid_from, priority""".stripMargin,
+    "q_sliding_distinct" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM ud)
+        |SELECT strftime(day, '%Y-%m-%d') AS d,
+        |  count(DISTINCT user_id) AS users_7d
+        |FROM days JOIN ud ON ud.d BETWEEN day - 6 AND day
+        |GROUP BY day ORDER BY 1""".stripMargin,
+    "q_train_split" ->
+      """WITH s AS (SELECT n_chars,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2 FROM documents)
+        |SELECT CASE WHEN h2 < 'cd' THEN 'train'
+        |            WHEN h2 < 'e6' THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_fuzzy_join" ->
+      """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+        |  a.p_name AS a_name, b.p_name AS b_name,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_type = b.p_type AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY a_key, b_key""".stripMargin,
+    "q_variant_json" ->
+      """SELECT lower(coalesce(event_type, '')) AS et,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ewma_hours" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr,
+        |    CAST(epoch(date_trunc('hour', ts)) / 3600 AS BIGINT) AS idx,
+        |    sum(coalesce(value, 0)) AS rev
+        |  FROM events GROUP BY 1, 2)
+        |SELECT strftime(a.hr, '%Y-%m-%d %H:00') AS hour, round(a.rev, 2) AS rev,
+        |  round(sum(pow(0.6, a.idx - b.idx) * b.rev) /
+        |        sum(pow(0.6, a.idx - b.idx)), 2) AS rev_ewma
+        |FROM h a JOIN h b ON b.idx BETWEEN a.idx - 11 AND a.idx
+        |GROUP BY a.hr, a.rev, a.idx ORDER BY 1""".stripMargin,
   )
 }
