@@ -161,6 +161,9 @@ object SparkEntry {
     "q_fuzzy_join" -> (AnalyticsExtras.fuzzyJoin _),
     "q_variant_json" -> (AnalyticsExtras.variantShred _),
     "q_ewma_hours" -> (AnalyticsExtras.ewmaSmooth _),
+    "q_lm_score" -> (TextQueries.lmScore _),
+    "q_split_leakage" -> (TextQueries.splitLeakage _),
+    "q_hard_negatives" -> ((s, d) => VectorQueries.hardNegatives(s, d)),
   )
 
   /** Shared by q_ngram_jaccard and (as the edge-list CTE) the
@@ -1227,5 +1230,42 @@ object SparkEntry {
         |        sum(pow(0.6, a.idx - b.idx)), 2) AS rev_ewma
         |FROM h a JOIN h b ON b.idx BETWEEN a.idx - 11 AND a.idx
         |GROUP BY a.hr, a.rev, a.idx ORDER BY 1""".stripMargin,
+    "q_lm_score" ->
+      """WITH t AS (SELECT doc_id, source, lang,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS tok FROM documents),
+        |v AS (SELECT tok, count(*) AS cnt FROM t GROUP BY 1),
+        |n AS (SELECT sum(cnt) AS n_total FROM v),
+        |d AS (SELECT t.doc_id, t.source, t.lang,
+        |    avg(-ln(v.cnt / n.n_total)) AS nll
+        |  FROM t JOIN v USING (tok) CROSS JOIN n GROUP BY 1, 2, 3)
+        |SELECT source, lang, count(*) AS n_docs,
+        |  round(avg(nll), 2) AS avg_nll
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_split_leakage" ->
+      """WITH s AS (SELECT doc_id,
+        |    array_to_string(list_sort(list_distinct(
+        |      regexp_split_to_array(text, '\s+'))), ' ') AS key,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cd' THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |tr AS (SELECT key, doc_id FROM s WHERE split = 'train'),
+        |ev AS (SELECT split, doc_id, key FROM s WHERE split <> 'train')
+        |SELECT ev.split AS split,
+        |  count(DISTINCT ev.doc_id) AS n_leaked_eval_docs,
+        |  count(DISTINCT tr.doc_id) AS n_train_dups
+        |FROM ev JOIN tr ON ev.key = tr.key
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id % 10 = 0),
+        |s AS (SELECT q.q_id, e.vec_id,
+        |    round(list_cosine_similarity(e.v, q.qv), 4) AS cos
+        |  FROM e JOIN q ON e.label <> q.q_label),
+        |r AS (SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM s)
+        |SELECT q_id, vec_id, cos FROM r WHERE rn <= 3
+        |ORDER BY q_id, cos DESC, vec_id""".stripMargin,
   )
 }

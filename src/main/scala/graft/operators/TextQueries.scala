@@ -698,4 +698,64 @@ object TextQueries {
       aggregate(transform(col("toks"), t => length(t)),
         lit(0), (acc, x) => acc + x).as("sum_len"))
   }
+
+  /** E4/E6 unigram language-model corpus scoring — the
+    * perplexity-filter shape (quality-filter stage of every LLM data
+    * pipeline: score each doc by average negative log-likelihood under
+    * a corpus-trained unigram LM; high-NLL docs are "surprising" —
+    * noise, boilerplate, wrong-language). Two passes over the token
+    * stream: (1) build the unigram table (vocab-grain, bounded by
+    * Heaps' law), (2) probe it map-side via BROADCAST — the token
+    * stream is never shuffled at token grain; the only data-sized
+    * shuffle is the per-doc aggregation. At vocabularies past
+    * broadcast size the probe becomes the bucketed-join shape of
+    * [[graft.operators.BucketedJoin]]; the plan is otherwise
+    * unchanged. ln is the natural log in BOTH engines (Spark `log`,
+    * DuckDB `ln`); MLE probabilities (no smoothing) are exact because
+    * every probed token is by construction in the table. */
+  def lmScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = withTokens(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"), col("lang"),
+        explode(col("toks")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val totals = vocab.agg(sum(col("cnt")).as("n_total"))
+    toks
+      .join(broadcast(vocab), "tok")
+      .join(broadcast(totals))
+      .groupBy(col("doc_id"), col("source"), col("lang"))
+      .agg(avg(-log(col("cnt") / col("n_total"))).as("nll"))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        F.roundBin(avg(col("nll")), 2).as("avg_nll"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  /** E1/E6 cross-split leakage audit — the composition of
+    * [[AnalyticsExtras.trainSplit]] and the [[dedupWordset]] key: how
+    * many val/test docs have a (near-)exact duplicate inside the
+    * train split? The eval-integrity gate every training pipeline
+    * runs after splitting (a leaked eval doc inflates benchmark
+    * scores). Key = the wordset-normalized 128-bit hash pair (sorted
+    * distinct token array — catches reorderings and repetitions, not
+    * just byte-exact copies); the join ships 16-byte keys, never
+    * text, and the train side reduces to distinct keys first, so the
+    * probe is the same O(batch) shape as
+    * [[incrementalDedup]]. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val h2c = substring(md5(col("doc_id").cast("string")), 1, 2)
+    val docs = withTokens(load(spark, dir, "documents"))
+      .withColumn("ws", array_sort(array_distinct(col("toks"))))
+      .select(col("doc_id"),
+        when(h2c < "cd", "train").when(h2c < "e6", "val").otherwise("test").as("split"),
+        xxhash64(col("ws")).as("h1"),
+        xxhash64(lit("graft-seed2"), col("ws")).as("h2"))
+    val train = docs.where(col("split") === "train")
+      .select(col("h1"), col("h2"), col("doc_id").as("train_id"))
+    docs.where(col("split") =!= "train")
+      .join(train, Seq("h1", "h2"))
+      .groupBy(col("split"))
+      .agg(countDistinct(col("doc_id")).as("n_leaked_eval_docs"),
+        countDistinct(col("train_id")).as("n_train_dups"))
+      .orderBy(col("split"))
+  }
 }

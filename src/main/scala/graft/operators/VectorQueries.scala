@@ -463,4 +463,29 @@ object VectorQueries {
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
   }
+
+  /** E3 hard-negative mining for contrastive training — for each
+    * sampled anchor vector, the top-k most-similar vectors with a
+    * DIFFERENT label (the "confusable" negatives a contrastive /
+    * metric-learning loss wants, vs. the trivially-easy random ones).
+    * Same bounded-aggregate shape as [[knnBatchAgg]]: anchors
+    * broadcast, scoring map-side, per-anchor state capped at k by
+    * [[graft.functions.TopKAgg]] partials, so the shuffle carries
+    * ≤ k·partitions rows per anchor — never the scored set. The label
+    * filter rides the broadcast-join condition (evaluated before the
+    * cosine), and at corpus scale the anchor batch streams through the
+    * same plan in fixed-size chunks. */
+  def hardNegatives(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val e = emb(spark, dir).select(col("vec_id"), col("label"), col("embedding").as("v"))
+    val q = e.where(col("vec_id") % 10 === 0)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"), col("v").as("qv"))
+    e.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id"),
+        F.roundBin(F.cosineSim(col("v"), col("qv")), 4).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(F.topK(col("cos"), col("vec_id"), k).as("top"))
+      .select(col("q_id"), explode(col("top")).as("t"))
+      .select(col("q_id"), col("t.id").as("vec_id"), col("t.score").as("cos"))
+      .orderBy(col("q_id"), col("cos").desc, col("vec_id"))
+  }
 }

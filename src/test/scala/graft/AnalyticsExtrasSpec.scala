@@ -127,4 +127,74 @@ class AnalyticsExtrasSpec extends SparkSpec {
     // the smoother must not be the identity everywhere
     assert(rows.exists { case (_, rev, ewma) => math.abs(rev - ewma) > 0.01 })
   }
+
+  test("lmScore: NLL positive, doc counts partition the corpus, constant-corpus lower bound") {
+    import graft.operators.TextQueries
+    val rows = TextQueries.lmScore(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("lang"),
+        r.getAs[Long]("n_docs"), r.getAs[Double]("avg_nll")))
+    assert(rows.nonEmpty)
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(rows.map(_._3).sum === total)
+    // -ln(p) > 0 for any MLE unigram prob < 1; == 0 only if the corpus
+    // is a single repeated token, which the fixture is not
+    assert(rows.forall(_._4 > 0))
+  }
+
+  test("splitLeakage agrees with a driver-side normalized-key recompute") {
+    import graft.operators.TextQueries
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def split(id: Long): String = {
+      val h2 = md5hex(id.toString).substring(0, 2)
+      if (h2 < "cd") "train" else if (h2 < "e6") "val" else "test"
+    }
+    def key(text: String): String =
+      text.split("\\s+").distinct.sorted.mkString(" ")
+    val byKey = docs.map { case (id, t) => (split(id), id, key(t)) }
+    val trainKeys = byKey.filter(_._1 == "train").map(x => (x._3, x._2))
+    val trainKeySet = trainKeys.map(_._1).toSet
+    val expected = byKey.filter(x => x._1 != "train" && trainKeySet.contains(x._3))
+      .groupBy(_._1)
+      .map { case (s, leaked) =>
+        val keys = leaked.map(_._3).toSet
+        s -> ((leaked.map(_._2).distinct.length.toLong,
+          trainKeys.filter(k => keys.contains(k._1)).map(_._2).distinct.length.toLong))
+      }
+    val got = TextQueries.splitLeakage(spark, sf).collect()
+      .map(r => r.getAs[String]("split") ->
+        ((r.getAs[Long]("n_leaked_eval_docs"), r.getAs[Long]("n_train_dups")))).toMap
+    assert(got === expected)
+    assert(got.nonEmpty, "fixture must exhibit cross-split duplicates")
+  }
+
+  test("hardNegatives: labels differ from anchor, ranks agree with brute-force recompute") {
+    import graft.operators.VectorQueries
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val byId = vecs.map(v => v._1 -> v).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val rows = VectorQueries.hardNegatives(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"), r.getAs[Double]("cos")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (qid, got) =>
+      val (_, qLabel, qv) = byId(qid)
+      assert(got.length === 3)
+      got.foreach { case (_, nid, _) => assert(byId(nid)._2 != qLabel) }
+      val brute = vecs.filter(_._2 != qLabel)
+        .map(v => (v._1, BigDecimal(cos(v._3, qv)).setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble))
+        .sortBy { case (id, c) => (-c, id) }.take(3).map(_._1)
+      assert(got.sortBy(r => (-r._3, r._2)).map(_._2).sameElements(brute))
+    }
+  }
 }
