@@ -164,6 +164,9 @@ object SparkEntry {
     "q_lm_score" -> (TextQueries.lmScore _),
     "q_split_leakage" -> (TextQueries.splitLeakage _),
     "q_hard_negatives" -> ((s, d) => VectorQueries.hardNegatives(s, d)),
+    "q_bloom_scan" -> (BloomScan.bloomScan _),
+    "q10_returned_items" -> (TpchQueries.q10ReturnedItems _),
+    "q_concurrency" -> (AnalyticsExtras.concurrency _),
   )
 
   /** Shared by q_ngram_jaccard and (as the edge-list CTE) the
@@ -1267,5 +1270,41 @@ object SparkEntry {
         |  FROM s)
         |SELECT q_id, vec_id, cos FROM r WHERE rn <= 3
         |ORDER BY q_id, cos DESC, vec_id""".stripMargin,
+    "q_bloom_scan" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CASE WHEN lower(coalesce(event_type, '')) IN
+        |    ('purchase', 'order', 'checkout') THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+        |  round(sum(CASE WHEN lower(coalesce(event_type, '')) IN
+        |    ('purchase', 'order', 'checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS revenue_usd
+        |FROM events WHERE user_id IN (7, 42, 99)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, ts FROM events),
+        |g AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |    OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+        |  FROM g),
+        |b AS (SELECT user_id, sess_id, min(ts) AS st, max(ts) AS en
+        |  FROM s GROUP BY 1, 2),
+        |h AS (SELECT unnest(generate_series(date_trunc('hour', st),
+        |    date_trunc('hour', en), INTERVAL 1 HOUR)) AS hr FROM b)
+        |SELECT strftime(hr, '%Y-%m-%d %H:00') AS hour,
+        |  count(*) AS n_active_sessions
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -719,4 +719,33 @@ object TpchQueries {
         F.roundBin(col("o_totalprice"), 2).as("o_totalprice"))
       .orderBy(col("o_orderkey"))
   }
+
+  /** TPC-H Q10 (returned-item report, adapted to the fixture's date
+    * range): top-20 customers by revenue lost to returns in H1 1996.
+    * The canonical 4-way star shape: the fact-fact
+    * lineitem⋈orders shuffle join carries BOTH pushed filters
+    * (returnflag on the lineitem scan, the date window on the orders
+    * scan — each reaches its parquet scan, shrinking the shuffle
+    * before it happens), dims broadcast, and the top-20 rides
+    * TakeOrderedAndProject (partial top-k per partition — never a
+    * global sort). Ranked by the ROUNDED revenue with a c_custkey
+    * tiebreak so the cut is engine-stable. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+    val nation = load(spark, dir, "nation")
+    val ord = load(spark, dir, "orders")
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+        && col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+    val li = load(spark, dir, "lineitem").where(col("l_returnflag") === "R")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(F.roundBin(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .select(col("c_custkey"), col("c_name"),
+        F.roundBin(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
 }

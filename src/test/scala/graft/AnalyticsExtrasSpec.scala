@@ -197,4 +197,33 @@ class AnalyticsExtrasSpec extends SparkSpec {
       assert(got.sortBy(r => (-r._3, r._2)).map(_._2).sameElements(brute))
     }
   }
+
+  test("concurrency: hour counts match a driver-side sessionize + interval expansion") {
+    val evs = Tables.load(spark, sf, "events")
+      .selectExpr("user_id", "event_id", "cast(ts as long) as sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:00")
+      .withZone(java.time.ZoneOffset.UTC)
+    val counts = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    evs.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2))
+      var sessStart = sorted.head._3; var prev = sorted.head._3
+      def close(endSec: Long): Unit = {
+        var h = sessStart / 3600
+        while (h <= endSec / 3600) {
+          counts(fmt.format(java.time.Instant.ofEpochSecond(h * 3600))) += 1
+          h += 1
+        }
+      }
+      sorted.tail.foreach { r =>
+        if (r._3 - prev > 1800) { close(prev); sessStart = r._3 }
+        prev = r._3
+      }
+      close(prev)
+    }
+    val got = AnalyticsExtras.concurrency(spark, sf).collect()
+      .map(r => (r.getAs[String]("hour"), r.getAs[Long]("n_active_sessions")))
+    assert(got.nonEmpty)
+    assert(got.toMap === counts.toMap)
+  }
 }

@@ -87,4 +87,29 @@ class TpchQueriesSpec extends SparkSpec {
       assert(price > avgByCust(ck) * 1.5 - 0.01)
     }
   }
+
+  test("q10ReturnedItems: top-20 matches a driver-side recompute") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .selectExpr("l_orderkey", "l_extendedprice", "l_discount", "l_returnflag")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getString(3)))
+    val ord = Tables.load(spark, sf, "orders")
+      .selectExpr("o_orderkey", "o_custkey", "cast(o_orderdate as date) as od")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDate(2).toString))
+    val inWindow = ord.filter(o => o._3 >= "1996-01-01" && o._3 < "1996-07-01")
+      .map(o => o._1 -> o._2).toMap
+    val revByCust = li
+      .filter(l => l._4 == "R" && inWindow.contains(l._1))
+      .groupBy(l => inWindow(l._1))
+      .view.mapValues(ls => ls.map(l => l._2 * (1 - l._3)).sum).toMap
+    val expected = revByCust.toSeq
+      .map { case (ck, rev) => (ck, BigDecimal(rev).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (ck, rev) => (-rev, ck) }.take(20)
+    val got = TpchQueries.q10ReturnedItems(spark, sf).collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Double]("revenue")))
+    assert(got.length === expected.length)
+    got.zip(expected).foreach { case ((gck, grev), (eck, erev)) =>
+      assert(gck === eck)
+      assert(math.abs(grev - erev) < 0.011)
+    }
+  }
 }
