@@ -167,6 +167,7 @@ object SparkEntry {
     "q_bloom_scan" -> (BloomScan.bloomScan _),
     "q10_returned_items" -> (TpchQueries.q10ReturnedItems _),
     "q_concurrency" -> (AnalyticsExtras.concurrency _),
+    "q_weighted_sample" -> ((s, d) => AnalyticsExtras.weightedSample(s, d)),
   )
 
   /** Shared by q_ngram_jaccard and (as the edge-list CTE) the
@@ -1306,5 +1307,15 @@ object SparkEntry {
         |SELECT strftime(hr, '%Y-%m-%d %H:00') AS hour,
         |  count(*) AS n_active_sessions
         |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH s AS (SELECT source, doc_id, n_chars,
+        |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+        |       / 4294967296.0) / greatest(n_chars, 1) AS key
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rn
+        |  FROM s)
+        |SELECT source, doc_id, n_chars FROM r WHERE rn <= 10
+        |ORDER BY source, doc_id""".stripMargin,
   )
 }

@@ -150,8 +150,18 @@ object AnalyticsExtras {
   def fuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
     val p = load(spark, dir, "part")
       .select(col("p_partkey"), col("p_name"), col("p_type"), col("p_size"))
-    val a = p.select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
-      col("p_type").as("a_type"), col("p_size").as("a_size"))
+    // round-robin the probe side across the session's full width: the
+    // fixture table is one small parquet file = ONE scan partition, so
+    // without this every candidate-pair distance ran on a single core
+    // (measured 3.1 s -> 0.5 s at sf0.1). At production scale the scan
+    // arrives in many partitions and this exchange is ~free (20k-row
+    // RoundRobinPartitioning); the broadcast probe parallelizes either
+    // way. Explicit numPartitions: AQE (parallelismFirst=false) would
+    // coalesce a column-only repartition of ~1 MB right back to one
+    // partition; a user-pinned width is exempt from coalescing.
+    val a = p.repartition(spark.sparkContext.defaultParallelism, col("p_partkey"))
+      .select(col("p_partkey").as("a_key"), col("p_name").as("a_name"),
+        col("p_type").as("a_type"), col("p_size").as("a_size"))
     val b = p.select(col("p_partkey").as("b_key"), col("p_name").as("b_name"),
       col("p_type").as("b_type"), col("p_size").as("b_size"))
     a.join(b,
@@ -249,5 +259,32 @@ object AnalyticsExtras {
       .select(date_format(col("hr"), "yyyy-MM-dd HH:00").as("hour"),
         col("n_active_sessions"))
       .orderBy(col("hour"))
+  }
+
+  /** Deterministic WEIGHTED sample — k docs per source with inclusion
+    * probability ∝ n_chars (A-Res weighted reservoir, log form:
+    * key = ln(u)/w with u a pure hash function of doc_id, take the
+    * top-k keys per stratum). The weighted companion to the uniform
+    * [[TextQueries]] q_stratified_sample / q_sample_topk family —
+    * "sample long documents more often" is how mixture weighting is
+    * actually applied per-record. Deterministic end to end (u comes
+    * from md5, not rand()), so the sample is reproducible across
+    * runs, engines and partitionings, and incremental batches draw
+    * consistently. Map-only scoring + one per-stratum top-k window at
+    * k rows of state; at 100 TB swap the window for the bounded
+    * TopKAgg exactly as q_sample_topk does. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // first 8 md5 hex chars -> uniform u in (0,1], engine-identical
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") + 1).cast("double") / lit(4294967296.0)
+    val key = log(u) / greatest(col("n_chars"), lit(1)).cast("double")
+    val w = Window.partitionBy(col("source")).orderBy(col("key").desc, col("doc_id"))
+    load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"), key.as("key"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("doc_id"))
   }
 }

@@ -226,4 +226,30 @@ class AnalyticsExtrasSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got.toMap === counts.toMap)
   }
+
+  test("weightedSample: matches driver A-Res recompute and over-represents long docs") {
+    val docs = Tables.load(spark, sf, "documents")
+      .selectExpr("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def key(id: Long, w: Long): Double = {
+      val u = (java.lang.Long.parseLong(md5hex(id.toString).substring(0, 8), 16) + 1.0) / 4294967296.0
+      math.log(u) / math.max(w, 1L)
+    }
+    val expected = docs.groupBy(_._1).toSeq.flatMap { case (_, ds) =>
+      ds.sortBy(d => (-key(d._2, d._3), d._2)).take(10).toSeq
+    }.map(d => (d._1, d._2)).toSet
+    val got = AnalyticsExtras.weightedSample(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id")))
+    assert(got.length === got.toSet.size)
+    assert(got.toSet === expected)
+    // inclusion prob ∝ n_chars: the weighted sample's mean length must
+    // exceed the corpus mean (holds deterministically for this fixture)
+    val byId = docs.map(d => d._2 -> d._3).toMap
+    val sampleMean = got.map(g => byId(g._2)).sum.toDouble / got.length
+    val corpusMean = docs.map(_._3).sum.toDouble / docs.length
+    assert(sampleMean > corpusMean)
+  }
 }
