@@ -168,6 +168,25 @@ object SparkEntry {
     "q10_returned_items" -> (TpchQueries.q10ReturnedItems _),
     "q_concurrency" -> (AnalyticsExtras.concurrency _),
     "q_weighted_sample" -> ((s, d) => AnalyticsExtras.weightedSample(s, d)),
+    "q4_priority_exists" -> (TpchDeep.q4PriorityExists _),
+    "q7_volume_shipping" -> (TpchDeep.q7VolumeShipping _),
+    "q8_market_share" -> (TpchDeep.q8MarketShare _),
+    "q9_product_profit" -> (TpchDeep.q9ProductProfit _),
+    "q13_custdist" -> (TpchDeep.q13Custdist _),
+    "q15_top_supplier" -> (TpchDeep.q15TopSupplier _),
+    "q16_supplier_cnt" -> (TpchDeep.q16SupplierCnt _),
+    "q17_small_qty_revenue" -> (TpchDeep.q17SmallQtyRevenue _),
+    "q18_large_orders" -> (TpchDeep.q18LargeOrders _),
+    "q19_disjunctive" -> (TpchDeep.q19Disjunctive _),
+    "q21_waiting_suppliers" -> (TpchDeep.q21WaitingSuppliers _),
+    "q22_idle_customers" -> (TpchDeep.q22IdleCustomers _),
+    "q_window_ranks" -> (AnalyticsWave3.windowRanks _),
+    "q_median_groups" -> (AnalyticsWave3.medianGroups _),
+    "q_bitmap_distinct" -> (AnalyticsWave3.bitmapDistinct _),
+    "q_interpolate" -> (AnalyticsWave3.interpolate _),
+    "q_attribution" -> (AnalyticsWave3.attribution _),
+    "q_oov_rate" -> (AnalyticsWave3.oovRate _),
+    "q_equidepth_hist" -> (AnalyticsWave3.equidepthHist _),
   )
 
   /** Shared by q_ngram_jaccard and (as the edge-list CTE) the
@@ -1317,5 +1336,217 @@ object SparkEntry {
         |  FROM s)
         |SELECT source, doc_id, n_chars FROM r WHERE rn <= 10
         |ORDER BY source, doc_id""".stripMargin,
+    "q4_priority_exists" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |        year(l_shipdate) AS l_year,
+        |        l_extendedprice * (1 - l_discount) AS volume
+        |      FROM lineitem
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |        AND l_shipdate < TIMESTAMP '1998-01-01') t
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year,
+        |  round(sum(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0 END)
+        |        / sum(volume), 4) AS mkt_share
+        |FROM (SELECT year(o_orderdate) AS o_year,
+        |        l_extendedprice * (1 - l_discount) AS volume,
+        |        n2.n_name AS nation
+        |      FROM lineitem
+        |      JOIN part ON l_partkey = p_partkey
+        |      JOIN orders ON l_orderkey = o_orderkey
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN supplier ON l_suppkey = s_suppkey
+        |      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |      JOIN region ON n1.n_regionkey = r_regionkey
+        |      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        |        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |        AND o_orderdate < TIMESTAMP '1998-01-01') t
+        |GROUP BY o_year ORDER BY o_year""".stripMargin,
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    - 0.4 * p_retailprice * l_quantity AS DECIMAL(20,4))) AS DOUBLE), 2)
+        |    AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q13_custdist" ->
+      """SELECT c_count, count(*) AS custdist
+        |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |      FROM customer
+        |      LEFT JOIN (SELECT * FROM orders
+        |                 WHERE o_orderpriority <> '4-NOT SPECIFIED') o
+        |        ON c_custkey = o_custkey
+        |      GROUP BY c_custkey) t
+        |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#4'
+        |  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q17_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#4' AND p_size < 15
+        |  AND l_quantity < (SELECT 0.5 * avg(l_quantity)
+        |                    FROM lineitem l2
+        |                    WHERE l2.l_partkey = part.p_partkey)""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  round(o_totalprice, 2) AS o_totalprice, round(sum_qty, 2) AS sum_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+        |      FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY round(o_totalprice, 2) DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 40
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    "q22_idle_customers" ->
+      """SELECT CAST(c_custkey % 7 AS INT) AS cntry, count(*) AS numcust,
+        |  round(sum(c_acctbal), 2) AS totacctbal
+        |FROM customer
+        |WHERE c_custkey % 7 IN (0, 1, 2, 3)
+        |  AND c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= TIMESTAMP '2000-01-01')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_window_ranks" ->
+      """SELECT o_orderkey, o_orderpriority, round(o_totalprice, 2) AS price,
+        |  dense_rank() OVER w AS dr, percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd, ntile(4) OVER w AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY round(o_totalprice, 2) DESC, o_orderkey)
+        |ORDER BY o_orderpriority, dr, o_orderkey""".stripMargin,
+    "q_median_groups" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS q1,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS q3,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bitmap_distinct" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |  count(DISTINCT user_id) AS unique_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_interpolate" ->
+      """WITH grid AS (SELECT unnest(generate_series(
+        |    TIMESTAMP '2024-01-01 00:00:00',
+        |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hr),
+        |k AS (SELECT date_trunc('hour', ts) AS hr, avg(value) AS v
+        |  FROM events WHERE lower(coalesce(event_type,'')) = 'purchase'
+        |  GROUP BY 1),
+        |g AS (SELECT grid.hr, k.v FROM grid LEFT JOIN k ON grid.hr = k.hr),
+        |a AS (SELECT hr, v,
+        |  last_value(v IGNORE NULLS) OVER
+        |    (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |  last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER
+        |    (ORDER BY hr ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |  first_value(v IGNORE NULLS) OVER
+        |    (ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |  first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS) OVER
+        |    (ORDER BY hr ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |  FROM g)
+        |SELECT strftime(hr, '%Y-%m-%d %H:00') AS hour,
+        |  round(CASE WHEN v IS NOT NULL THEN v
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      pv + (nv - pv) * ((epoch(hr) - epoch(ph)) / (epoch(nh) - epoch(ph)))
+        |    ELSE coalesce(pv, nv) END, 4) AS value_interp
+        |FROM a ORDER BY 1""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, ts, coalesce(value, 0) AS value,
+        |    lower(coalesce(event_type, '')) AS et FROM events),
+        |a AS (SELECT *,
+        |  last_value(CASE WHEN et IN ('view','click') THEN et END IGNORE NULLS)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM e)
+        |SELECT strftime(ts, '%Y-%m-%d') AS dt, coalesce(touch, 'direct') AS channel,
+        |  count(*) AS purchases, round(sum(value), 2) AS revenue
+        |FROM a WHERE et = 'purchase' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_oov_rate" ->
+      """WITH t AS (SELECT source, tok
+        |  FROM (SELECT source,
+        |        unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |        FROM documents) x
+        |  WHERE tok <> ''),
+        |v AS (SELECT tok FROM (SELECT tok, count(*) AS cnt FROM t GROUP BY 1
+        |                       ORDER BY cnt DESC, tok LIMIT 1000))
+        |SELECT source, count(*) AS n_tokens,
+        |  round(1.0 - sum(CASE WHEN tok IN (SELECT tok FROM v)
+        |                       THEN 1 ELSE 0 END) / count(*), 6) AS oov_rate
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_equidepth_hist" ->
+      """SELECT o_orderpriority, bucket, count(*) AS n,
+        |  round(min(price), 2) AS lo, round(max(price), 2) AS hi
+        |FROM (SELECT o_orderpriority, round(o_totalprice, 2) AS price,
+        |      ntile(8) OVER (PARTITION BY o_orderpriority
+        |                     ORDER BY round(o_totalprice, 2), o_orderkey) AS bucket
+        |      FROM orders) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }
