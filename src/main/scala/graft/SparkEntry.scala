@@ -187,6 +187,14 @@ object SparkEntry {
     "q_attribution" -> (AnalyticsWave3.attribution _),
     "q_oov_rate" -> (AnalyticsWave3.oovRate _),
     "q_equidepth_hist" -> (AnalyticsWave3.equidepthHist _),
+    "q2_min_cost_supplier" -> (TpchDeep.q2MinCostSupplier _),
+    "q11_important_stock" -> (TpchDeep.q11ImportantStock _),
+    "q20_part_shippers" -> (TpchDeep.q20PartShippers _),
+    "q_dup_canonical" -> (DupClusters.canonicalReps _),
+    "q_mode_groups" -> (AnalyticsWave3.modeGroups _),
+    "q_gaps_islands" -> (AnalyticsWave3.gapsIslands _),
+    "q_share_of_day" -> (AnalyticsWave3.shareOfDay _),
+    "q_yoy_growth" -> (AnalyticsWave3.yoyGrowth _),
   )
 
   /** Shared by q_ngram_jaccard and (as the edge-list CTE) the
@@ -1548,5 +1556,107 @@ object SparkEntry {
         |                     ORDER BY round(o_totalprice, 2), o_orderkey) AS bucket
         |      FROM orders) t
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    round(min(l_extendedprice / l_quantity), 4) AS cost
+        |  FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                      WHERE p_type = 'STANDARD' AND p_size < 10)
+        |  GROUP BY 1, 2),
+        |eu AS (SELECT s_suppkey, s_name, s_acctbal, n_name FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |r AS (SELECT ps.l_partkey, ps.cost, eu.s_name, eu.s_acctbal, eu.n_name,
+        |    row_number() OVER (PARTITION BY l_partkey
+        |                       ORDER BY cost, l_suppkey) AS rn
+        |  FROM ps JOIN eu ON l_suppkey = s_suppkey)
+        |SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+        |  p_partkey, p_brand, cost
+        |FROM r JOIN part ON l_partkey = p_partkey
+        |WHERE rn = 1
+        |ORDER BY s_acctbal DESC, s_name, p_partkey LIMIT 100""".stripMargin,
+    "q11_important_stock" ->
+      """WITH scoped AS (
+        |  SELECT l_partkey, CAST(l_extendedprice AS DECIMAL(20,4)) AS v
+        |  FROM lineitem
+        |  WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+        |                      JOIN nation ON s_nationkey = n_nationkey
+        |                      WHERE n_name = 'NATION_3')),
+        |byp AS (SELECT l_partkey, sum(v) AS value FROM scoped GROUP BY 1)
+        |SELECT l_partkey, round(CAST(value AS DOUBLE), 2) AS value
+        |FROM byp
+        |WHERE CAST(value AS DOUBLE) >
+        |  (SELECT CAST(sum(value) AS DOUBLE) FROM byp)
+        |    / (SELECT count(*) FROM byp) * 3.0
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q20_part_shippers" ->
+      """SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_4'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_name LIKE '%blue%')
+        |      AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |      AND l_shipdate < TIMESTAMP '1997-01-01'
+        |    GROUP BY 1 HAVING sum(l_quantity) > 100)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_dup_canonical" ->
+      s"""WITH RECURSIVE pairs AS ($NgramJaccardSql),
+        |e AS (SELECT a_id AS a, b_id AS b FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT a, a FROM e
+        |  UNION
+        |  SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+        |m AS (SELECT comp.comp, comp.id, d.n_chars
+        |  FROM comp JOIN documents d ON comp.id = d.doc_id),
+        |rr AS (SELECT comp, id, n_chars,
+        |    row_number() OVER (PARTITION BY comp
+        |                       ORDER BY n_chars DESC, id) AS rn FROM m)
+        |SELECT comp AS cluster,
+        |  max(CASE WHEN rn = 1 THEN id END) AS rep_id,
+        |  max(CASE WHEN rn = 1 THEN n_chars END) AS rep_chars,
+        |  count(*) AS n_members
+        |FROM rr GROUP BY 1 ORDER BY cluster""".stripMargin,
+    "q_mode_groups" ->
+      """WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |    lower(coalesce(event_type, '')) AS et, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY dt
+        |                                   ORDER BY cnt DESC, et) AS rn FROM c)
+        |SELECT dt, et AS mode_event, cnt FROM r WHERE rn = 1 ORDER BY dt""".stripMargin,
+    "q_gaps_islands" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |g AS (SELECT user_id, d,
+        |    date_diff('day', DATE '1970-01-01', d)
+        |      - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        |  FROM days)
+        |SELECT user_id, strftime(min(d), '%Y-%m-%d') AS island_start,
+        |  strftime(max(d), '%Y-%m-%d') AS island_end, count(*) AS len
+        |FROM g GROUP BY user_id, grp
+        |HAVING count(*) >= 3
+        |ORDER BY user_id, island_start""".stripMargin,
+    "q_share_of_day" ->
+      """WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |    lower(coalesce(event_type, '')) AS et, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dt, et, cnt,
+        |  round(cnt / sum(cnt) OVER (PARTITION BY dt), 6) AS share
+        |FROM c ORDER BY dt, et""".stripMargin,
+    "q_yoy_growth" ->
+      """WITH m AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    sum(CAST(o_totalprice AS DECIMAL(20,4))) AS rev
+        |  FROM orders GROUP BY 1),
+        |l AS (SELECT month, rev,
+        |    lag(rev, 12) OVER (ORDER BY month) AS prev FROM m)
+        |SELECT month, round(CAST(rev AS DOUBLE), 2) AS revenue,
+        |  round((CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE))
+        |        / CAST(prev AS DOUBLE), 6) AS yoy_growth
+        |FROM l ORDER BY month""".stripMargin,
   )
 }

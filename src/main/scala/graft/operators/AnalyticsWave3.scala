@@ -156,6 +156,80 @@ object AnalyticsWave3 {
       .orderBy(col("source"))
   }
 
+  /** Deterministic per-group mode: the most frequent event_type per
+    * day, ties broken by value order — a count at (day, type) grain
+    * (map-side combined) followed by a day-partitioned argmax window.
+    * Never uses a nondeterministic `mode()` aggregate: the
+    * (cnt desc, et) rank is total, so results are engine-exact. */
+  def modeGroups(spark: SparkSession, dir: String): DataFrame = {
+    val counts = load(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        lower(coalesce(col("event_type"), lit(""))).as("et"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("dt"))
+      .orderBy(col("cnt").desc, col("et"))
+    counts.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("dt"), col("et").as("mode_event"), col("cnt"))
+      .orderBy(col("dt"))
+  }
+
+  /** Gaps-and-islands: maximal runs of CONSECUTIVE active days per
+    * user. The classic date-minus-row_number trick — one
+    * (user)(day) window, then a (user, group) aggregation; both
+    * stages ride the same user-hash exchange. Day grain bounds the
+    * window input at users×days regardless of event volume. */
+  def gapsIslands(spark: SparkSession, dir: String): DataFrame = {
+    val days = load(spark, dir, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    days.withColumn("grp",
+        datediff(col("d"), lit("1970-01-01").cast("date")) - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(date_format(min(col("d")), "yyyy-MM-dd").as("island_start"),
+        date_format(max(col("d")), "yyyy-MM-dd").as("island_end"),
+        count(lit(1)).as("len"))
+      .where(col("len") >= 3)
+      .select(col("user_id"), col("island_start"), col("island_end"), col("len"))
+      .orderBy(col("user_id"), col("island_start"))
+  }
+
+  /** Share-of-total window: each event type's share of its day's
+    * events — a partition-only window aggregate (no ORDER BY, no sort:
+    * just one hash exchange at the already-aggregated (day, type)
+    * grain). */
+  def shareOfDay(spark: SparkSession, dir: String): DataFrame = {
+    val counts = load(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        lower(coalesce(col("event_type"), lit(""))).as("et"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("dt"))
+    counts.select(col("dt"), col("et"), col("cnt"),
+        F.roundBin(col("cnt") / sum(col("cnt")).over(w), 6).as("share"))
+      .orderBy(col("dt"), col("et"))
+  }
+
+  /** Year-over-year growth of monthly order revenue: lag(12) over the
+    * gap-free month series. Per-row prices quantize to DECIMAL so the
+    * monthly sums are exact; the single-partition window runs at
+    * month grain (bounded by the calendar — 12 rows/year at any data
+    * scale). */
+  def yoyGrowth(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = load(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(col("o_totalprice").cast("decimal(20,4)")).as("rev"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .withColumn("prev", lag(col("rev"), 12).over(w))
+      .select(col("month"),
+        F.roundBin(col("rev").cast("double"), 2).as("revenue"),
+        F.roundBin(
+          (col("rev").cast("double") - col("prev").cast("double"))
+            / col("prev").cast("double"), 6).as("yoy_growth"))
+      .orderBy(col("month"))
+  }
+
   /** Equi-depth histogram of order totalprice, 8 buckets per
     * priority: ntile over the (rounded price, orderkey) total order —
     * rank arithmetic only, no FP boundary comparisons, so the bucket

@@ -181,4 +181,31 @@ object DupClusters {
   def cosineClusters(spark: SparkSession, dir: String): DataFrame =
     clusterManifest(
       VectorQueries.cosineDedup(spark, dir).select(col("a_id"), col("b_id")))
+
+  /** Canonicalization: pick the KEEPER document of each near-dup
+    * cluster by quality, not by id — argmax (n_chars desc, doc_id
+    * asc) over cluster members. The labels table is bounded by the
+    * edge set (only documents that appear in a near-dup pair), so the
+    * per-cluster window runs over groups of duplicate-count size; the
+    * doc-metadata join is on the co-partition key doc_id. This is the
+    * "which copy do we train on" step that follows dedup detection in
+    * a corpus pipeline. */
+  def canonicalReps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val labels = components(
+      TextQueries.ngramJaccard(spark, dir).select(col("a_id"), col("b_id")),
+      "a_id", "b_id")
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("n_chars"))
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    labels.join(docs, col("id") === col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("comp").as("cluster"))
+      .agg(
+        max(when(col("rn") === 1, col("doc_id"))).as("rep_id"),
+        max(when(col("rn") === 1, col("n_chars"))).as("rep_chars"),
+        count(lit(1)).as("n_members"))
+      .orderBy(col("cluster"))
+  }
 }

@@ -271,6 +271,95 @@ object TpchDeep {
       .limit(100)
   }
 
+  /** Q2-shape min-cost supplier (no partsupp in the fixture: unit
+    * cost is the min observed l_extendedprice/l_quantity per
+    * (part, supplier)). The correlated `cost = min(cost) per part`
+    * subquery decorrelates into a per-part argmin window — rank over
+    * (cost, suppkey) so ties are deterministic — after restricting
+    * both sides: parts by type/size (broadcast), suppliers to the
+    * EUROPE region (broadcast). The only data-sized stage is the one
+    * (partkey, suppkey)-grain aggregation building the surrogate
+    * partsupp; everything after runs at dimension grain. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = load(spark, dir, "part")
+      .where(col("p_type") === "STANDARD" && col("p_size") < 10)
+      .select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val region = load(spark, dir, "region").where(col("r_name") === "EUROPE")
+    val nation = load(spark, dir, "nation")
+    val sup = load(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val li = load(spark, dir, "lineitem")
+    val ps = li
+      .join(broadcast(part.select(col("p_partkey"))), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(F.roundBin(min(col("l_extendedprice") / col("l_quantity")), 4).as("cost"))
+    val w = Window.partitionBy(col("l_partkey"))
+      .orderBy(col("cost"), col("l_suppkey"))
+    ps.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(F.roundBin(col("s_acctbal"), 2).as("s_acctbal"), col("s_name"),
+        col("n_name"), col("p_partkey"), col("p_brand"), col("cost"))
+      .orderBy(col("s_acctbal").desc, col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Q11-shape important stock: per-part value of NATION_3-supplied
+    * lineitems vs a global-fraction threshold. Per-row values are
+    * quantized to DECIMAL(20,4) so both the per-part sums and the
+    * global scalar are exact (order-independent); the threshold is a
+    * broadcast 1-row join. */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val nation = load(spark, dir, "nation").where(col("n_name") === "NATION_3")
+    val sup = load(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val li = load(spark, dir, "lineitem")
+    val scoped = li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .select(col("l_partkey"), col("l_extendedprice").cast("decimal(20,4)").as("v"))
+    val byPart = scoped.groupBy(col("l_partkey")).agg(sum(col("v")).as("value"))
+    // scale-free threshold: 3x the average per-part value, so the
+    // "important" cut survives any part-count growth (a fixed fraction
+    // of the grand total empties out as the catalog widens)
+    val total = byPart.agg(sum(col("value")).as("grand"),
+      count(lit(1)).as("nparts"))
+    byPart.join(broadcast(total))
+      .where(col("value").cast("double") >
+        col("grand").cast("double") / col("nparts") * 3.0)
+      .select(col("l_partkey"),
+        F.roundBin(col("value").cast("double"), 2).as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+  }
+
+  /** Q20-shape part shippers: suppliers from NATION_4 who shipped
+    * more than 100 units of 'blue' parts in 1996 — two chained
+    * left-semi reductions (parts filter onto lineitem, qualifying
+    * suppkeys onto supplier), quantities aggregated before any
+    * supplier attribute is touched. */
+  def q20PartShippers(spark: SparkSession, dir: String): DataFrame = {
+    val greenParts = load(spark, dir, "part")
+      .where(col("p_name").contains("blue")).select(col("p_partkey"))
+    val li = load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+    val qualified = li
+      .join(broadcast(greenParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+      .where(col("qty") > 100)
+    val nation = load(spark, dir, "nation").where(col("n_name") === "NATION_4")
+    load(spark, dir, "supplier")
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(qualified, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_suppkey"), col("s_name"),
+        F.roundBin(col("s_acctbal"), 2).as("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Q22-shape idle customers: no phone column, so the country-code
     * bucket is custkey mod 7, and "idle" means no order since 2000
     * (the fixture has no order-less customers). Global scalar subquery

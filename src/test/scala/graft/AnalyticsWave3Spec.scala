@@ -77,6 +77,70 @@ class AnalyticsWave3Spec extends SparkSpec {
     })
   }
 
+  test("modeGroups: per-day mode matches driver recompute with (cnt desc, et) ties") {
+    import org.apache.spark.sql.functions._
+    val counts = Tables.load(spark, sf, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        lower(coalesce(col("event_type"), lit(""))).as("et"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val exp = counts.groupBy(_._1).view.mapValues { rs =>
+      rs.minBy(t => (-t._3, t._2))._2
+    }.toMap
+    val got = AnalyticsWave3.modeGroups(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got === exp)
+  }
+
+  test("canonicalReps: each representative is its cluster's longest member") {
+    val reps = graft.operators.DupClusters.canonicalReps(spark, sf).collect()
+    assert(reps.nonEmpty)
+    val chars = Tables.load(spark, sf, "documents")
+      .select("doc_id", "n_chars").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    reps.foreach { r =>
+      assert(r.getAs[Long]("rep_chars") === chars(r.getAs[Long]("rep_id")))
+      assert(r.getAs[Long]("n_members") >= 2)
+    }
+  }
+
+  test("gapsIslands: islands are maximal consecutive-day runs (driver recompute)") {
+    import org.apache.spark.sql.functions._
+    val days = Tables.load(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).cast("string").as("d"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), java.time.LocalDate.parse(r.getString(1))))
+    val exp = days.groupBy(_._1).view.mapValues { ds =>
+      val sorted = ds.map(_._2).sortBy(_.toEpochDay)
+      val islands = sorted.foldLeft(List.empty[List[java.time.LocalDate]]) {
+        case (acc @ (h :: t), d) if h.nonEmpty && h.head.toEpochDay == d.toEpochDay - 1 =>
+          (d :: h) :: t
+        case (acc, d) => List(d) :: acc
+      }
+      islands.filter(_.size >= 3)
+        .map(i => (i.last.toString, i.head.toString, i.size.toLong)).sortBy(_._1)
+    }.toMap
+    val got = AnalyticsWave3.gapsIslands(spark, sf).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(r =>
+        (r.getString(1), r.getString(2), r.getAs[Long]("len"))).toList.sortBy(_._1)).toMap
+    assert(got === exp.filter(_._2.nonEmpty))
+  }
+
+  test("shareOfDay: shares sum to ~1 per day") {
+    val rows = AnalyticsWave3.shareOfDay(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("share")).sum - 1.0) < 1e-4)
+    }
+  }
+
+  test("yoyGrowth: growth defined exactly where a 12-month-earlier month exists") {
+    val rows = AnalyticsWave3.yoyGrowth(spark, sf).collect()
+    val months = rows.map(_.getString(0))
+    assert(months.sameElements(months.sorted))
+    val withGrowth = rows.filter(!_.isNullAt(2))
+    assert(withGrowth.length === rows.length - 12)
+  }
+
   test("equidepthHist: buckets cover all orders with balanced depths") {
     val rows = AnalyticsWave3.equidepthHist(spark, sf).collect()
     val nOrders = Tables.load(spark, sf, "orders").count()

