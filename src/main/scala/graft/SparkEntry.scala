@@ -195,6 +195,9 @@ object SparkEntry {
     "q_gaps_islands" -> (AnalyticsWave3.gapsIslands _),
     "q_share_of_day" -> (AnalyticsWave3.shareOfDay _),
     "q_yoy_growth" -> (AnalyticsWave3.yoyGrowth _),
+    "q_stream_outer_join" -> (PipelineQueries.streamJoinOuter _),
+    "q_dpp_scan" -> (PipelineQueries.dppScan _),
+    "q_mad_outliers" -> (AnalyticsWave3.madOutliers _),
   )
 
   /** Shared by q_ngram_jaccard and (as the edge-list CTE) the
@@ -1658,5 +1661,43 @@ object SparkEntry {
         |  round((CAST(rev AS DOUBLE) - CAST(prev AS DOUBLE))
         |        / CAST(prev AS DOUBLE), 6) AS yoy_growth
         |FROM l ORDER BY month""".stripMargin,
+    "q_stream_outer_join" ->
+      """WITH e AS (SELECT user_id, date_trunc('second', ts) AS ts0,
+        |    lower(coalesce(event_type, '')) AS et
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) < DATE '2024-01-03'
+        |    AND lower(coalesce(event_type, '')) IN ('view','click','purchase')),
+        |p AS (SELECT user_id, ts0 FROM e WHERE et = 'purchase'
+        |      AND CAST(ts0 AS DATE) < DATE '2024-01-02'),
+        |v AS (SELECT user_id, ts0 FROM e WHERE et IN ('view','click'))
+        |SELECT strftime(p.ts0, '%Y-%m-%d %H:00') AS hour,
+        |  count(v.ts0) AS n_pairs,
+        |  CAST(sum(CASE WHEN v.ts0 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_unmatched,
+        |  count(DISTINCT p.user_id) AS n_buyers
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND v.ts0 >= p.ts0 - INTERVAL 1 HOUR AND v.ts0 <= p.ts0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dpp_scan" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS date, count(*) AS n_events,
+        |  round(sum(coalesce(value, 0)), 2) AS revenue
+        |FROM events
+        |WHERE CAST(ts AS DATE) < DATE '2024-01-06'
+        |  AND day(CAST(ts AS DATE)) % 2 = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT o_orderpriority AS p,
+        |    quantile_cont(o_totalprice, 0.5) AS med FROM orders GROUP BY 1),
+        |d AS (SELECT o.o_orderpriority AS p, o.o_totalprice, m.med,
+        |    abs(o.o_totalprice - m.med) AS adev
+        |  FROM orders o JOIN med m ON o.o_orderpriority = m.p),
+        |mad AS (SELECT p, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY 1)
+        |SELECT d.p AS o_orderpriority, round(max(d.med), 2) AS med,
+        |  round(max(mad.mad), 2) AS mad,
+        |  CAST(sum(CASE WHEN d.adev > 3 * 1.4826 * mad.mad
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  count(*) AS n
+        |FROM d JOIN mad ON d.p = mad.p
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

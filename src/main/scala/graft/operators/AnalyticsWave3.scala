@@ -156,6 +156,32 @@ object AnalyticsWave3 {
       .orderBy(col("source"))
   }
 
+  /** Robust outlier audit per group: MAD (median absolute deviation)
+    * fences — the outlier detector that survives the outliers it
+    * hunts, unlike stddev z-scores. Two exact interpolating-median
+    * passes (group medians broadcast back between them; both
+    * aggregations are at group grain). Exact medians hold memory
+    * ∝ group size — the unbounded-group 100 TB path swaps in the
+    * mergeable quantile sketch (q_quantile_rollup), same fences. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val ord = load(spark, dir, "orders")
+      .select(col("o_orderpriority").as("prio"), col("o_totalprice"))
+    val med = ord.groupBy(col("prio").as("p1"))
+      .agg(expr("percentile(o_totalprice, 0.5D)").as("med"))
+    val dev = ord.join(broadcast(med), col("prio") === col("p1"))
+      .withColumn("adev", abs(col("o_totalprice") - col("med")))
+    val mad = dev.groupBy(col("prio").as("p2"))
+      .agg(expr("percentile(adev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), col("prio") === col("p2"))
+      .groupBy(col("prio").as("o_orderpriority"))
+      .agg(F.roundBin(max(col("med")), 2).as("med"),
+        F.roundBin(max(col("mad")), 2).as("mad"),
+        sum(when(col("adev") > lit(3) * lit(1.4826) * col("mad"), 1).otherwise(0))
+          .cast("long").as("n_outliers"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Deterministic per-group mode: the most frequent event_type per
     * day, ties broken by value order — a count at (day, type) grain
     * (map-side combined) followed by a day-partitioned argmax window.

@@ -173,6 +173,31 @@ object PipelineQueries {
         col("revenue_usd"))
   }
 
+  /** S6 sibling — DYNAMIC partition pruning: unlike prunedKpis'
+    * static literal, here the pruning predicate is only derivable at
+    * RUNTIME through a join (the odd-day dim is computed from another
+    * table, so no static filter exists on the fact side). Catalyst
+    * plants a DynamicPruningExpression on the zone scan's partition
+    * filters, reusing the broadcast join's build side as the IN-list —
+    * the 100 TB pattern for "scan only the partitions a dimension
+    * filter selects" without materializing the dim first. DppSpec
+    * asserts the executed plan carries the dynamicpruning filter. */
+  def dppScan(spark: SparkSession, dir: String): DataFrame = {
+    val zone = writePartitionedZone(spark, dir)
+    val raw = DailyKpis.readRaw(spark, zone)
+      .where(col(graft.model.EventSchema.CorruptCol).isNull)
+    val dim = load(spark, dir, "events")
+      .where(to_date(col("ts")) < lit(StreamCutoff))
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt")).distinct()
+      .where(dayofmonth(col("dt").cast("date")) % 2 === 1)
+    raw.join(broadcast(dim), col("date") === col("dt"))
+      .groupBy(col("date"))
+      .agg(count(lit(1)).as("n_events"),
+        graft.functions.F.roundBin(sum(coalesce(col("price"), lit(0.0))), 2)
+          .as("revenue"))
+      .orderBy(col("date"))
+  }
+
   /** Skew-salted join under the oracle gate: the salted fact⋈dim join
     * must produce exactly the plain join's result (the oracle IS the
     * plain SQL join). Configured the way production would be: the hot
@@ -449,6 +474,75 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("p_user")).as("n_buyers"))
       .orderBy(col("dt"))
+  }
+
+  /** ST11 outer variant — stream-stream LEFT OUTER interval join:
+    * purchases with no view/click touch in the preceding hour emit a
+    * null-view row ONCE THE WATERMARK PASSES their event time (outer
+    * results are watermark-RELEASED, unlike the inner join's eager
+    * matches — that's the semantics this gate exists to pin down).
+    * Trigger is AvailableNow, NOT Trigger.Once: the outer nulls only
+    * materialize in the post-data no-data micro-batches AvailableNow
+    * schedules after the watermark advances — under Trigger.Once they
+    * would stay in state forever and silently vanish from the output.
+    * Purchases in the final watermark horizon (last 2 h of the feed)
+    * are legitimately still in state when the drain stops, so the
+    * gate aggregates only purchase-days whose entire day is below the
+    * horizon — the deterministic window both engines can agree on. */
+  @nowarn("cat=deprecation")
+  def streamJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val in = zoneCache.getOrElseUpdate(("graft-sjoin-in", dir, Some(JoinCutoff)), {
+      val inDir = Files.createTempDirectory("graft-sjoin-in")
+      inDir.toFile.deleteOnExit()
+      val all = load(spark, dir, "events")
+      all.where(to_date(col("ts")) < lit(JoinCutoff) &&
+          lower(coalesce(col("event_type"), lit(""))).isin("view", "click", "purchase"))
+        .select(to_json(struct(
+          concat(date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss"), lit("Z")).as("event_ts"),
+          col("user_id").cast("string").as("user_id"),
+          col("event_id").cast("string").as("session_id"),
+          col("event_type"),
+          col("value").as("price"))).as("value"))
+        .coalesce(2).write.mode("overwrite").text(inDir.toString)
+      Files.writeString(inDir.resolve("garbage.txt"), "not json\n\n{\"event_ts\": \"broken\n")
+      inDir.toString
+    })
+    val out = Files.createTempDirectory("graft-sjoino-out")
+    val ck = Files.createTempDirectory("graft-sjoino-ck")
+    out.toFile.deleteOnExit(); ck.toFile.deleteOnExit()
+    def side(types: Seq[String], user: String, ts: String) =
+      spark.readStream.schema(graft.model.EventSchema.schema).json(in)
+        .withColumn("ts0", to_timestamp(col("event_ts")))
+        .where(col("ts0").isNotNull &&
+          lower(coalesce(col("event_type"), lit(""))).isin(types: _*))
+        .select(col("user_id").as(user), col("ts0").as(ts))
+    val views = side(Seq("view", "click"), "v_user", "v_ts")
+      .withWatermark("v_ts", "2 hours")
+    val purchases = side(Seq("purchase"), "p_user", "p_ts")
+      .withWatermark("p_ts", "2 hours")
+    withShufflePartitions(spark, 4) {
+      val q = purchases.join(views,
+          col("p_user") === col("v_user") &&
+            col("v_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+            col("v_ts") <= col("p_ts"),
+          "left_outer")
+        .select(col("p_user"), col("p_ts"), col("v_ts"))
+        .writeStream.format("json").option("path", out.toString)
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // deterministic slice: full days strictly below the final
+    // watermark horizon (maxTs - 2h sits inside the last feed day)
+    val lastFullDay = java.time.LocalDate.parse(JoinCutoff).minusDays(1).toString
+    spark.read.schema("p_user STRING, p_ts TIMESTAMP, v_ts TIMESTAMP")
+      .json(out.toString)
+      .where(to_date(col("p_ts")) < lit(lastFullDay))
+      .groupBy(date_format(col("p_ts"), "yyyy-MM-dd HH:00").as("hour"))
+      .agg(count(col("v_ts")).as("n_pairs"),
+        sum(when(col("v_ts").isNull, 1).otherwise(0)).cast("long").as("n_unmatched"),
+        countDistinct(col("p_user")).as("n_buyers"))
+      .orderBy(col("hour"))
   }
 
   /** S7 sibling — CSV source scan (multi-format raw zone): the fixture

@@ -141,6 +141,29 @@ class AnalyticsWave3Spec extends SparkSpec {
     assert(withGrowth.length === rows.length - 12)
   }
 
+  test("madOutliers: fences match a driver-side median/MAD recompute") {
+    val rows = AnalyticsWave3.madOutliers(spark, sf).collect()
+    val ord = Tables.load(spark, sf, "orders")
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    def medOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val pos = 0.5 * (s.length - 1)
+      val lo = pos.toInt
+      if (lo == s.length - 1) s(lo) else s(lo) + (pos - lo) * (s(lo + 1) - s(lo))
+    }
+    rows.foreach { r =>
+      val xs = ord.filter(_._1 == r.getString(0)).map(_._2).toSeq
+      val med = medOf(xs)
+      val mad = medOf(xs.map(x => math.abs(x - med)))
+      assert(math.abs(r.getAs[Double]("med") - med) < 0.011)
+      assert(math.abs(r.getAs[Double]("mad") - mad) < 0.011)
+      val nOut = xs.count(x => math.abs(x - med) > 3 * 1.4826 * mad)
+      assert(r.getAs[Long]("n_outliers") === nOut)
+      assert(r.getAs[Long]("n") === xs.size)
+    }
+  }
+
   test("equidepthHist: buckets cover all orders with balanced depths") {
     val rows = AnalyticsWave3.equidepthHist(spark, sf).collect()
     val nOrders = Tables.load(spark, sf, "orders").count()
