@@ -97,6 +97,12 @@ object GraftFunctions {
       if (!reg.functionExists(FunctionIdentifier(name)))
         reg.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // sessions built without spark.sql.extensions (tests, notebooks)
+    // still get the quantizer-collapse rule; duplicate registration on
+    // extension-built sessions is harmless — the rewrite is idempotent
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RoundBinSimplify))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RoundBinSimplify
   }
 
   def inject(ext: SparkSessionExtensions): Unit =
