@@ -198,6 +198,11 @@ object SparkEntry {
     "q_stream_outer_join" -> (PipelineQueries.streamJoinOuter _),
     "q_dpp_scan" -> (PipelineQueries.dppScan _),
     "q_mad_outliers" -> (AnalyticsWave3.madOutliers _),
+    "q_pagerank" -> (ClickstreamGraph.pagerank _),
+    "q_bounce_rate" -> (ClickstreamGraph.bounceRate _),
+    "q_dwell_time" -> (ClickstreamGraph.dwellTime _),
+    "q_cooccurrence" -> (ClickstreamGraph.cooccurrence _),
+    "q_cms_counts" -> (KpiQueries.cmsCounts _),
   )
 
   /** Shared by q_ngram_jaccard and (as the edge-list CTE) the
@@ -1699,5 +1704,94 @@ object SparkEntry {
         |  count(*) AS n
         |FROM d JOIN mad ON d.p = mad.p
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_pagerank" ->
+      """WITH s AS (SELECT lower(coalesce(event_type, '')) AS src,
+        |    lead(lower(coalesce(event_type, ''))) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |e AS (SELECT src, dst, count(*) AS n FROM s
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT src, sum(n) AS out_n FROM e GROUP BY 1),
+        |w AS (SELECT e.src, e.dst, CAST(e.n AS DOUBLE) / o.out_n AS w
+        |  FROM e JOIN o ON e.src = o.src),
+        |nd AS (SELECT DISTINCT node FROM
+        |  (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+        |nn AS (SELECT count(*) AS n_nodes FROM nd),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / nn.n_nodes AS pr
+        |  FROM nd CROSS JOIN nn),
+        |r1 AS (SELECT nd.node,
+        |    (CAST(1.0 AS DOUBLE) - 0.85) / nn.n_nodes
+        |      + 0.85 * coalesce(c.cv, 0) AS pr
+        |  FROM nd CROSS JOIN nn LEFT JOIN
+        |    (SELECT w.dst, sum(r0.pr * w.w) AS cv FROM r0
+        |     JOIN w ON r0.node = w.src GROUP BY 1) c ON nd.node = c.dst),
+        |r2 AS (SELECT nd.node,
+        |    (CAST(1.0 AS DOUBLE) - 0.85) / nn.n_nodes
+        |      + 0.85 * coalesce(c.cv, 0) AS pr
+        |  FROM nd CROSS JOIN nn LEFT JOIN
+        |    (SELECT w.dst, sum(r1.pr * w.w) AS cv FROM r1
+        |     JOIN w ON r1.node = w.src GROUP BY 1) c ON nd.node = c.dst),
+        |r3 AS (SELECT nd.node,
+        |    (CAST(1.0 AS DOUBLE) - 0.85) / nn.n_nodes
+        |      + 0.85 * coalesce(c.cv, 0) AS pr
+        |  FROM nd CROSS JOIN nn LEFT JOIN
+        |    (SELECT w.dst, sum(r2.pr * w.w) AS cv FROM r2
+        |     JOIN w ON r2.node = w.src GROUP BY 1) c ON nd.node = c.dst)
+        |SELECT node, round(pr, 6) AS pr FROM r3 ORDER BY node""".stripMargin,
+    "q_bounce_rate" ->
+      """WITH s AS (SELECT user_id, event_id, ts,
+        |    lower(coalesce(event_type, '')) AS et,
+        |    row_number() OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |    CASE WHEN lag(ts) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR date_diff('second', lag(ts) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |s2 AS (SELECT *, sum(new_sess) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM s),
+        |g AS (SELECT user_id, sess, arg_min(et, rn) AS entry_et,
+        |    count(*) AS n_ev
+        |  FROM s2 GROUP BY 1, 2)
+        |SELECT entry_et, count(*) AS n_sessions,
+        |  CAST(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounce,
+        |  round(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)
+        |    * CAST(1.0 AS DOUBLE) / count(*), 6) AS bounce_rate
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dwell_time" ->
+      """WITH s AS (SELECT lower(coalesce(event_type, '')) AS et, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS next_ts
+        |  FROM events),
+        |d AS (SELECT et, date_diff('second', ts, next_ts) AS dwell
+        |  FROM s WHERE next_ts IS NOT NULL)
+        |SELECT et, count(*) AS n, round(avg(dwell), 4) AS avg_dwell_s
+        |FROM d WHERE dwell <= 1800 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_cooccurrence" ->
+      """WITH ue AS (SELECT DISTINCT user_id,
+        |    lower(coalesce(event_type, '')) AS et FROM events),
+        |t AS (SELECT et, count(*) AS n_et FROM ue GROUP BY 1),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ue),
+        |p AS (SELECT a.et AS et_a, b.et AS et_b, count(*) AS n_both
+        |  FROM ue a JOIN ue b
+        |    ON a.user_id = b.user_id AND a.et < b.et GROUP BY 1, 2)
+        |SELECT p.et_a AS et_a, p.et_b AS et_b, p.n_both AS n_both,
+        |  ta.n_et AS n_a, tb.n_et AS n_b,
+        |  round(p.n_both * nu.n_users * CAST(1.0 AS DOUBLE)
+        |    / (ta.n_et * tb.n_et), 6) AS lift
+        |FROM p JOIN t ta ON p.et_a = ta.et
+        |JOIN t tb ON p.et_b = tb.et CROSS JOIN nu
+        |ORDER BY 1, 2""".stripMargin,
+    // CMS point estimates never undercount and, at width 2048 over the
+    // fixture's 5-key vocabulary, are collision-free — so the sketch
+    // rollup is gated against EXACT per-type counts (deterministic:
+    // fixed seeds; verified at both scales).
+    "q_cms_counts" ->
+      """SELECT lower(coalesce(event_type, '')) AS et, count(*) AS est_n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -108,6 +108,22 @@ object F {
   def kmvIntersect(a: Column, b: Column): Column =
     column(KmvIntersect(expr(a), expr(b)))
 
+  /** Aggregate: Count-Min frequency sketch of a column, binary (see
+    * [[CmsAgg]]) — point frequency queries for ANY key without storing
+    * keys; never undercounts, overcounts ≤ εN whp. */
+  def cmsSketch(c: Column, depth: Int = 4, width: Int = 2048): Column =
+    aggColumn(CmsAgg(expr(c), depth, width))
+
+  /** Aggregate: exact cell-wise-add fold of stored CMS sketches (see
+    * [[CmsUnionAgg]]); emits the merged sketch. */
+  def cmsUnion(c: Column, depth: Int = 4, width: Int = 2048): Column =
+    aggColumn(CmsUnionAgg(expr(c), depth, width))
+
+  /** Scalar: point frequency estimate of a key in a stored CMS sketch
+    * (see [[CmsEstimate]]). */
+  def cmsEstimate(sketch: Column, key: Column): Column =
+    column(CmsEstimate(expr(sketch), expr(key)))
+
   def l2Norm(c: Column): Column = column(L2Norm(expr(c)))
 
   /** Int8-quantization relative reconstruction error (see

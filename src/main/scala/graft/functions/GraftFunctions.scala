@@ -86,6 +86,15 @@ object GraftFunctions {
         if (args.length > 1) intArg("kmv_union", args(1)) else 1024)),
     "kmv_estimate" -> (args => KmvEstimate(args.head)),
     "kmv_intersect" -> (args => KmvIntersect(args.head, args(1))),
+    "cms_sketch" -> (args =>
+      CmsAgg(args.head,
+        if (args.length > 1) intArg("cms_sketch", args(1)) else 4,
+        if (args.length > 2) intArg("cms_sketch", args(2)) else 2048)),
+    "cms_union" -> (args =>
+      CmsUnionAgg(args.head,
+        if (args.length > 1) intArg("cms_union", args(1)) else 4,
+        if (args.length > 2) intArg("cms_union", args(2)) else 2048)),
+    "cms_estimate" -> (args => CmsEstimate(args.head, args(1))),
     "payload_bytes" -> (args => PayloadBytes(args.head, args(1))),
     "interleave_bits" -> (args => InterleaveBits(args.head, args(1))),
   )

@@ -531,4 +531,26 @@ object KpiQueries {
         F.hllEstimate(F.hllUnion(col("sk"), 12)).as("approx_users"))
       .orderBy(col("event_type"))
   }
+
+  /** Count-Min sketch-table rollup — the frequency analogue of
+    * [[sketchRollup]]: per-day `cms_sketch` rows fold via `cms_union`
+    * into one corpus sketch, then the distinct event types probe it
+    * with `cms_estimate`. The raw stream is touched exactly once (the
+    * per-day build); every later frequency question answers from
+    * |days| fixed-size binaries. CMS never undercounts and overcounts
+    * only on cell collisions — at width 2048 over a 5-key vocabulary
+    * the estimates are collision-free, so the gate compares EXACT
+    * counts (deterministic: seeds are fixed). The probe list is the
+    * vocab-sized distinct, the merged sketch broadcasts as one row. */
+  def cmsCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        lower(coalesce(col("event_type"), lit(""))).as("et"))
+    val daily = ev.groupBy(col("dt")).agg(F.cmsSketch(col("et"), 4, 2048).as("sk"))
+    val merged = daily.agg(F.cmsUnion(col("sk"), 4, 2048).as("sk"))
+    ev.select(col("et")).distinct()
+      .crossJoin(broadcast(merged))
+      .select(col("et"), F.cmsEstimate(col("sk"), col("et")).as("est_n"))
+      .orderBy(col("et"))
+  }
 }
