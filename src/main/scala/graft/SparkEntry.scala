@@ -203,6 +203,8 @@ object SparkEntry {
     "q_dwell_time" -> (ClickstreamGraph.dwellTime _),
     "q_cooccurrence" -> (ClickstreamGraph.cooccurrence _),
     "q_cms_counts" -> (KpiQueries.cmsCounts _),
+    "q_vec_dimstats" -> (VectorQueries.vecDimstats _),
+    "q_source_entropy" -> (TextQueries.sourceEntropy _),
   )
 
   /** Shared by q_ngram_jaccard and (as the edge-list CTE) the
@@ -1793,5 +1795,23 @@ object SparkEntry {
     "q_cms_counts" ->
       """SELECT lower(coalesce(event_type, '')) AS et, count(*) AS est_n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_vec_dimstats" ->
+      """WITH e AS (SELECT label, generate_subscripts(embedding, 1) AS d1,
+        |    CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings)
+        |SELECT label, d1 - 1 AS dim,
+        |  round(sum(x) / count(*), 4) AS mean,
+        |  round(sqrt(sum(x * x) / count(*)
+        |    - pow(sum(x) / count(*), 2)), 4) AS std
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_source_entropy" ->
+      """WITH t AS (SELECT source,
+        |    unnest(regexp_split_to_array(text, '\s+')) AS token
+        |  FROM documents),
+        |g AS (SELECT source, token, count(*) AS c FROM t GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  count(*) AS vocab,
+        |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4)
+        |    AS entropy_bits
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

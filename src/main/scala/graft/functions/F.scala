@@ -124,6 +124,10 @@ object F {
   def cmsEstimate(sketch: Column, key: Column): Column =
     column(CmsEstimate(expr(sketch), expr(key)))
 
+  /** Aggregate: element-wise [n, Σx…, Σx²…] moments of a vector column
+    * in one pass, no explode (see [[VecMomentsAgg]]). */
+  def vecMoments(c: Column): Column = aggColumn(VecMomentsAgg(expr(c)))
+
   def l2Norm(c: Column): Column = column(L2Norm(expr(c)))
 
   /** Int8-quantization relative reconstruction error (see

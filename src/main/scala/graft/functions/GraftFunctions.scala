@@ -95,6 +95,7 @@ object GraftFunctions {
         if (args.length > 1) intArg("cms_union", args(1)) else 4,
         if (args.length > 2) intArg("cms_union", args(2)) else 2048)),
     "cms_estimate" -> (args => CmsEstimate(args.head, args(1))),
+    "vec_moments" -> (args => VecMomentsAgg(args.head)),
     "payload_bytes" -> (args => PayloadBytes(args.head, args(1))),
     "interleave_bits" -> (args => InterleaveBits(args.head, args(1))),
   )

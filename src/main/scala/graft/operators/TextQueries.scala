@@ -758,4 +758,29 @@ object TextQueries {
         countDistinct(col("train_id")).as("n_train_dups"))
       .orderBy(col("split"))
   }
+
+  /** E4 per-source token-distribution Shannon entropy — the diversity/
+    * degeneracy signal corpus curation cuts on (near-zero entropy =
+    * boilerplate or template spam; the same statistic drives
+    * temperature-mixture weighting alongside q_mixture_sample's
+    * quotas). Uses the identity H = log2(N) − (Σ c·log2 c)/N so ONE
+    * aggregation over the (source, token) counts produces the entropy
+    * — no total-count self-join. Two shuffles total (token grain with
+    * map-side combine, then source grain); the token-grain pass is
+    * the only data-sized one. */
+  def sourceEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = withTokens(load(spark, dir, "documents"))
+      .select(col("source"), explode(col("toks")).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c"))
+    counts
+      .groupBy(col("source"))
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        F.roundBin(
+          log2(sum(col("c"))) - sum(col("c") * log2(col("c"))) / sum(col("c")),
+          4).as("entropy_bits"))
+      .orderBy(col("source"))
+  }
 }

@@ -488,4 +488,27 @@ object VectorQueries {
       .select(col("q_id"), col("t.id").as("vec_id"), col("t.score").as("cos"))
       .orderBy(col("q_id"), col("cos").desc, col("vec_id"))
   }
+
+  /** E3 per-dimension embedding statistics (mean/std per label) for
+    * whitening / standardization / drift monitoring — via the
+    * [[graft.functions.VecMomentsAgg]] one-pass moments fold instead
+    * of the posexplode-and-shuffle plan (which would put |rows|·dim
+    * exploded rows on the wire; the fold ships ONE (1+2·dim)-double
+    * buffer per partition per label). The posexplode here runs on the
+    * |labels|-row AGGREGATE, bounded by label-count × dim. */
+  def vecDimstats(spark: SparkSession, dir: String): DataFrame = {
+    val agg = emb(spark, dir)
+      .groupBy(col("label"))
+      .agg(F.vecMoments(col("embedding")).as("m"))
+      .withColumn("d", ((size(col("m")) - 1) / 2).cast("int"))
+    agg
+      .select(col("label"), col("m"), col("d"),
+        posexplode(expr("slice(m, 2, d)")).as(Seq("dim", "s")))
+      .select(col("label"), col("dim"),
+        F.roundBin(col("s") / element_at(col("m"), 1), 4).as("mean"),
+        F.roundBin(sqrt(
+          element_at(col("m"), col("dim") + col("d") + lit(2)) / element_at(col("m"), 1)
+            - pow(col("s") / element_at(col("m"), 1), 2)), 4).as("std"))
+      .orderBy(col("label"), col("dim"))
+  }
 }
