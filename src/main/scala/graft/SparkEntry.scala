@@ -205,6 +205,7 @@ object SparkEntry {
     "q_cms_counts" -> (KpiQueries.cmsCounts _),
     "q_vec_dimstats" -> (VectorQueries.vecDimstats _),
     "q_source_entropy" -> (TextQueries.sourceEntropy _),
+    "q_rand_project" -> ((s, d) => VectorQueries.randProjectAudit(s, d)),
   )
 
   /** Shared by q_ngram_jaccard and (as the edge-list CTE) the

@@ -155,6 +155,11 @@ object F {
   def hyperplaneBucket(c: Column, bits: Int, seed: Long = 0L): Column =
     column(HyperplaneBucket(expr(c), bits, seed))
 
+  /** Deterministic Johnson-Lindenstrauss sign projection to k dims
+    * (see [[RandProject]]). */
+  def randProject(c: Column, k: Int, seed: Long = 0L): Column =
+    column(RandProject(expr(c), k, seed))
+
   /** Arithmetic fixture payload bytes (see [[PayloadBytes]]). */
   def payloadBytes(id: Column, len: Column): Column =
     column(PayloadBytes(expr(id.cast("long")), expr(len.cast("int"))))

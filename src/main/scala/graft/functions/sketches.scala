@@ -233,6 +233,37 @@ case class HyperplaneBucket(child: Expression, bits: Int, seed: Long = 0L)
     copy(child = newChild)
 }
 
+/** Johnson-Lindenstrauss dimensionality reduction: `rand_project(vec,
+  * k[, seed])` → array<float> of length k (see [[Sketches.randProject]]).
+  * The map-side shrink step before storing/searching high-dim
+  * embeddings: distances are preserved within 1±ε for
+  * k = O(log n / ε²), and the deterministic hash-derived sign matrix
+  * means no matrix is shipped, broadcast, or drifts between runs —
+  * re-projection of new rows composes with stored projections. k ≤ 64
+  * keeps the sign rows inside the memoized cache's long-hash scheme. */
+case class RandProject(child: Expression, k: Int, seed: Long = 0L)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if k < 1 || k > 64 => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires 1 <= k <= 64, got $k")
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "rand_project"
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.randProject(input.asInstanceOf[ArrayData], k, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.Sketches.randProject($c, $k, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): RandProject =
+    copy(child = newChild)
+}
+
 /** IVF coarse-quantizer assignment: id of the nearest centroid (by
   * cosine) to a vector, over a centroid list carried as an
   * `array<struct<c_id: long, cv: array<float>>>` column. One fused
@@ -724,5 +755,27 @@ object Sketches {
     val n = a.numElements()
     while (i < n) { val x = a.getFloat(i).toDouble; na += x * x; i += 1 }
     math.sqrt(na)
+  }
+
+  /** Sparse-sign Johnson-Lindenstrauss projection (Achlioptas 2001):
+    * out_j = (1/√k)·Σ_i v_i·s_ij with s ∈ {±1} from the same memoized
+    * deterministic sign matrix as [[hyperplaneBucket]] — so the map is
+    * identical on every executor and across engines without shipping a
+    * matrix. Linear by construction; E[‖out‖²] = ‖v‖². */
+  def randProject(v: ArrayData, k: Int, seed: Long): ArrayData = {
+    val n = v.numElements()
+    val m = signs(k, n, seed)
+    val out = new Array[Float](k)
+    val scale = 1.0 / math.sqrt(k.toDouble)
+    var j = 0
+    while (j < k) {
+      var d = 0.0
+      var i = 0
+      val row = j * n
+      while (i < n) { d += v.getFloat(i) * m(row + i); i += 1 }
+      out(j) = (d * scale).toFloat
+      j += 1
+    }
+    new GenericArrayData(out)
   }
 }

@@ -511,4 +511,30 @@ object VectorQueries {
             - pow(col("s") / element_at(col("m"), 1), 2)), 4).as("std"))
       .orderBy(col("label"), col("dim"))
   }
+
+  /** E3 Johnson-Lindenstrauss shrink (64 → 16 dims) with its own
+    * audit: per label, the mean squared norm ratio ‖P(v)‖²/‖v‖² must
+    * sit near 1 (JL unbiasedness; se = √(2/k·n_label)), asserted in a
+    * `recall_ok` column that [[graft.Verify]] fails the dump on. The
+    * projection is a map-only codegen'd expression with a
+    * hash-derived sign matrix — nothing is shipped or broadcast, so
+    * at 100 TB this is a pure scan-transform-write pass whose output
+    * is 4× smaller; the audit aggregate is the usual one-shuffle
+    * partial/final fold. No SQL oracle (DuckDB cannot reproduce the
+    * xxhash sign matrix) → rows-only gate + the recall_ok assert +
+    * the linearity/unbiasedness specs. */
+  def randProjectAudit(spark: SparkSession, dir: String, k: Int = 16): DataFrame = {
+    val e = emb(spark, dir)
+      .select(col("label"),
+        F.l2Norm(col("embedding")).as("n0"),
+        F.l2Norm(F.randProject(col("embedding"), k, 42L)).as("n1"))
+      .where(col("n0") > 0)
+    e.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        avg(pow(col("n1") / col("n0"), 2)).as("r"))
+      .select(col("label"), col("n"),
+        F.roundBin(col("r"), 4).as("mean_sq_ratio"),
+        (abs(col("r") - 1.0) < 0.2).as("recall_ok"))
+      .orderBy(col("label"))
+  }
 }
