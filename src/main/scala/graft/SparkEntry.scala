@@ -206,6 +206,8 @@ object SparkEntry {
     "q_vec_dimstats" -> (VectorQueries.vecDimstats _),
     "q_source_entropy" -> (TextQueries.sourceEntropy _),
     "q_rand_project" -> ((s, d) => VectorQueries.randProjectAudit(s, d)),
+    "q_ann_projected" -> (VectorQueries.annProjectedGated _),
+    "q_forget_users" -> (KpiQueries.forgetUsers _),
   )
 
   /** Shared by q_ngram_jaccard and (as the edge-list CTE) the
@@ -1814,5 +1816,17 @@ object SparkEntry {
         |  round(log2(sum(c)) - sum(c * log2(c)) / sum(c), 4)
         |    AS entropy_bits
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_forget_users" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS dt, user_id, value
+        |  FROM events),
+        |dels AS (SELECT DISTINCT user_id FROM e WHERE user_id % 37 = 0),
+        |aff AS (SELECT DISTINCT dt FROM e
+        |  WHERE user_id IN (SELECT user_id FROM dels))
+        |SELECT e.dt, count(*) AS n_events,
+        |  count(DISTINCT e.user_id) AS n_users,
+        |  round(sum(coalesce(e.value, 0)), 2) AS revenue
+        |FROM e JOIN aff ON e.dt = aff.dt
+        |WHERE e.user_id NOT IN (SELECT user_id FROM dels)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -553,4 +553,37 @@ object KpiQueries {
       .select(col("et"), F.cmsEstimate(col("sk"), col("et")).as("est_n"))
       .orderBy(col("et"))
   }
+
+  /** Right-to-be-forgotten cascade with INCREMENTAL KPI maintenance —
+    * the GDPR-erasure shape a production clickstream pipeline needs:
+    * given a deletion-list table (here every user_id ≡ 0 mod 37),
+    * recompute the daily KPI table for ONLY the days a deleted user
+    * touched, with the deleted users anti-joined out.
+    *
+    * Plan: the deletion list is a tiny distinct (broadcast both
+    * ways); `affected` = the semi-join day set (broadcastable — days
+    * are calendar-bounded); the recompute scans only events in those
+    * days (at 100 TB with date-partitioned storage this is partition
+    * PRUNING — untouched days' files are never read) and drops the
+    * deleted users with a broadcast ANTI join. Output = the
+    * replacement rows for the affected days; unaffected days keep
+    * their existing KPI rows untouched. Erasure cost scales with the
+    * deleted users' footprint, not the corpus. */
+  def forgetUsers(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        col("user_id"), col("value"))
+    val dels = ev.where(pmod(col("user_id"), lit(37L)) === 0L)
+      .select(col("user_id")).distinct()
+    val affected = ev.join(broadcast(dels), Seq("user_id"), "left_semi")
+      .select(col("dt")).distinct()
+    ev.join(broadcast(affected), Seq("dt"))
+      .join(broadcast(dels), Seq("user_id"), "left_anti")
+      .groupBy(col("dt"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        F.roundBin(sum(coalesce(col("value"), lit(0.0))), 2).as("revenue"))
+      .orderBy(col("dt"))
+  }
 }

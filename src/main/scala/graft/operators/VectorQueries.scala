@@ -410,6 +410,57 @@ object VectorQueries {
   def annIvfKmeansGated(spark: SparkSession, dir: String): DataFrame =
     withRecall(annIvfKmeans(spark, dir), bruteTop10Ids(spark, dir))
 
+  /** E3 scale path #4: coarse-then-fine ANN via JL projection — score
+    * every vector CHEAPLY in the 32-dim [[graft.functions.RandProject]]
+    * space (2× fewer multiplies and 2× less memory traffic per
+    * candidate than the 64-dim input), keep the top-`cand` candidates,
+    * then re-rank only those against the full-dimension vectors. The
+    * classic two-stage retrieval shape: at 100 TB the projected
+    * vectors are a materialized smaller column (scan less, score less)
+    * and the exact re-rank touches `tables`×`cand` rows per query.
+    *
+    * Like [[annLsh]], a SINGLE projection tops out low on the
+    * near-uniform fixture (true-neighbor cosine margins are within JL
+    * distortion ~√(2/k), so rank inversions push real neighbors past
+    * any affordable single cut — measured 0.8 recall@10 at sf0.1 even
+    * at a 6% candidate budget). The same amplification fixes it:
+    * `tables` INDEPENDENT projections (seeded sign matrices), top-
+    * `cand` per table, candidates OR-ed before the exact re-rank —
+    * misses decorrelate, recall → 1-(1-p)^L. Every stage is a
+    * broadcast-query map-side scan + TakeOrderedAndProject; no corpus
+    * shuffle; recall vs exact brute is gated via recall_ok. */
+  def annProjected(spark: SparkSession, dir: String,
+                   k: Int = 32, tables: Int = 6,
+                   candOpt: Option[Int] = None): DataFrame = {
+    // per-table candidate budget ~0.5% of the corpus (floor 128)
+    val cand = candOpt.getOrElse(
+      math.max(128, (corpusSize(spark, dir) / 200L).toInt))
+    val base = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+    val projCols = (0 until tables).map(t =>
+      F.randProject(col("v"), k, 42L + t).as(s"p$t"))
+    val e = base.select(col("vec_id") +: col("v") +: projCols: _*)
+    val q = e.orderBy(col("vec_id")).limit(1)
+      .select((col("vec_id").as("q_id") +: col("v").as("qv") +:
+        (0 until tables).map(t => col(s"p$t").as(s"qp$t"))): _*)
+    val perTable = (0 until tables).map { t =>
+      e.join(broadcast(q))
+        .where(col("vec_id") =!= col("q_id"))
+        .select(col("vec_id"), F.cosineSim(col(s"p$t"), col(s"qp$t")).as("pcos"))
+        .orderBy(col("pcos").desc, col("vec_id")).limit(cand)
+        .select(col("vec_id"))
+    }
+    val candidates = perTable.reduce(_ union _).distinct()
+    base.join(broadcast(candidates), Seq("vec_id"))
+      .join(broadcast(q.select(col("q_id"), col("qv"))))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"),
+        F.roundBin(F.cosineSim(col("v"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+  }
+
+  def annProjectedGated(spark: SparkSession, dir: String): DataFrame =
+    withRecall(annProjected(spark, dir), bruteTop10Ids(spark, dir))
+
   /** Multi-table: L independent hyperplane families (seeded kernel),
     * candidates OR-ed across tables. A single table multiprobed at
     * Hamming ≤2 tops out near p ≈ 0.2–0.4 recall when true neighbors

@@ -190,7 +190,8 @@ class VectorQueriesSpec extends SparkSpec {
     val gated = Seq(
       "annLshGated" -> VectorQueries.annLshGated(spark, sf),
       "annIvfGated" -> VectorQueries.annIvfGated(spark, sf),
-      "annIvfKmeansGated" -> VectorQueries.annIvfKmeansGated(spark, sf))
+      "annIvfKmeansGated" -> VectorQueries.annIvfKmeansGated(spark, sf),
+      "annProjectedGated" -> VectorQueries.annProjectedGated(spark, sf))
     gated.foreach { case (name, df) =>
       val rows = df.collect()
       assert(rows.nonEmpty, s"$name: empty result")
