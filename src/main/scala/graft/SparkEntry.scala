@@ -208,6 +208,7 @@ object SparkEntry {
     "q_rand_project" -> ((s, d) => VectorQueries.randProjectAudit(s, d)),
     "q_ann_projected" -> (VectorQueries.annProjectedGated _),
     "q_forget_users" -> (KpiQueries.forgetUsers _),
+    "q_user_lifetime" -> (ClickstreamGraph.userLifetime _),
   )
 
   /** Shared by q_ngram_jaccard and (as the edge-list CTE) the
@@ -1828,5 +1829,19 @@ object SparkEntry {
         |FROM e JOIN aff ON e.dt = aff.dt
         |WHERE e.user_id NOT IN (SELECT user_id FROM dels)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_user_lifetime" ->
+      """WITH per AS (SELECT user_id,
+        |    min(CAST(ts AS DATE)) AS first_day,
+        |    max(CAST(ts AS DATE)) AS last_day,
+        |    count(*) AS n_ev
+        |  FROM events GROUP BY 1)
+        |SELECT strftime(first_day, '%Y-%m-%d') AS cohort,
+        |  count(*) AS n_users,
+        |  round(avg(date_diff('day', first_day, last_day)), 4)
+        |    AS avg_lifetime_days,
+        |  CAST(sum(CASE WHEN date_diff('day', first_day, last_day) < 7
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_week1_churn,
+        |  round(avg(n_ev), 4) AS avg_events_per_user
+        |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -150,4 +150,29 @@ object ClickstreamGraph {
         F.roundBin(col("n_both") * col("n_users") / (col("n_a") * col("n_b")), 6).as("lift"))
       .orderBy(col("et_a"), col("et_b"))
   }
+
+  /** Cohort lifetime/churn summary — per signup cohort: user count,
+    * average observed lifetime (last minus first active day), and the
+    * week-one churn count (users never seen after day 6). The
+    * LTV-report complement to [[KpiQueries.retentionCohorts]]'s
+    * activity triangle: retention answers "who came back on day k",
+    * this answers "how long do they stay at all". Two-level rollup —
+    * user-grain min/max/count (one data-sized exchange, map-side
+    * combined), then a calendar-bounded cohort aggregate. */
+  def userLifetime(spark: SparkSession, dir: String): DataFrame = {
+    val per = load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        min(to_date(col("ts"))).as("first_day"),
+        max(to_date(col("ts"))).as("last_day"),
+        count(lit(1)).as("n_ev"))
+      .withColumn("lifetime_days", datediff(col("last_day"), col("first_day")))
+    per.groupBy(date_format(col("first_day"), "yyyy-MM-dd").as("cohort"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        F.roundBin(avg(col("lifetime_days")), 4).as("avg_lifetime_days"),
+        sum(when(col("lifetime_days") < 7, 1L).otherwise(0L)).as("n_week1_churn"),
+        F.roundBin(avg(col("n_ev")), 4).as("avg_events_per_user"))
+      .orderBy(col("cohort"))
+  }
 }
