@@ -96,6 +96,19 @@ class HllSpec extends SparkSpec {
     assert(e.getMessage.contains("4 <= bits <= 18"), e.getMessage)
   }
 
+  test("hll_estimate rejects non-register-file binary with a clear error") {
+    // a 5-byte blob is no 2^bits register file: estimateOf's
+    // power-of-two require must surface as a readable failure, not a
+    // silent wrong estimate
+    import spark.implicits._
+    val e = intercept[Exception] {
+      Seq(Array[Byte](1, 2, 3, 4, 5)).toDF("sk")
+        .select(F.hllEstimate(col("sk"))).collect()
+    }
+    val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("not a register file"), msg)
+  }
+
   test("map-side partial aggregation: plan uses ObjectHashAggregate") {
     val plan = spark.range(1000).groupBy((col("id") % 5).as("g"))
       .agg(F.hllDistinct(col("id"), 14))
