@@ -209,7 +209,23 @@ object SparkEntry {
     "q_ann_projected" -> (VectorQueries.annProjectedGated _),
     "q_forget_users" -> (KpiQueries.forgetUsers _),
     "q_user_lifetime" -> (ClickstreamGraph.userLifetime _),
+    "q_asof_native" -> (TpchQueries.asofNativeLineitemOrder _),
   )
+
+  /** Shared by q_asof_join (union+window formulation) and
+    * q_asof_native (custom AsOfMergeJoinExec): one DuckDB ASOF oracle
+    * pins both implementations to identical semantics. */
+  private val AsofSql: String =
+    """WITH r AS (
+      |  SELECT o_custkey % 10 AS k, o_orderdate AS asof_ts,
+      |    max(o_orderkey) AS asof_orderkey
+      |  FROM orders GROUP BY 1, 2),
+      |l AS (
+      |  SELECT l_orderkey, l_linenumber, CAST(l_suppkey % 10 AS INT) AS k, l_shipdate
+      |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01')
+      |SELECT l.l_orderkey, l.l_linenumber, l.k, r.asof_orderkey,
+      |  strftime(r.asof_ts, '%Y-%m-%d') AS asof_orderdate
+      |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.l_shipdate >= r.asof_ts""".stripMargin
 
   /** Shared by q_ngram_jaccard and (as the edge-list CTE) the
     * q_dup_clusters recursive-closure oracle. */
@@ -743,17 +759,10 @@ object SparkEntry {
       """SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0 /
         |  sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
-    "q_asof_join" ->
-      """WITH r AS (
-        |  SELECT o_custkey % 10 AS k, o_orderdate AS asof_ts,
-        |    max(o_orderkey) AS asof_orderkey
-        |  FROM orders GROUP BY 1, 2),
-        |l AS (
-        |  SELECT l_orderkey, l_linenumber, CAST(l_suppkey % 10 AS INT) AS k, l_shipdate
-        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01')
-        |SELECT l.l_orderkey, l.l_linenumber, l.k, r.asof_orderkey,
-        |  strftime(r.asof_ts, '%Y-%m-%d') AS asof_orderdate
-        |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.l_shipdate >= r.asof_ts""".stripMargin,
+    "q_asof_join" -> AsofSql,
+    // the native AsOfMergeJoinExec path answers the same question —
+    // both implementations pin to one external ASOF semantics
+    "q_asof_native" -> AsofSql,
     "q_range_join" ->
       """SELECT o_orderkey, count(*) AS n_shipped_90d
         |FROM orders JOIN lineitem

@@ -116,6 +116,10 @@ object GraftFunctions {
     if (!spark.experimental.extraOptimizations.contains(graft.plans.RoundBinSimplify))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.RoundBinSimplify
+    // ... and the as-of merge-join planner strategy
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
   }
 
   def inject(ext: SparkSessionExtensions): Unit =

@@ -52,4 +52,26 @@ object AsOfJoin {
     }
     filled.where(col("__side") === 1).drop("__t", "__side")
   }
+
+  /** Native as-of join via the custom
+    * [[graft.plans.AsOfMergeJoinExec]] physical operator — same
+    * semantics and same oracle as [[asOf]], different machinery: each
+    * side shuffles/sorts independently on (keys, time) and a forward
+    * merge with O(1) state attaches the latest right row, instead of
+    * union-widening both payloads and running per-column IGNORE-NULLS
+    * window fills. Output column order matches [[asOf]] up to the
+    * keys' position (left columns then right payload). */
+  def asOfNative(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 leftTime: String, rightTime: String): DataFrame = {
+    val spark = left.sparkSession
+    graft.functions.GraftFunctions.install(spark) // ensures the strategy
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(sys.error(s"asOfNative: no column $n"))
+    org.apache.spark.sql.graftshim.DatasetShim.ofRows(spark,
+      graft.plans.AsOfJoinNode(lp, rp,
+        keys.map(attr(lp, _)), keys.map(attr(rp, _)),
+        attr(lp, leftTime), attr(rp, rightTime)))
+  }
 }

@@ -395,6 +395,28 @@ object TpchQueries {
     // windowRunningSum (driver compare is order-insensitive)
   }
 
+  /** The SAME as-of question through the native
+    * [[graft.plans.AsOfMergeJoinExec]] custom physical operator
+    * (LogicalPlan + Strategy + SparkPlan path) — per-side
+    * shuffle/sort + O(1)-state forward merge instead of the
+    * union+window formulation. Shares q_asof_join's DuckDB ASOF
+    * oracle, so both implementations are pinned to the same external
+    * semantics every round. */
+  def asofNativeLineitemOrder(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_suppkey"), lit(10)).cast("int").as("k"), col("l_shipdate"))
+    val ord = load(spark, dir, "orders")
+      .groupBy(pmod(col("o_custkey"), lit(10)).cast("int").as("k"),
+        col("o_orderdate").as("asof_ts"))
+      .agg(max(col("o_orderkey")).as("asof_orderkey"))
+    AsOfJoin.asOfNative(li, ord, Seq("k"), "l_shipdate", "asof_ts")
+      .select(col("l_orderkey"), col("l_linenumber"), col("k"),
+        col("asof_orderkey"),
+        date_format(col("asof_ts"), "yyyy-MM-dd").as("asof_orderdate"))
+  }
+
   /** Range join (equi + interval predicate): per order, lineitems
     * shipped within 90 days of the order date. The equi key keeps it a
     * hash/sort-merge join with the range as a cheap post-filter — the

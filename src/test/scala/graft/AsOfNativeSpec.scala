@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.functions._
+
+/** The custom AsOfMergeJoinExec physical operator: agreement with the
+  * union+window formulation (same declared semantics), edge cases the
+  * merge pointer must handle (ties, no-match keys, null times, key
+  * runs), and the plan shape (the exec node plans, with one exchange
+  * per side). */
+class AsOfNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def leftDf = Seq(
+    // (key, ltime, lval)
+    ("a", 10L, "l1"), ("a", 20L, "l2"), ("a", 30L, "l3"),
+    ("b", 5L, "l4"), ("b", 100L, "l5"),
+    ("c", 50L, "l6"),               // key with no right rows at all
+    ("d", 1L, "l7")                 // right rows exist but all later
+  ).toDF("k", "lt", "lval")
+
+  private def rightDf = Seq(
+    ("a", 10L, "r10"), ("a", 25L, "r25"),   // tie at 10 (<= matches)
+    ("b", 99L, "r99"),
+    ("d", 2L, "r2")
+  ).toDF("k", "rt", "rval")
+
+  test("matches the union+window formulation row for row") {
+    val native = AsOfJoin.asOfNative(leftDf, rightDf, Seq("k"), "lt", "rt")
+      .select("k", "lt", "lval", "rt", "rval")
+    val window = AsOfJoin.asOf(leftDf, rightDf, Seq("k"), "lt", "rt")
+      .select("k", "lt", "lval", "rt", "rval")
+    val n = native.collect().map(_.toString).sorted.toSeq
+    val w = window.collect().map(_.toString).sorted.toSeq
+    assert(n == w, s"\nnative: $n\nwindow: $w")
+  }
+
+  test("edge semantics: inclusive tie, latest wins, no-match keys null") {
+    val out = AsOfJoin.asOfNative(leftDf, rightDf, Seq("k"), "lt", "rt")
+      .select("k", "lt", "rval").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.getString(2)))
+      .toMap
+    assert(out(("a", 10L)).contains("r10"))   // rt == lt matches
+    assert(out(("a", 20L)).contains("r10"))
+    assert(out(("a", 30L)).contains("r25"))   // latest <= 30
+    assert(out(("b", 5L)).isEmpty)            // right later only
+    assert(out(("b", 100L)).contains("r99"))
+    assert(out(("c", 50L)).isEmpty)           // key absent on right
+    assert(out(("d", 1L)).isEmpty)            // d's right row is at 2 > 1
+  }
+
+  test("null right times never match; null left times match nothing") {
+    val l = Seq(("a", Some(10L), "l1"), ("a", None, "l2")).toDF("k", "lt", "lval")
+    val r = Seq(("a", None: Option[Long], "rNull"), ("a", Some(5L), "r5"))
+      .toDF("k", "rt", "rval")
+    val out = AsOfJoin.asOfNative(l, r, Seq("k"), "lt", "rt")
+      .select("lval", "rval").collect()
+      .map(x => x.getString(0) -> Option(x.getString(1))).toMap
+    assert(out("l1").contains("r5"))
+    assert(out("l2").isEmpty)
+  }
+
+  test("fixture agreement: native and window implementations hash-identical at sf") {
+    val native = graft.operators.TpchQueries.asofNativeLineitemOrder(spark, sf)
+    val window = graft.operators.TpchQueries.asofLineitemOrder(spark, sf)
+    assert(native.exceptAll(window).isEmpty && window.exceptAll(native).isEmpty)
+  }
+
+  test("plans through AsOfMergeJoin with one exchange per side") {
+    val df = AsOfJoin.asOfNative(leftDf, rightDf, Seq("k"), "lt", "rt")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfMergeJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan)
+  }
+}
