@@ -210,6 +210,7 @@ object SparkEntry {
     "q_forget_users" -> (KpiQueries.forgetUsers _),
     "q_user_lifetime" -> (ClickstreamGraph.userLifetime _),
     "q_asof_native" -> (TpchQueries.asofNativeLineitemOrder _),
+    "q_bigram_topk" -> ((s, d) => TextQueries.bigramTopk(s, d)),
   )
 
   /** Shared by q_asof_join (union+window formulation) and
@@ -1852,5 +1853,14 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_week1_churn,
         |  round(avg(n_ev), 4) AS avg_events_per_user
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_bigram_topk" ->
+      """WITH d AS (SELECT list_filter(
+        |    regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |g AS (SELECT unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[i] || ' ' || toks[i + 1])) AS gram
+        |  FROM d WHERE len(toks) >= 2)
+        |SELECT gram, count(*) AS n FROM g
+        |GROUP BY 1 ORDER BY n DESC, gram LIMIT 20""".stripMargin,
   )
 }

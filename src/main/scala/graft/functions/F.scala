@@ -145,6 +145,12 @@ object F {
   def ngramHashes(toks: Column, n: Int): Column =
     column(NgramHashes(expr(toks), n))
 
+  /** Generator (UDTF): one row per word n-gram of a text column,
+    * streamed — no per-row n-gram array ever materializes (see
+    * [[NgramGen]]). */
+  def ngramsGen(text: Column, n: Int): Column =
+    column(NgramGen(expr(text), n))
+
   /** IVF assignment: nearest centroid id by cosine (see
     * [[NearestCentroid]]); `cents` is array<struct<c_id,cv>>. */
   def nearestCentroid(v: Column, cents: Column): Column =

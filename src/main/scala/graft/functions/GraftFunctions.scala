@@ -96,6 +96,7 @@ object GraftFunctions {
         if (args.length > 2) intArg("cms_union", args(2)) else 2048)),
     "cms_estimate" -> (args => CmsEstimate(args.head, args(1))),
     "vec_moments" -> (args => VecMomentsAgg(args.head)),
+    "ngrams_gen" -> (args => NgramGen(args.head, intArg("ngrams_gen", args(1)))),
     "rand_project" -> (args =>
       RandProject(args.head, intArg("rand_project", args(1)),
         if (args.length > 2) intArg("rand_project", args(2)).toLong else 0L)),

@@ -768,6 +768,21 @@ object TextQueries {
     * — no total-count self-join. Two shuffles total (token grain with
     * map-side combine, then source grain); the token-grain pass is
     * the only data-sized one. */
+  /** E4 corpus-wide top bigrams through the [[graft.functions.NgramGen]]
+    * GENERATOR (UDTF surface): grams stream out of GenerateExec row by
+    * row — no per-document n-gram array is ever materialized, unlike
+    * the explode(transform(...)) composition. Downstream is the
+    * standard partial/final count with a TakeOrdered cut; the shuffle
+    * carries (gram, partial count) pairs. */
+  def bigramTopk(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    load(spark, dir, "documents")
+      .select(F.ngramsGen(col("text"), 2).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+  }
+
   def sourceEntropy(spark: SparkSession, dir: String): DataFrame = {
     val counts = withTokens(load(spark, dir, "documents"))
       .select(col("source"), explode(col("toks")).as("token"))
