@@ -560,12 +560,15 @@ object KpiQueries {
     * recompute the daily KPI table for ONLY the days a deleted user
     * touched, with the deleted users anti-joined out.
     *
-    * Plan: the deletion list is a tiny distinct (broadcast both
-    * ways); `affected` = the semi-join day set (broadcastable — days
-    * are calendar-bounded); the recompute scans only events in those
-    * days (at 100 TB with date-partitioned storage this is partition
-    * PRUNING — untouched days' files are never read) and drops the
-    * deleted users with a broadcast ANTI join. Output = the
+    * Plan: the deletion list broadcasts — the honest assumption being
+    * that erasure REQUESTS arrive in bounded batches (a day's worth of
+    * regulatory requests, not a census); if a backlog ever exceeded
+    * broadcast size, drop the hints and the same plan degrades
+    * gracefully to shuffle semi/anti joins. `affected` = the semi-join
+    * day set (calendar-bounded); the recompute scans only events in
+    * those days (at 100 TB with date-partitioned storage this is
+    * partition PRUNING — untouched days' files are never read) and
+    * drops the deleted users with an ANTI join. Output = the
     * replacement rows for the affected days; unaffected days keep
     * their existing KPI rows untouched. Erasure cost scales with the
     * deleted users' footprint, not the corpus. */

@@ -77,6 +77,12 @@ case class AsOfMergeJoinExec(
     right: SparkPlan)
     extends BinaryExecNode {
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of matched left rows"))
+
   private def rightPayload: Seq[Attribute] =
     right.output.filterNot(a => rightKeys.exists(_.exprId == a.exprId))
 
@@ -108,6 +114,8 @@ case class AsOfMergeJoinExec(
     val rTimeAttr = rightTime
     val payload = rightPayload
     val outAttrs = output
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOutput)
@@ -167,6 +175,8 @@ case class AsOfMergeJoinExec(
           advanceRightFor(lKey, lTimeVal)
           val matched = cand != null && lTimeVal != null &&
             keyOrd.compare(candKey, lKey) == 0
+          numOutputRows += 1
+          if (matched) numMatched += 1
           val r = if (matched) payloadProj(cand) else nullPayload
           resultProj(joined(l, r))
         }
