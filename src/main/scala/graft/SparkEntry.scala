@@ -211,6 +211,7 @@ object SparkEntry {
     "q_user_lifetime" -> (ClickstreamGraph.userLifetime _),
     "q_asof_native" -> (TpchQueries.asofNativeLineitemOrder _),
     "q_bigram_topk" -> ((s, d) => TextQueries.bigramTopk(s, d)),
+    "q_scd2_lookup" -> (AnalyticsExtras.scd2Lookup _),
   )
 
   /** Shared by q_asof_join (union+window formulation) and
@@ -1853,6 +1854,24 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_week1_churn,
         |  round(avg(n_ev), 4) AS avg_events_per_user
         |FROM per GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_scd2_lookup" ->
+      """WITH o AS (SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS od,
+        |    o_orderpriority AS priority FROM orders),
+        |c AS (SELECT o_custkey, o_orderkey, od, priority,
+        |  lag(priority) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS prev
+        |  FROM o),
+        |ch AS (SELECT o_custkey, o_orderkey, od, priority FROM c
+        |  WHERE prev IS NULL OR prev <> priority),
+        |v AS (SELECT o_custkey, priority, od AS vf,
+        |  lead(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS vt
+        |  FROM ch),
+        |f AS (SELECT ord.o_custkey, CAST(l.l_shipdate AS DATE) AS sd
+        |  FROM lineitem l JOIN orders ord ON l.l_orderkey = ord.o_orderkey)
+        |SELECT v.priority, v.vt IS NULL AS is_current,
+        |  count(*) AS n_shipments
+        |FROM f JOIN v ON f.o_custkey = v.o_custkey
+        |  AND f.sd >= v.vf AND (v.vt IS NULL OR f.sd < v.vt)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_bigram_topk" ->
       """WITH d AS (SELECT list_filter(
         |    regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks

@@ -97,6 +97,40 @@ object AnalyticsExtras {
       .orderBy(col("o_custkey"), col("valid_from"), col("priority"))
   }
 
+  /** Point-in-time SCD2 lookup — the temporal-correctness join every
+    * feature store / training pipeline needs: for each lineitem
+    * shipment, the customer-priority VERSION that was valid on its
+    * ship date (valid_from <= d < valid_to, open-ended current rows),
+    * rolled up to shipments per priority version state. Joining the
+    * CURRENT dimension instead would leak future attribute values
+    * into past training rows — the classic label-leakage bug.
+    *
+    * Shape: facts reach customer grain through the usual orderkey
+    * broadcast/shuffle equi join; the SCD2 probe is an equi join on
+    * custkey with the interval predicate as a cheap residual — never
+    * an inequality-only join. Version history is change-grain (a tiny
+    * fraction of facts) so it broadcasts; at 100 TB the same plan
+    * shuffle-joins on custkey. Matches [[scd2Dims]]'s tie/boundary
+    * conventions by construction (same CTE in the oracle). */
+  def scd2Lookup(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+    val ord = load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val dims = scd2Dims(spark, dir)
+      .select(col("o_custkey").as("d_custkey"), col("priority"),
+        col("valid_from").cast("date").as("vf"),
+        col("valid_to").cast("date").as("vt"), col("is_current"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims),
+        col("o_custkey") === col("d_custkey") &&
+          col("sd") >= col("vf") &&
+          (col("vt").isNull || col("sd") < col("vt")))
+      .groupBy(col("priority"), col("is_current"))
+      .agg(count(lit(1)).as("n_shipments"))
+      .orderBy(col("priority"), col("is_current"))
+  }
+
   /** Trailing 7-day distinct users per day (the rolling-MAU/WAU
     * family). Exact, via day-grain pre-aggregation: distinct
     * (day, user) pairs first (the only data-sized stage — one

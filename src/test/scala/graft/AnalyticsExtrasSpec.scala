@@ -252,4 +252,24 @@ class AnalyticsExtrasSpec extends SparkSpec {
     val corpusMean = docs.map(_._3).sum.toDouble / docs.length
     assert(sampleMean > corpusMean)
   }
+
+  test("scd2Lookup: exactly one version per in-range shipment (no drop, no fan-out)") {
+    import org.apache.spark.sql.functions._
+    val total = AnalyticsExtras.scd2Lookup(spark, sf)
+      .agg(sum(col("n_shipments"))).collect()(0).getLong(0)
+    // a shipment matches iff its date >= the customer's FIRST version
+    // start (intervals tile the rest of the timeline gap-free)
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("sd"))
+    val ord = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_custkey"))
+    val firstVersion = AnalyticsExtras.scd2Dims(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(min(col("valid_from").cast("date")).as("first_vf"))
+    val expected = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(firstVersion, Seq("o_custkey"))
+      .where(col("sd") >= col("first_vf"))
+      .count()
+    assert(total == expected, s"lookup total $total != in-range facts $expected")
+  }
 }
