@@ -44,6 +44,16 @@ object Tables {
     } else df
   }
 
+  /** Register every fixture table as a temp view so users can drive
+    * the engine with raw `spark.sql(...)` text — the catalog-style
+    * entry point (graft functions are already SQL-registered via
+    * [[graft.functions.GraftFunctions.install]], so e.g.
+    * `SELECT hll_estimate(hll_union(sk)) FROM sketches` parses too).
+    * Views resolve through [[load]], so schema memoization and the
+    * events-ts normalization apply identically to SQL users. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    names.foreach { n => load(spark, sfDir, n).createOrReplaceTempView(n) }
+
   /** Memoized fixture row counts — knob derivation (LSH bits, IVF
     * nlist) needs |corpus| once per (dir, table), not one count job per
     * query; parquet footers make the first count cheap and the cache

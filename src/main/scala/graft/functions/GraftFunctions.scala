@@ -104,7 +104,11 @@ object GraftFunctions {
     "interleave_bits" -> (args => InterleaveBits(args.head, args(1))),
   )
 
-  /** Idempotent per-session registration. */
+  /** Idempotent per-session registration. NOTE: a name Spark already
+    * ships is never overridden — e.g. `hll_union` collides with the
+    * Spark 3.5+ datasketches builtin, so SQL text gets the builtin
+    * there while Scala callers reach graft's via [[F.hllUnion]]; all
+    * other graft names (cms_*, kmv_*, qsketch*, …) are collision-free. */
   def install(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     all.foreach { case (name, builder) =>
