@@ -41,7 +41,7 @@ object SparkEntry {
     "q_approx_distinct" -> (KpiQueries.approxDistinct _),
     "q_approx_distinct_fast" -> (KpiQueries.approxDistinctFast _),
     "q_sketch_rollup" -> (KpiQueries.sketchRollup _),
-    "q_quantile_rollup" -> (TpchQueries.quantileRollup _),
+    "q_quantile_rollup" -> (TpchQueries.quantileRollupChecked _),
     "q_pivot_events" -> (KpiQueries.pivotEvents _),
     "q_unpivot_kpis" -> (KpiQueries.unpivotKpis _),
     // §2.4 joins / §2.5 windows / §2.6 sorts / §2.7 set ops
@@ -68,6 +68,7 @@ object SparkEntry {
     "q_above_avg_orders" -> (TpchQueries.aboveAvgOrders _),
     "q_agg_corr" -> (TpchQueries.aggCorr _),
     "q_table_stats" -> (TpchQueries.tableStats _),
+    "q_table_stats_approx" -> (TpchQueries.tableStatsApprox _),
     "q_join_card_est" -> (TpchQueries.joinCardinalityEst _),
     "q_histogram" -> (TpchQueries.histogram _),
     "q_dq_checks" -> (TpchQueries.dqChecks _),
@@ -134,7 +135,7 @@ object SparkEntry {
     "q_bloom_join" -> (BloomJoin.bloomSemiLineitems _),
     "q_sorted_scan" -> (SortedLayout.tsRangeKpis _),
     "q_zorder_scan" -> (ZOrderLayout.userTimeBoxKpis _),
-    "q_file_manifest" -> (SortedLayout.fileManifest _),
+    "q_file_manifest" -> (SortedLayout.manifestAudit _),
     "q_manifest_kpis" -> (SortedLayout.manifestPrunedKpis _),
     "q_pruned_kpis" -> (PipelineQueries.prunedKpis _),
     "q_compact_kpis" -> (PipelineQueries.compactKpis _),
@@ -476,6 +477,11 @@ object SparkEntry {
       s"""SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT event_id) AS n_events
         |FROM events WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.StreamCutoff}'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_stream_sketch" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |  count(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
+        |FROM events WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.StreamCutoff}'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_salted_join" ->
       """SELECT o_orderkey, count(*) AS n_items,
         |  round(sum(l_quantity), 2) AS sum_qty
@@ -723,6 +729,72 @@ object SparkEntry {
         |SELECT 'l_tax', round(min(l_tax), 2), round(max(l_tax), 2),
         |  count(DISTINCT l_tax), count(*) - count(l_tax) FROM lineitem
         |ORDER BY col_name""".stripMargin,
+    // accuracy gates (r8): exact ground truth is hash-pinned; each
+    // estimator's claim is a boolean the oracle fixes at TRUE
+    "q_table_stats_approx" ->
+      """SELECT 'l_quantity' AS col_name, round(min(l_quantity), 2) AS min_v,
+        |  round(max(l_quantity), 2) AS max_v,
+        |  count(DISTINCT l_quantity) AS ndv,
+        |  count(*) - count(l_quantity) AS n_nulls, TRUE AS ndv_ok
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_extendedprice', round(min(l_extendedprice), 2),
+        |  round(max(l_extendedprice), 2), count(DISTINCT l_extendedprice),
+        |  count(*) - count(l_extendedprice), TRUE FROM lineitem
+        |UNION ALL
+        |SELECT 'l_discount', round(min(l_discount), 2),
+        |  round(max(l_discount), 2), count(DISTINCT l_discount),
+        |  count(*) - count(l_discount), TRUE FROM lineitem
+        |UNION ALL
+        |SELECT 'l_tax', round(min(l_tax), 2), round(max(l_tax), 2),
+        |  count(DISTINCT l_tax), count(*) - count(l_tax), TRUE FROM lineitem
+        |ORDER BY col_name""".stripMargin,
+    "q_sketch_rollup" ->
+      """SELECT event_type, count(DISTINCT strftime(ts, '%Y-%m-%d')) AS days,
+        |  count(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_quantile_rollup" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        |  count(DISTINCT strftime(l_shipdate, '%Y-%m')) AS months,
+        |  TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_user_overlap" ->
+      """WITH ud AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS dt,
+        |    CAST(ts AS DATE) AS d, user_id FROM events),
+        |n AS (SELECT dt, d, count(*) AS nd FROM ud GROUP BY 1, 2),
+        |ov AS (SELECT a.dt AS day_a, count(*) AS n_ov
+        |  FROM ud a JOIN ud b ON b.d = a.d + 1 AND b.user_id = a.user_id
+        |  GROUP BY 1)
+        |SELECT na.dt AS day_a, nb.dt AS day_b, na.nd AS exact_a,
+        |  nb.nd AS exact_b, coalesce(ov.n_ov, 0) AS exact_overlap,
+        |  TRUE AS within_tol
+        |FROM n na JOIN n nb ON nb.d = na.d + 1
+        |LEFT JOIN ov ON ov.day_a = na.dt
+        |ORDER BY 1""".stripMargin,
+    "q_kmv_overlap" ->
+      """WITH ud AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS dt,
+        |    CAST(ts AS DATE) AS d, user_id FROM events),
+        |n AS (SELECT dt, d, count(*) AS nd FROM ud GROUP BY 1, 2),
+        |ov AS (SELECT a.dt AS day_a, count(*) AS n_ov
+        |  FROM ud a JOIN ud b ON b.d = a.d + 1 AND b.user_id = a.user_id
+        |  GROUP BY 1)
+        |SELECT na.dt AS day_a, nb.dt AS day_b, na.nd AS exact_a,
+        |  nb.nd AS exact_b, coalesce(ov.n_ov, 0) AS exact_overlap,
+        |  TRUE AS within_tol
+        |FROM n na JOIN n nb ON nb.d = na.d + 1
+        |LEFT JOIN ov ON ov.day_a = na.dt
+        |ORDER BY 1""".stripMargin,
+    "q_join_card_est" ->
+      """SELECT count(*) AS exact_join_rows,
+        |  count(DISTINCT l_orderkey) AS exact_join_keys,
+        |  TRUE AS rows_ok, TRUE AS keys_ok
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin,
+    "q_file_manifest" ->
+      """SELECT count(*) AS total_rows,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+        |  TRUE AS ranges_disjoint
+        |FROM events""".stripMargin,
     "q_agg_corr" ->
       """SELECT l_returnflag, count(*) AS n,
         |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
@@ -850,7 +922,7 @@ object SparkEntry {
         |    AS first3,
         |  list_max(list_transform(toks, x -> length(x))) AS max_len,
         |  len(list_filter(toks, x -> length(x) > 6)) AS n_long,
-        |  list_sum(list_transform(toks, x -> length(x))) AS sum_len
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sum_len
         |FROM t""".stripMargin,
     "q_dedup_wordset" ->
       """SELECT count(*) AS n, min(doc_id) AS keep_id, max(doc_id) AS max_id
@@ -909,7 +981,7 @@ object SparkEntry {
       """WITH t AS (SELECT doc_id,
         |  unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents)
         |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf,
-        |  (list_sort(list(DISTINCT doc_id)))[1:16] AS postings
+        |  array_to_string((list_sort(list(DISTINCT doc_id)))[1:16], ',') AS postings
         |FROM t GROUP BY 1 HAVING count(DISTINCT doc_id) >= 10
         |ORDER BY term""".stripMargin,
     "q_heavy_hitters" ->
@@ -1259,7 +1331,7 @@ object SparkEntry {
         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h2 FROM documents)
         |SELECT CASE WHEN h2 < 'cd' THEN 'train'
         |            WHEN h2 < 'e6' THEN 'val' ELSE 'test' END AS split,
-        |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_fuzzy_join" ->
       """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
@@ -1273,7 +1345,7 @@ object SparkEntry {
     "q_variant_json" ->
       """SELECT lower(coalesce(event_type, '')) AS et,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_k,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ewma_hours" ->

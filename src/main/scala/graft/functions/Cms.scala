@@ -57,6 +57,16 @@ final class CmsBuffer(val depth: Int, val width: Int) {
     while (i < cells.length) { cells(i) += other.cells(i); i += 1 }
   }
 
+  /** True iff no update/merge has landed — the state of a freshly
+    * created aggregation buffer. Only consulted on the rare
+    * shape-mismatch path in [[CmsAggBase.merge]]/[[CmsUnionAgg]], so
+    * the O(cells) scan never runs per input row. */
+  def isZero: Boolean = {
+    var i = 0
+    while (i < cells.length) { if (cells(i) != 0L) return false; i += 1 }
+    true
+  }
+
   def serialized: Array[Byte] = {
     val bb = ByteBuffer.allocate(8 + 8 * cells.length)
     bb.putInt(depth).putInt(width)
@@ -94,23 +104,45 @@ object CmsBuffer {
     buf
   }
 
+  // Per-thread last-decoded sketch cache (r8): a per-event probe
+  // stream almost always probes ONE broadcast sketch, so re-parsing
+  // the 8 + 8·depth·width bytes (64 KiB at defaults) every row is
+  // pure allocation churn. Identity hit is free; the Arrays.equals
+  // fallback costs a compare but no allocation (UnsafeRow.getBinary
+  // returns a fresh copy per access, so identity alone can miss —
+  // and because every access is a fresh copy, a cached reference can
+  // never be mutated behind our back). Misses decode as before:
+  // correctness never depends on the cache.
+  private final class DecodeCache {
+    var bytes: Array[Byte] = _
+    var buf: CmsBuffer = _
+  }
+  private val lastDecoded = ThreadLocal.withInitial[DecodeCache](() => new DecodeCache)
+
+  private def decodeCached(bytes: Array[Byte]): CmsBuffer = {
+    val c = lastDecoded.get()
+    if (c.bytes != null &&
+        ((c.bytes eq bytes) || java.util.Arrays.equals(c.bytes, bytes))) c.buf
+    else { c.buf = deserialize(bytes); c.bytes = bytes; c.buf }
+  }
+
   // Typed probe entry points called from generated code ([[CmsEstimate]]).
-  // Each probe re-parses the serialized sketch — fine for the intended
-  // vocab-sized probe lists; a hot inner-loop consumer should
-  // deserialize once and call estimate() directly.
+  // O(depth) per probe after the first decode of a given sketch (see
+  // decodeCached); alternating between many sketches in one stream
+  // degrades to a decode per row, same as the uncached path.
   def estimateOfLong(bytes: Array[Byte], v: Long): Long = {
     val (h1, h2) = hashPair(Long.box(v))
-    deserialize(bytes).estimate(h1, h2)
+    decodeCached(bytes).estimate(h1, h2)
   }
 
   def estimateOfString(bytes: Array[Byte], v: UTF8String): Long = {
     val (h1, h2) = hashPair(v)
-    deserialize(bytes).estimate(h1, h2)
+    decodeCached(bytes).estimate(h1, h2)
   }
 
   def estimateOfDouble(bytes: Array[Byte], v: Double): Long = {
     val (h1, h2) = hashPair(Double.box(v))
-    deserialize(bytes).estimate(h1, h2)
+    decodeCached(bytes).estimate(h1, h2)
   }
 }
 
@@ -134,7 +166,22 @@ abstract class CmsAggBase extends TypedImperativeAggregate[CmsBuffer] {
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(child)
   override def createAggregationBuffer(): CmsBuffer = new CmsBuffer(depth, width)
-  override def merge(a: CmsBuffer, b: CmsBuffer): CmsBuffer = { a.mergeFrom(b); a }
+
+  /** Shape-adopting merge: a still-empty buffer (fresh, or an empty
+    * partition's partial) yields to the other side's shape, so
+    * `cms_union` follows the STORED sketches' dimensions rather than
+    * requiring the call-site parameters to repeat them (the silent
+    * 4×2048 default would otherwise fail mid-job on any non-default
+    * sketch table). Two non-empty shapes still fail loudly — that is
+    * a genuinely mixed sketch table. For [[CmsAgg]] the shapes always
+    * match (both sides come from the same parameters). */
+  override def merge(a: CmsBuffer, b: CmsBuffer): CmsBuffer =
+    if (a.depth == b.depth && a.width == b.width) { a.mergeFrom(b); a }
+    else if (a.isZero) b
+    else if (b.isZero) a
+    else throw new IllegalArgumentException(
+      s"$prettyName: cannot merge sketches of shape ${a.depth}x${a.width} " +
+        s"and ${b.depth}x${b.width} — the stored table mixes sketch shapes")
   override def eval(buf: CmsBuffer): Any = buf.serialized
   override def serialize(buf: CmsBuffer): Array[Byte] = buf.serialized
   override def deserialize(bytes: Array[Byte]): CmsBuffer = CmsBuffer.deserialize(bytes)
@@ -183,7 +230,12 @@ case class CmsAgg(
 /** `cms_union(sketchCol[, depth, width])` — cell-wise-add fold of
   * stored CMS sketches; emits the merged sketch (binary) so rollups
   * compose. Exact merge: sketch(A ⊎ B) == union(sketch(A), sketch(B))
-  * cell for cell. */
+  * cell for cell. The depth/width parameters only size the INITIAL
+  * (empty) buffer — the fold adopts the stored sketches' actual shape
+  * on first contact (r8, CmsAggBase.merge), so a non-default sketch
+  * table folds correctly without repeating its dimensions at every
+  * call site; genuinely mixed shapes in one fold fail with a clear
+  * error instead of a mid-job require. */
 case class CmsUnionAgg(
     child: Expression,
     depth: Int = 4,
@@ -203,8 +255,18 @@ case class CmsUnionAgg(
 
   override def update(buf: CmsBuffer, input: InternalRow): CmsBuffer = {
     val v = child.eval(input)
-    if (v != null) buf.mergeFrom(CmsBuffer.deserialize(v.asInstanceOf[Array[Byte]]))
-    buf
+    if (v == null) buf
+    else {
+      val other = CmsBuffer.deserialize(v.asInstanceOf[Array[Byte]])
+      // adopt the stored sketches' shape on first contact (see merge)
+      if (buf.depth == other.depth && buf.width == other.width) {
+        buf.mergeFrom(other); buf
+      } else if (buf.isZero) other
+      else if (other.isZero) buf
+      else throw new IllegalArgumentException(
+        s"$prettyName: cannot merge sketches of shape ${buf.depth}x${buf.width} " +
+          s"and ${other.depth}x${other.width} — the stored table mixes sketch shapes")
+    }
   }
 
   override def withNewMutableAggBufferOffset(newOffset: Int): CmsUnionAgg =

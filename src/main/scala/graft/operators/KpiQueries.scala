@@ -460,10 +460,29 @@ object KpiQueries {
     * |A∪B| = (|A|+|B|)/(1+Ĵ) and |A∩B| = Ĵ·|A∪B|. The pair join
     * touches |days| rows of (64×8 B + 4 KiB) sketches, NEVER raw
     * events — the retention-curve query a 100 TB warehouse answers
-    * from its sketch table alone. Rows-only gate (hash-defined
-    * estimates); KpiQueriesSpec bounds the estimate against the exact
-    * overlap. */
-  def userOverlap(spark: SparkSession, dir: String): DataFrame = {
+    * from its sketch table alone. Accuracy-gated oracle (r8): the
+    * exact consecutive-day overlap ([[exactDayOverlap]]) rides the
+    * output row, DuckDB pins it by hash, and the estimator is gated by
+    * the `within_tol` claim (deterministic sketches ⇒ the bit is fixed
+    * per fixture). Tolerance 15% of the exact union: 64 MinHash
+    * components give Ĵ a σ of √(J(1-J)/64) ≈ 0.05 at the fixture's
+    * J ≈ 0.8, and inclusion-exclusion amplifies through /(1+Ĵ) plus
+    * two HLL set-size factors (σ ≈ 1.6% each) — ~3σ of the combined
+    * estimator. KpiQueriesSpec additionally bounds the estimate. */
+  def userOverlap(spark: SparkSession, dir: String): DataFrame =
+    userOverlapRaw(spark, dir)
+      .select(col("day_a"), col("day_b"), col("est_overlap"))
+      .join(exactDayOverlap(spark, dir), Seq("day_a", "day_b"))
+      .select(col("day_a"), col("day_b"),
+        col("exact_a"), col("exact_b"), col("exact_overlap"),
+        (abs(col("est_overlap") - col("exact_overlap")) <=
+          (col("exact_a") + col("exact_b") - col("exact_overlap")) * lit(0.15))
+          .as("within_tol"))
+      .orderBy(col("day_a"))
+
+  /** The raw MinHash×HLL estimator (spec target: KpiQueriesSpec bounds
+    * est_jaccard/est_overlap against driver-side exact sets). */
+  private[graft] def userOverlapRaw(spark: SparkSession, dir: String): DataFrame = {
     val N = 64
     val daily = load(spark, dir, "events")
       .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("user_id"))
@@ -483,6 +502,32 @@ object KpiQueries {
       .orderBy(col("day_a"))
   }
 
+  /** Exact consecutive-day audience overlap — the ground truth both
+    * sketch estimators ([[userOverlap]], [[kmvOverlap]]) are gated
+    * against. Exists ONLY to make their accuracy claims
+    * oracle-checkable: one distinct-(day, user) pass, one
+    * user-keyed self-join restricted to adjacent days. At 100 TB this
+    * recompute is exactly what the sketch table avoids — the serving
+    * path never runs it. */
+  private[graft] def exactDayOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val ud = load(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("user_id"))
+      .distinct()
+    val n = ud.groupBy(col("dt")).agg(count(lit(1)).as("nd"))
+    val ua = ud.select(col("dt").as("da"), col("user_id").as("ua"))
+    val ub = ud.select(col("dt").as("db"), col("user_id").as("ub"))
+    val ov = ua.join(ub,
+        to_date(col("db")) === date_add(to_date(col("da")), 1) &&
+          col("ua") === col("ub"))
+      .groupBy(col("da")).agg(count(lit(1)).as("n_ov"))
+    n.select(col("dt").as("day_a"), col("nd").as("exact_a"))
+      .join(n.select(col("dt").as("day_b"), col("nd").as("exact_b")),
+        to_date(col("day_b")) === date_add(to_date(col("day_a")), 1))
+      .join(ov, col("da") === col("day_a"), "left")
+      .select(col("day_a"), col("day_b"), col("exact_a"), col("exact_b"),
+        coalesce(col("n_ov"), lit(0L)).as("exact_overlap"))
+  }
+
   /** Day-over-day overlap via KMV theta sketches — the DIRECT
     * set-intersection estimate ([[graft.functions.KmvIntersect]]:
     * shared retained hashes below the common θ, scaled 1/θ), vs
@@ -494,8 +539,25 @@ object KpiQueries {
     * inclusion-exclusion washes out. Below k distinct users/day the
     * sketch holds the full hash set and the intersection is exact
     * (fixture regime; KmvSpec also gates the at-capacity estimator on
-    * synthetic large sets). Rows-only gate (hash-defined). */
-  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    * synthetic large sets). Accuracy-gated oracle (r8): exact overlap
+    * ([[exactDayOverlap]]) on the row, hash-pinned by DuckDB; the KMV
+    * estimate gated by `within_tol` at 5% of the exact union — tight
+    * because the direct θ-intersection carries additive O(|A∪B|/√k)
+    * error (k=1024 ⇒ ~3%) and is EXACT below capacity. */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame =
+    kmvOverlapRaw(spark, dir)
+      .select(col("day_a"), col("day_b"), col("est_overlap"))
+      .join(exactDayOverlap(spark, dir), Seq("day_a", "day_b"))
+      .select(col("day_a"), col("day_b"),
+        col("exact_a"), col("exact_b"), col("exact_overlap"),
+        (abs(col("est_overlap") - col("exact_overlap")) <=
+          (col("exact_a") + col("exact_b") - col("exact_overlap")) * lit(0.05))
+          .as("within_tol"))
+      .orderBy(col("day_a"))
+
+  /** The raw KMV estimator (spec target: KpiQueriesSpec asserts
+    * exactness below sketch capacity against driver-side sets). */
+  private[graft] def kmvOverlapRaw(spark: SparkSession, dir: String): DataFrame = {
     val daily = load(spark, dir, "events")
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
       .agg(F.kmvSketch(col("user_id"), 1024).as("sk"))
@@ -518,17 +580,30 @@ object KpiQueries {
     * range" by register-max-folding the |days| stored sketches —
     * O(days × 4 KiB), never rescanning raw events. Register max is
     * lossless under re-merge, so the fold's estimate is BIT-IDENTICAL
-    * to a direct hll_distinct over the raw rows (asserted by HllSpec);
-    * rows-only gate since the estimate itself is engine-defined. */
+    * to a direct hll_distinct over the raw rows (asserted by HllSpec).
+    * Accuracy-gated oracle (r8): the exact per-type distinct rides the
+    * same output row so DuckDB can pin (event_type, days, exact_users)
+    * by hash while the folded estimate is gated by the `within_5pct`
+    * CLAIM — a false claim hash-mismatches the oracle's TRUE and also
+    * trips nothing silently (deterministic sketches: per-fixture the
+    * bit is fixed, not flaky). The exact side exists only to make the
+    * claim checkable; the 100 TB serving path is the sketch fold. */
   def sketchRollup(spark: SparkSession, dir: String): DataFrame = {
     val daily = load(spark, dir, "events")
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("event_type"))
       .agg(F.hllSketch(col("user_id"), 12).as("sk"))
-    daily
+    val folded = daily
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("days"),
         F.hllEstimate(F.hllUnion(col("sk"), 12)).as("approx_users"))
+    val exact = load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    folded.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("days"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("within_5pct"))
       .orderBy(col("event_type"))
   }
 

@@ -743,8 +743,24 @@ object PipelineQueries {
     (table, nBatches.get())
   }
 
-  def streamSketchTable(spark: SparkSession, dir: String): DataFrame =
+  /** Gate body: the maintained sketch table's per-day estimates,
+    * accuracy-gated (r8) against the exact per-day distinct from the
+    * same batch fixture (same cutoff as the wire feed). DuckDB pins
+    * (dt, exact_users) by hash; the folded streaming sketch is gated
+    * by the within_5pct claim — fixed per fixture (deterministic
+    * hashes), not flaky. */
+  def streamSketchTable(spark: SparkSession, dir: String): DataFrame = {
+    val exact = load(spark, dir, "events")
+      .where(to_date(col("ts")) < lit(StreamCutoff))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
     streamSketchTableCounted(spark, dir)._1
+      .join(exact, Seq("dt"))
+      .select(col("dt"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("within_5pct"))
+      .orderBy(col("dt"))
+  }
 
   /** ST12 × E6: CONTINUOUS mergeable-sketch-table maintenance — the
     * streaming half of [[graft.operators.KpiQueries.sketchRollup]].
@@ -761,15 +777,35 @@ object PipelineQueries {
     * StreamSketchSpec). Idempotent under micro-batch replay: re-merging
     * a batch's users into a sketch that already holds them is a no-op
     * (max is idempotent) — stronger than the additive-upsert gate,
-    * which relies on overwrite granularity alone. Rows-only gate (the
-    * estimate is engine-defined). */
+    * which relies on overwrite granularity alone. Returns the RAW
+    * per-day estimates (the gated wrapper joins the exact ground truth
+    * for the accuracy oracle; StreamSketchSpec asserts bit-identity to
+    * a from-scratch build on this raw form). */
   private[graft] def streamSketchTableCounted(
       spark: SparkSession, dir: String): (DataFrame, Long) = {
-    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val in = writeJsonl(spark, dir, "graft-sksync-in", cutoffDate = Some(StreamCutoff))
     val out = Files.createTempDirectory("graft-sksync-out")
     val ck = Files.createTempDirectory("graft-sksync-ck")
     out.toFile.deleteOnExit(); ck.toFile.deleteOnExit()
+    val n = sketchMaintenanceDrain(spark, in, out.toString, ck.toString)
+    val table = spark.read.parquet(out.toString)
+      .select(col("dt").cast("string").as("dt"),
+        graft.functions.F.hllEstimate(col("sk")).as("approx_users"))
+      .orderBy(col("dt"))
+    (table, n)
+  }
+
+  /** One AvailableNow maintenance drain of the sketch table at `out`
+    * from the JSONL zone at `in` (checkpoint `ck`) — extracted (r8) so
+    * StreamSketchSpec can run SUCCESSIVE drains against one checkpoint
+    * and assert the O(new data) claim mechanically: a second drain
+    * must rewrite ONLY the day partitions its new files touch, leaving
+    * every other day's parquet files byte-for-byte untouched. Returns
+    * the number of foreachBatch maintenance batches this drain ran. */
+  private[graft] def sketchMaintenanceDrain(
+      spark: SparkSession, in: String, outDir: String, ckDir: String): Long = {
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val out = new java.io.File(outDir)
     val sketchSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("sk",
         org.apache.spark.sql.types.BinaryType),
@@ -780,7 +816,7 @@ object PipelineQueries {
       .json(in)
     withShufflePartitions(spark, 8) {
       val q = wire.writeStream.outputMode("append")
-        .option("checkpointLocation", ck.toString)
+        .option("checkpointLocation", ckDir)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           nBatches.incrementAndGet()
           val batchSketches = batch.where(col("event_ts").isNotNull)
@@ -792,8 +828,16 @@ object PipelineQueries {
             val touched = batchSketches.select(col("dt"))
               .collect().map(_.getString(0)).toSeq
             if (touched.nonEmpty) {
+              // table-exists = any dt= partition dir present. NOT the
+              // _SUCCESS marker: dynamic partition overwrite commits
+              // without one, so the marker check silently disabled the
+              // stored-merge path whenever a day spanned two batches
+              // (latent in r7 — every fixture day landed in exactly
+              // one batch; caught by the r8 two-drain spec).
+              val hasTable = out.isDirectory && out.listFiles().exists(
+                f => f.isDirectory && f.getName.startsWith("dt="))
               val stored =
-                if (new java.io.File(out.toString, "_SUCCESS").exists())
+                if (hasTable)
                   spark.read.schema(sketchSchema).parquet(out.toString)
                     // lands on the dt PARTITION column → prunes the
                     // listing to touched-day dirs, never full history
@@ -813,10 +857,6 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    val table = spark.read.parquet(out.toString)
-      .select(col("dt").cast("string").as("dt"),
-        graft.functions.F.hllEstimate(col("sk")).as("approx_users"))
-      .orderBy(col("dt"))
-    (table, nBatches.get())
+    nBatches.get()
   }
 }

@@ -76,10 +76,12 @@ object SortedLayout {
     * grouped by `input_file_name()` (file identity is a scan-local
     * column — no shuffle key wider than the stats); file paths are
     * env-specific temp names, so the output carries a rank index
-    * instead (rows-only gate; SortedLayoutSpec asserts the properties
-    * that make the manifest usable: disjoint [min,max] time ranges
-    * across files and full row coverage). At 100 TB this job IS the
-    * manifest-refresh a table format runs per commit. */
+    * instead. SortedLayoutSpec asserts the per-file properties that
+    * make the manifest usable (disjoint [min,max] time ranges across
+    * files, full row coverage) and [[manifestAudit]] turns the same
+    * invariants into the oracle-gated q_file_manifest row. At 100 TB
+    * this job IS the manifest-refresh a table format runs per
+    * commit. */
   def fileManifest(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val stats = sortedEvents(spark, dir)
@@ -91,6 +93,30 @@ object SortedLayout {
         row_number().over(Window.orderBy(col("min_ts"), col("file"))).as("file_idx"),
         col("min_ts"), col("max_ts"), col("n_rows"))
       .orderBy(col("file_idx"))
+  }
+
+  /** Accuracy-gated form of the manifest (r8, q_file_manifest): file
+    * boundaries are engine-defined (range-partitioner splits), so the
+    * per-file rows can't be oracle values — but the properties that
+    * make the manifest USABLE are exact and checkable: full row
+    * coverage (Σ n_rows = table count), the global [min, max] time
+    * band, and pairwise-disjoint per-file ranges. One summary row;
+    * DuckDB pins the exact columns by hash and `ranges_disjoint` is
+    * the engine's claim (TRUE in the oracle). The per-file detail
+    * stays spec-gated in SortedLayoutSpec via [[fileManifest]]. */
+  def manifestAudit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("file_idx"))
+    fileManifest(spark, dir)
+      .select(col("min_ts"), col("max_ts"), col("n_rows"),
+        lag(col("max_ts"), 1).over(w).as("prev_max"))
+      .agg(
+        sum(col("n_rows")).as("total_rows"),
+        date_format(min(col("min_ts")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
+        date_format(max(col("max_ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"),
+        (count(lit(1)) === sum(when(col("prev_max").isNull ||
+          col("prev_max") <= col("min_ts"), 1L).otherwise(0L)))
+          .as("ranges_disjoint"))
   }
 
   /** Per-file stats WITH paths — the planner-side form of

@@ -111,7 +111,12 @@ object TextQueries {
       .agg(
         count(lit(1)).as("df"),
         sum(col("doc_tf")).as("tf"),
-        slice(array_sort(collect_list(col("doc_id"))), 1, 16).as("postings"))
+        // postings serialized to a csv string: LIST-typed result
+        // columns crash the pandas-based driver hasher (r7 gate-red),
+        // and a delimited string is the same wire shape a real index
+        // shard file would store anyway
+        expr("array_join(transform(slice(array_sort(collect_list(doc_id)), 1, 16)," +
+          " x -> cast(x AS string)), ',')").as("postings"))
       .where(col("df") >= 10)
       .orderBy(col("term"))
   }

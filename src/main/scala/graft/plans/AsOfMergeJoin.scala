@@ -25,7 +25,18 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * with rightTime <= leftTime within the same key group; unmatched
   * lefts keep null right payloads. Right side must be unique per
   * (keys, rightTime); null right times never match; a null left time
-  * matches nothing.
+  * matches nothing. NULL JOIN KEYS group together: a null-key left
+  * row can match a null-key right row (RowOrdering compares nulls
+  * equal — the same convention as the union+window formulation,
+  * whose Window partitioning groups nulls; this intentionally
+  * diverges from SQL equi-join `=`, which would drop null keys).
+  *
+  * Both time columns must share one data type and the key lists must
+  * match pairwise (checked at construction): the merge reads the
+  * right time value through the LEFT time attribute's type and
+  * compares keys with an ordering built from left key types, so a
+  * DateType-vs-TimestampType pairing would otherwise silently
+  * mis-compare instead of failing loudly like unionByName does.
   *
   * At 100 TB this plans like a sort-merge join: one hash exchange per
   * side on the keys, in-partition sort by (keys, time), then a linear
@@ -43,6 +54,16 @@ case class AsOfJoinNode(
     leftTime: Attribute,
     rightTime: Attribute)
     extends BinaryNode {
+
+  require(leftKeys.length == rightKeys.length,
+    s"asOfNative: ${leftKeys.length} left keys vs ${rightKeys.length} right keys")
+  leftKeys.zip(rightKeys).foreach { case (l, r) =>
+    require(l.dataType == r.dataType,
+      s"asOfNative: key type mismatch ${l.name}: ${l.dataType} vs ${r.name}: ${r.dataType} — cast one side first")
+  }
+  require(leftTime.dataType == rightTime.dataType,
+    s"asOfNative: time type mismatch ${leftTime.name}: ${leftTime.dataType} vs " +
+      s"${rightTime.name}: ${rightTime.dataType} — cast one side first")
 
   /** Left columns as-is, right payload (everything but the join keys,
     * which would duplicate the left's) forced nullable — null marks

@@ -72,4 +72,21 @@ class AsOfNativeSpec extends SparkSpec {
     assert(plan.contains("AsOfMergeJoin"), plan)
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan)
   }
+
+  test("mismatched time or key types fail at construction, not silently (r8)") {
+    // DateType right time vs LongType left time: the merge would read
+    // the right value through the LEFT type and mis-compare — must
+    // fail loudly like the union+window formulation's unionByName does
+    val rDate = rightDf.withColumn("rt", to_date(lit("2024-01-01")))
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(leftDf, rDate, Seq("k"), "lt", "rt")
+    }
+    assert(e1.getMessage.contains("time type mismatch"), e1.getMessage)
+    // key type mismatch: int right key vs string left key
+    val rIntKey = rightDf.withColumn("k", lit(1))
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfNative(leftDf, rIntKey, Seq("k"), "lt", "rt")
+    }
+    assert(e2.getMessage.contains("key type mismatch"), e2.getMessage)
+  }
 }

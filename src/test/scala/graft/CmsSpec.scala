@@ -91,4 +91,37 @@ class CmsSpec extends SparkSpec {
     val other = new CmsBuffer(4, 64)
     intercept[IllegalArgumentException](back.mergeFrom(other))
   }
+
+  test("cms_union with default params adopts the stored sketches' shape (r8)") {
+    // sketches stored at a NON-default 6x512; the fold declares nothing
+    val daily = (0 until 4).map { d =>
+      val keys = (0 until 50).map(i => s"k${(d * 7 + i) % 20}")
+      keys -> d
+    }
+    val stored = daily.flatMap { case (ks, d) => ks.map(k => (d, k)) }
+      .toDF("d", "k")
+      .groupBy($"d").agg(F.cmsSketch($"k", 6, 512).as("sk"))
+    val merged = stored.agg(F.cmsUnion($"sk").as("sk")) // default 4x2048 params
+    val est = merged.select(F.cmsEstimate($"sk", lit("k0")).as("n")).collect()(0).getLong(0)
+    val exact = daily.flatMap(_._1).count(_ == "k0").toLong
+    assert(est == exact, s"adopted-shape fold must stay exact: est=$est exact=$exact")
+    // the merged sketch carries the STORED shape, not the default
+    val bytes = merged.collect()(0).getAs[Array[Byte]]("sk")
+    val buf = CmsBuffer.deserialize(bytes)
+    assert(buf.depth == 6 && buf.width == 512,
+      s"expected adopted 6x512, got ${buf.depth}x${buf.width}")
+  }
+
+  test("genuinely mixed sketch shapes in one fold fail loudly (r8)") {
+    val a = Seq("x", "y").toDF("k").agg(F.cmsSketch($"k", 4, 256).as("sk"))
+    val b = Seq("x", "z").toDF("k").agg(F.cmsSketch($"k", 4, 512).as("sk"))
+    val e = intercept[Exception] {
+      a.union(b).coalesce(1).agg(F.cmsUnion($"sk").as("sk"))
+        .select(F.cmsEstimate($"sk", lit("x"))).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage).exists(_.contains("mixes sketch shapes"))),
+      s"expected a clear mixed-shape error, got: $e")
+  }
 }

@@ -125,7 +125,7 @@ class KpiQueriesSpec extends SparkSpec {
       .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("user_id"))
       .collect().toSeq.groupBy(_.getString(0))
       .map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
-    val rows = KpiQueries.kmvOverlap(spark, sf).collect()
+    val rows = KpiQueries.kmvOverlapRaw(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (da, db) = (r.getString(0), r.getString(1))
@@ -144,7 +144,7 @@ class KpiQueriesSpec extends SparkSpec {
       .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("user_id"))
       .collect().toSeq.groupBy(_.getString(0))
       .map { case (d, rs) => d -> rs.map(_.getLong(1)).toSet }
-    val rows = KpiQueries.userOverlap(spark, sf).collect()
+    val rows = KpiQueries.userOverlapRaw(spark, sf).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val (da, db) = (r.getString(0), r.getString(1))

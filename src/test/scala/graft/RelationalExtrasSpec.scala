@@ -92,7 +92,7 @@ class RelationalExtrasSpec extends SparkSpec {
 
   test("joinCardinalityEst tracks the true join size (key-correlated sampling)") {
     import org.apache.spark.sql.functions.col
-    val r = TpchQueries.joinCardinalityEst(spark, sf).collect().head
+    val r = TpchQueries.joinCardinalityEstRaw(spark, sf).collect().head
     val est = r.getAs[Long]("est_join_rows")
     val estKeys = r.getAs[Long]("est_join_keys")
     val li = Tables.load(spark, sf, "lineitem").select(col("l_orderkey"))
