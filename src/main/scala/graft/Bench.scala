@@ -3,9 +3,12 @@ package graft
 /** Benchmark main (driver contract): times every declared query on
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * Measures steady-state: each query runs once untimed (Janino
+  * Measures steady-state: each query runs twice untimed (Janino
   * whole-stage-codegen compilation + JIT warmup — one-time costs that
-  * amortize to zero on a long-lived 100 TB engine), then once timed.
+  * amortize to zero on a long-lived 100 TB engine), then records the
+  * median of 3 timed runs, with a per-query spread guard
+  * (`variance_flagged`) so host-contention flukes are mechanically
+  * separable from regressions.
   *
   * The report splits per-query times into `queries` (every declared
   * query — the driver contract) plus `operators_sec` /
@@ -82,19 +85,25 @@ object Bench {
     // record a time either: time-to-failure (often ~0 s) folded into
     // the median is indistinguishable from a fast pass for a consumer
     // of the JSON. Failed queries record as JSON null (+ stderr).
-    val results: Map[String, Option[Double]] = SparkEntry.queries.map { case (name, fn) =>
-      var failed = false
-      val samples = Seq.fill(3) {
-        val t0 = System.nanoTime()
-        try forceEval(fn(spark, sfDir)) catch {
-          case e: Throwable =>
-            failed = true
-            System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      name -> (if (failed) None else Some(samples(samples.size / 2)))
-    }
+    // (min, median, max) of the 3 samples: the median is the record;
+    // min+max feed the variance guard below (r8 — the r7 driver run
+    // showed 8.5× single-run flukes on unchanged code, adjudicated as
+    // host contention; the spread makes noise-vs-regression mechanical
+    // for the next reader instead of requiring a judge re-time).
+    val results: Map[String, Option[(Double, Double, Double)]] =
+      SparkEntry.queries.map { case (name, fn) =>
+        var failed = false
+        val samples = Seq.fill(3) {
+          val t0 = System.nanoTime()
+          try forceEval(fn(spark, sfDir)) catch {
+            case e: Throwable =>
+              failed = true
+              System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        name -> (if (failed) None else Some((samples.head, samples(1), samples.last)))
+      }
     // ms precision: full-precision doubles tripled the line length and
     // round 3's driver tail-capture truncated it mid-object (BENCH_r03
     // parsed:null). Three decimals is below the measured ~71 ms
@@ -102,19 +111,33 @@ object Bench {
     // comma-decimal default locale would silently break the JSON.
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(ms) }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.fold("null")(t => ms(t._2)) }
       .mkString("{", ",", "}")
-    val ok = results.collect { case (k, Some(v)) => k -> v }
+    val ok = results.collect { case (k, Some((_, med, _))) => k -> med }
     val failedNames = results.collect { case (k, None) => k }.toSeq.sorted
     val total = ok.values.sum
     val (pipes, ops) = ok.partition { case (k, _) => Pipelines(k) }
     val pipeNames = Pipelines.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Variance guard (r8): queries whose 3-sample spread exceeds 2×
+    // (and isn't sub-250 ms scheduling jitter) are flagged with their
+    // (min, med, max) so a future reader can separate host-contention
+    // noise from real regression without a re-time. On a quiet window
+    // this list should be empty or near-empty; a LONG list means the
+    // whole record is suspect (check steal_sec).
+    val flagged = results.collect {
+      case (k, Some((lo, med, hi))) if lo > 0 && hi / lo > 2.0 && hi - lo > 0.25 =>
+        k -> ((lo, med, hi))
+    }.toSeq.sortBy(-_._2._3)
+    val flaggedJson = flagged.map { case (k, (lo, med, hi)) =>
+      "\"" + k + "\":[" + ms(lo) + "," + ms(med) + "," + ms(hi) + "]"
+    }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec",""" +
       s""""floor_sec":${ms(floor)},""" +
       s""""operators_sec":${ms(ops.values.sum)},"pipelines_sec":${ms(pipes.values.sum)},""" +
       s""""pipeline_queries":$pipeNames,"failed_queries":$failedJson,""" +
       s""""steal_sec":${ms(stealSeconds() - stealStart)},""" +
+      s""""variance_flagged":$flaggedJson,""" +
       s""""queries":$qs,"sf":"$sfDir","mode":"steady-state"}"""
     // Durable copy first: if the driver's stdout tail-capture ever
     // truncates again, the committed file still holds the full record.

@@ -34,6 +34,97 @@ class SqlInterfaceSpec extends SparkSpec {
     assert(n > 0)
   }
 
+  // r8: representative DECLARED queries re-expressed as raw SQL text
+  // against registerViews — the SQL surface expresses the operator
+  // set (multi-stage window funnel, as-of join, mergeable-sketch
+  // fold, gap sessionization), not just resolves functions. Each is
+  // asserted row-identical to its Scala-API twin.
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("funnel (staged windows + conditional distincts) via pure SQL text") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """WITH e AS (SELECT user_id, date_format(ts, 'yyyy-MM-dd') AS dt,
+        |    lower(coalesce(event_type, '')) AS et, ts FROM events),
+        |s AS (SELECT user_id, dt, et, ts,
+        |    min(CASE WHEN et = 'view' THEN ts END)
+        |      OVER (PARTITION BY user_id, dt) AS tv FROM e),
+        |s2 AS (SELECT user_id, dt, et, ts, tv,
+        |    min(CASE WHEN et = 'click' AND ts > tv THEN ts END)
+        |      OVER (PARTITION BY user_id, dt) AS tc FROM s),
+        |s3 AS (SELECT user_id, dt, tv, tc,
+        |    min(CASE WHEN et = 'purchase' AND ts > tc THEN ts END)
+        |      OVER (PARTITION BY user_id, dt) AS tp FROM s2)
+        |SELECT dt,
+        |  count(DISTINCT CASE WHEN tv IS NOT NULL THEN user_id END) AS n_view,
+        |  count(DISTINCT CASE WHEN tc IS NOT NULL THEN user_id END) AS n_view_click,
+        |  count(DISTINCT CASE WHEN tp IS NOT NULL THEN user_id END) AS n_full_funnel
+        |FROM s3 GROUP BY dt HAVING n_view > 0 ORDER BY dt""".stripMargin)
+    assert(rowsOf(viaSql) === rowsOf(graft.operators.KpiQueries.funnel(spark, sf)),
+      "SQL funnel != Scala funnel")
+  }
+
+  test("as-of join via SQL rewrite equals the native operator") {
+    Tables.registerViews(spark, sf)
+    // the declared as-of fixture: latest order at-or-before each
+    // lineitem's ship date per orderkey — expressed in portable SQL as
+    // the greatest-time-<= correlated aggregation over a regular join
+    val viaSql = spark.sql(
+      """WITH cand AS (
+        |  SELECT l.l_orderkey, l.l_linenumber, l.l_shipdate,
+        |    max(o.o_orderdate) AS asof_date
+        |  FROM lineitem l LEFT JOIN orders o
+        |    ON o.o_orderkey = l.l_orderkey AND o.o_orderdate <= l.l_shipdate
+        |  GROUP BY 1, 2, 3)
+        |SELECT c.l_orderkey, c.l_linenumber, c.l_shipdate,
+        |  o.o_orderdate, o.o_totalprice
+        |FROM cand c LEFT JOIN orders o
+        |  ON o.o_orderkey = c.l_orderkey AND o.o_orderdate = c.asof_date
+        |""".stripMargin)
+    val viaNative = graft.operators.AsOfJoin.asOfNative(
+        Tables.load(spark, sf, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate")),
+        Tables.load(spark, sf, "orders")
+          .select(col("o_orderkey").as("l_orderkey"), col("o_orderdate"),
+            col("o_totalprice")),
+        Seq("l_orderkey"), "l_shipdate", "o_orderdate")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+        col("o_orderdate"), col("o_totalprice"))
+    assert(rowsOf(viaSql) === rowsOf(viaNative), "SQL as-of != native as-of")
+  }
+
+  test("mergeable-sketch fold (cms) via pure SQL equals the declared query") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """WITH daily AS (
+        |  SELECT date_format(ts, 'yyyy-MM-dd') AS dt,
+        |    cms_sketch(lower(coalesce(event_type, ''))) AS sk
+        |  FROM events GROUP BY 1),
+        |merged AS (SELECT cms_union(sk) AS sk FROM daily)
+        |SELECT et, cms_estimate(m.sk, et) AS est_n
+        |FROM (SELECT DISTINCT lower(coalesce(event_type, '')) AS et
+        |      FROM events) CROSS JOIN merged m
+        |ORDER BY et""".stripMargin)
+    assert(rowsOf(viaSql) === rowsOf(graft.operators.KpiQueries.cmsCounts(spark, sf)),
+      "SQL cms fold != Scala cms fold")
+  }
+
+  test("gap sessionization via SQL window text equals the declared query") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """WITH g AS (SELECT user_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |      OR unix_timestamp(ts) - unix_timestamp(lag(ts) OVER w) > 1800
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(new_sess) AS BIGINT) AS n_sessions
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)
+    assert(rowsOf(viaSql) === rowsOf(graft.operators.KpiQueries.sessionize(spark, sf)),
+      "SQL sessionize != Scala sessionize")
+  }
+
   test("custom aggregate + scalar functions compose in SQL over a view") {
     // KMV: no name collision with Spark's datasketches builtins (the
     // builtin `hll_union` shadows graft's SQL name — install() never
