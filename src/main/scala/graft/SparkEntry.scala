@@ -69,6 +69,9 @@ object SparkEntry {
     "q_agg_corr" -> (TpchQueries.aggCorr _),
     "q_table_stats" -> (TpchQueries.tableStats _),
     "q_table_stats_approx" -> (TpchQueries.tableStatsApprox _),
+    "q_merge_upsert" -> (AnalyticsWave4.mergeUpsert _),
+    "q_cum_distinct" -> (AnalyticsWave4.cumulativeDistinct _),
+    "q_rolling_median" -> (AnalyticsWave4.rollingMedian _),
     "q_join_card_est" -> (TpchQueries.joinCardinalityEst _),
     "q_histogram" -> (TpchQueries.histogram _),
     "q_dq_checks" -> (TpchQueries.dqChecks _),
@@ -729,6 +732,44 @@ object SparkEntry {
         |SELECT 'l_tax', round(min(l_tax), 2), round(max(l_tax), 2),
         |  count(DISTINCT l_tax), count(*) - count(l_tax) FROM lineitem
         |ORDER BY col_name""".stripMargin,
+    "q_merge_upsert" ->
+      s"""WITH t AS (SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n,
+        |    count(DISTINCT user_id) AS u,
+        |    round(sum(CASE WHEN lower(coalesce(event_type, '')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS rev
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) < DATE '${operators.AnalyticsWave4.MergeCutoff}'
+        |    AND lower(coalesce(event_type, '')) <> 'error'
+        |  GROUP BY 1),
+        |s AS (SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n,
+        |    count(DISTINCT user_id) AS u,
+        |    round(sum(CASE WHEN lower(coalesce(event_type, '')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS rev
+        |  FROM events
+        |  WHERE CAST(ts AS DATE) >= DATE '${operators.AnalyticsWave4.MergeSplit}'
+        |  GROUP BY 1)
+        |SELECT coalesce(s.dt, t.dt) AS dt,
+        |  coalesce(s.n, t.n) AS total_events,
+        |  coalesce(s.u, t.u) AS unique_users,
+        |  coalesce(s.rev, t.rev) AS revenue_usd,
+        |  CASE WHEN s.dt IS NOT NULL AND t.dt IS NOT NULL THEN 'update'
+        |       WHEN t.dt IS NULL THEN 'insert' ELSE 'keep' END AS action
+        |FROM t FULL OUTER JOIN s ON t.dt = s.dt ORDER BY 1""".stripMargin,
+    "q_cum_distinct" ->
+      """WITH f AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS dt
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT dt, count(*) AS new_users FROM f GROUP BY 1),
+        |days AS (SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS dt FROM events)
+        |SELECT days.dt, coalesce(d.new_users, 0) AS new_users,
+        |  CAST(sum(coalesce(d.new_users, 0))
+        |    OVER (ORDER BY days.dt) AS BIGINT) AS cum_users
+        |FROM days LEFT JOIN d ON d.dt = days.dt ORDER BY 1""".stripMargin,
+    "q_rolling_median" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |    round(sum(CASE WHEN lower(coalesce(event_type, '')) IN ('purchase','order','checkout') THEN coalesce(value, 0) ELSE 0 END), 2) AS rev
+        |  FROM events GROUP BY 1)
+        |SELECT dt, rev, round(median(rev) OVER w, 2) AS rev_med7,
+        |  round(avg(rev) OVER w, 2) AS rev_avg7
+        |FROM d WINDOW w AS (ORDER BY dt ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY dt""".stripMargin,
     // accuracy gates (r8): exact ground truth is hash-pinned; each
     // estimator's claim is a boolean the oracle fixes at TRUE
     "q_table_stats_approx" ->

@@ -747,9 +747,21 @@ object TpchQueries {
     * estimate is gated by `ndv_ok` at 5% relative — bits 14 ⇒
     * σ ≈ 0.8%, so the claim sits at ~6σ and is fixed per fixture
     * (seeded hash), not flaky. */
-  def tableStatsApprox(spark: SparkSession, dir: String): DataFrame = {
-    val li = load(spark, dir, "lineitem")
-    val approx = li.agg(
+  def tableStatsApprox(spark: SparkSession, dir: String): DataFrame =
+    tableStats(spark, dir)
+      .join(broadcast(approxNdvStats(spark, dir)), Seq("col_name"))
+      .select(col("col_name"), col("min_v"), col("max_v"),
+        col("ndv"), col("n_nulls"),
+        (abs(col("approx_ndv") - col("ndv")) <= col("ndv") * lit(0.05))
+          .as("ndv_ok"))
+      .orderBy(col("col_name"))
+
+  /** The production branch of [[tableStatsApprox]]: four HLL ndv
+    * sketches in one pass, no Expand (PlanSpec-asserted). At 100 TB
+    * this runs ALONE — the exact twin above exists only for the
+    * accuracy gate. */
+  private[graft] def approxNdvStats(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem").agg(
         F.hllDistinct(col("l_quantity"), 14).as("a_q"),
         F.hllDistinct(col("l_extendedprice"), 14).as("a_p"),
         F.hllDistinct(col("l_discount"), 14).as("a_d"),
@@ -760,13 +772,6 @@ object TpchQueries {
           |  'l_extendedprice', a_p,
           |  'l_discount', a_d,
           |  'l_tax', a_t) AS (col_name, approx_ndv)""".stripMargin))
-    tableStats(spark, dir).join(broadcast(approx), Seq("col_name"))
-      .select(col("col_name"), col("min_v"), col("max_v"),
-        col("ndv"), col("n_nulls"),
-        (abs(col("approx_ndv") - col("ndv")) <= col("ndv") * lit(0.05))
-          .as("ndv_ok"))
-      .orderBy(col("col_name"))
-  }
 
   /** Bivariate statistics aggregates (§2.3 A+ breadth): corr /
     * covariance / least-squares regression of extended price on

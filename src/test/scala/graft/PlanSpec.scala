@@ -141,6 +141,16 @@ class PlanSpec extends SparkSpec {
       s"expected 2 levels x (partial+final) ObjectHashAggregate:\n$p")
   }
 
+  test("approxNdvStats: one pass, no Expand (the 100TB stats path, r8)") {
+    val p = plan(TpchQueries.approxNdvStats(spark, sf))
+    // the exact count_distinct x4 plan duplicates every input row 4x
+    // through an Expand; the HLL swap must plan without one
+    assert(!p.contains("Expand"), s"Expand crept into the approx ndv plan:\n$p")
+    // all four sketches ride one ObjectHashAggregate pair (partial+final)
+    assert(p.split("ObjectHashAggregate").length - 1 >= 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+  }
+
   test("quantileRollup: sketch aggs on the ObjectHashAggregate path, no sort") {
     val p = plan(TpchQueries.quantileRollup(spark, sf))
     assert(p.split("ObjectHashAggregate").length - 1 >= 4,
