@@ -69,6 +69,7 @@ object SparkEntry {
     "q_agg_corr" -> (TpchQueries.aggCorr _),
     "q_table_stats" -> (TpchQueries.tableStats _),
     "q_table_stats_approx" -> (TpchQueries.tableStatsApprox _),
+    "q_sliding_distinct_hll" -> (AnalyticsExtras.slidingDistinctHll _),
     "q_merge_upsert" -> (AnalyticsWave4.mergeUpsert _),
     "q_cum_distinct" -> (AnalyticsWave4.cumulativeDistinct _),
     "q_rolling_median" -> (AnalyticsWave4.rollingMedian _),
@@ -214,6 +215,7 @@ object SparkEntry {
     "q_forget_users" -> (KpiQueries.forgetUsers _),
     "q_user_lifetime" -> (ClickstreamGraph.userLifetime _),
     "q_asof_native" -> (TpchQueries.asofNativeLineitemOrder _),
+    "q_asof_fwd" -> (TpchQueries.asofNativeForward _),
     "q_bigram_topk" -> ((s, d) => TextQueries.bigramTopk(s, d)),
     "q_scd2_lookup" -> (AnalyticsExtras.scd2Lookup _),
   )
@@ -732,6 +734,13 @@ object SparkEntry {
         |SELECT 'l_tax', round(min(l_tax), 2), round(max(l_tax), 2),
         |  count(DISTINCT l_tax), count(*) - count(l_tax) FROM lineitem
         |ORDER BY col_name""".stripMargin,
+    "q_sliding_distinct_hll" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM ud)
+        |SELECT strftime(day, '%Y-%m-%d') AS d,
+        |  count(DISTINCT user_id) AS users_7d, TRUE AS within_5pct
+        |FROM days JOIN ud ON ud.d BETWEEN day - 6 AND day
+        |GROUP BY day ORDER BY 1""".stripMargin,
     "q_merge_upsert" ->
       s"""WITH t AS (SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n,
         |    count(DISTINCT user_id) AS u,
@@ -878,6 +887,19 @@ object SparkEntry {
     // the native AsOfMergeJoinExec path answers the same question —
     // both implementations pin to one external ASOF semantics
     "q_asof_native" -> AsofSql,
+    // forward direction: EARLIEST right at-or-after — DuckDB ASOF
+    // with the inequality flipped pins the next-event semantics
+    "q_asof_fwd" ->
+      """WITH r AS (
+        |  SELECT o_custkey % 10 AS k, o_orderdate AS asof_ts,
+        |    max(o_orderkey) AS asof_orderkey
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (
+        |  SELECT l_orderkey, l_linenumber, CAST(l_suppkey % 10 AS INT) AS k, l_shipdate
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '2000-01-01')
+        |SELECT l.l_orderkey, l.l_linenumber, l.k, r.asof_orderkey,
+        |  strftime(r.asof_ts, '%Y-%m-%d') AS next_orderdate
+        |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.l_shipdate <= r.asof_ts""".stripMargin,
     "q_range_join" ->
       """SELECT o_orderkey, count(*) AS n_shipped_90d
         |FROM orders JOIN lineitem

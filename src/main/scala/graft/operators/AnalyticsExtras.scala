@@ -153,6 +153,33 @@ object AnalyticsExtras {
       .orderBy(col("d"))
   }
 
+  /** The 100 TB path of [[slidingDistinct]], executed (r8): trailing
+    * 7-day distinct from the stored per-day `hll_sketch` table — one
+    * 4 KiB sketch per day crosses the window, so the ×7 expansion
+    * happens at SKETCH grain (|days|×7 rows of binaries), never
+    * user-day grain, and the raw events are touched exactly once (the
+    * per-day sketch build a nightly job already does). Accuracy gate:
+    * the exact windowed distinct ([[slidingDistinct]]'s formulation)
+    * rides the row hash-pinned; the folded estimate is gated by
+    * within_5pct (bits 14 ⇒ σ ≈ 0.8%, ~6σ; deterministic per
+    * fixture). */
+  def slidingDistinctHll(spark: SparkSession, dir: String): DataFrame = {
+    val daily = load(spark, dir, "events")
+      .groupBy(to_date(col("ts")).as("d"))
+      .agg(F.hllSketch(col("user_id"), 14).as("sk"))
+    val days = daily.select(col("d").as("day"))
+    val folded = daily.join(broadcast(days),
+        col("d").between(date_sub(col("day"), 6), col("day")))
+      .groupBy(col("day"))
+      .agg(F.hllEstimate(F.hllUnion(col("sk"), 14)).as("approx_7d"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("d"), col("approx_7d"))
+    slidingDistinct(spark, dir).join(folded, Seq("d"))
+      .select(col("d"), col("users_7d"),
+        (abs(col("approx_7d") - col("users_7d")) <=
+          col("users_7d") * lit(0.05)).as("within_5pct"))
+      .orderBy(col("d"))
+  }
+
   /** Deterministic train/val/test corpus split (~80/10/10) — the
     * reproducible-split operator every training pipeline needs: the
     * assignment is a pure function of doc_id (first two hex chars of

@@ -62,7 +62,8 @@ object AsOfJoin {
     * window fills. Output column order matches [[asOf]] up to the
     * keys' position (left columns then right payload). */
   def asOfNative(left: DataFrame, right: DataFrame, keys: Seq[String],
-                 leftTime: String, rightTime: String): DataFrame = {
+                 leftTime: String, rightTime: String,
+                 forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     graft.functions.GraftFunctions.install(spark) // ensures the strategy
     val lp = left.queryExecution.analyzed
@@ -72,6 +73,6 @@ object AsOfJoin {
     org.apache.spark.sql.graftshim.DatasetShim.ofRows(spark,
       graft.plans.AsOfJoinNode(lp, rp,
         keys.map(attr(lp, _)), keys.map(attr(rp, _)),
-        attr(lp, leftTime), attr(rp, rightTime)))
+        attr(lp, leftTime), attr(rp, rightTime), forward))
   }
 }

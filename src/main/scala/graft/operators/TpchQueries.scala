@@ -417,6 +417,27 @@ object TpchQueries {
         date_format(col("asof_ts"), "yyyy-MM-dd").as("asof_orderdate"))
   }
 
+  /** FORWARD-direction native as-of (r8): per lineitem, the EARLIEST
+    * order at-or-after its ship date in the key group — the
+    * next-event/next-arrival lookup direction. Same operator, same
+    * per-side shuffle+sort plan; the merge keeps even less state than
+    * backward (the lookahead IS the match). Pinned to DuckDB's
+    * `ASOF LEFT JOIN ... ON l.t <= r.t`. */
+  def asofNativeForward(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .where(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_suppkey"), lit(10)).cast("int").as("k"), col("l_shipdate"))
+    val ord = load(spark, dir, "orders")
+      .groupBy(pmod(col("o_custkey"), lit(10)).cast("int").as("k"),
+        col("o_orderdate").as("asof_ts"))
+      .agg(max(col("o_orderkey")).as("asof_orderkey"))
+    AsOfJoin.asOfNative(li, ord, Seq("k"), "l_shipdate", "asof_ts", forward = true)
+      .select(col("l_orderkey"), col("l_linenumber"), col("k"),
+        col("asof_orderkey"),
+        date_format(col("asof_ts"), "yyyy-MM-dd").as("next_orderdate"))
+  }
+
   /** Range join (equi + interval predicate): per order, lineitems
     * shipped within 90 days of the order date. The equi key keeps it a
     * hash/sort-merge join with the range as a cheap post-filter — the

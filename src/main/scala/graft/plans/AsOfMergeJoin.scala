@@ -22,10 +22,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * Semantics (identical to the union+window formulation and DuckDB's
   * `ASOF LEFT JOIN`): for every left row, attach the LATEST right row
-  * with rightTime <= leftTime within the same key group; unmatched
-  * lefts keep null right payloads. Right side must be unique per
-  * (keys, rightTime); null right times never match; a null left time
-  * matches nothing. NULL JOIN KEYS group together: a null-key left
+  * with rightTime <= leftTime within the same key group — or, with
+  * `forward = true`, the EARLIEST right with rightTime >= leftTime
+  * (DuckDB `ASOF ... ON l.t <= r.t`; the next-event direction a
+  * scheduling/next-arrival lookup needs). Unmatched lefts keep null
+  * right payloads. Right side must be unique per (keys, rightTime);
+  * null right times never match; a null left time matches nothing. NULL JOIN KEYS group together: a null-key left
   * row can match a null-key right row (RowOrdering compares nulls
   * equal — the same convention as the union+window formulation,
   * whose Window partitioning groups nulls; this intentionally
@@ -52,7 +54,8 @@ case class AsOfJoinNode(
     leftKeys: Seq[Attribute],
     rightKeys: Seq[Attribute],
     leftTime: Attribute,
-    rightTime: Attribute)
+    rightTime: Attribute,
+    forward: Boolean = false)
     extends BinaryNode {
 
   require(leftKeys.length == rightKeys.length,
@@ -83,8 +86,8 @@ case class AsOfJoinNode(
   * GraftFunctions.install (spark.experimental.extraStrategies). */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinNode(l, r, lk, rk, lt, rt) =>
-      AsOfMergeJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinNode(l, r, lk, rk, lt, rt, fwd) =>
+      AsOfMergeJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), fwd) :: Nil
     case _ => Nil
   }
 }
@@ -95,7 +98,8 @@ case class AsOfMergeJoinExec(
     leftTime: Attribute,
     rightTime: Attribute,
     left: SparkPlan,
-    right: SparkPlan)
+    right: SparkPlan,
+    forward: Boolean = false)
     extends BinaryExecNode {
 
   override lazy val metrics = Map(
@@ -156,11 +160,43 @@ case class AsOfMergeJoinExec(
       val nullPayload = new GenericInternalRow(payload.length)
       val joined = new JoinedRow
 
+      val fwd = forward
       new Iterator[InternalRow] {
         private var cand: InternalRow = _        // latest right of cand-key seen so far
         private var candKey: InternalRow = _
         private var rHead: InternalRow = _       // lookahead right (not yet classified)
         private var rHeadKey: InternalRow = _
+
+        /** Forward direction: the match is the EARLIEST right with
+          * rightTime >= leftTime in the key group — i.e. the first
+          * non-stale lookahead itself. Rights strictly before the
+          * current left time are discarded permanently: lefts stream
+          * in ascending time, so no later left can want them. State
+          * is just the lookahead row — even smaller than backward's
+          * candidate+lookahead pair. */
+        private def advanceRightForwardFor(lKey: InternalRow, lTimeVal: Any): Unit = {
+          var continue = true
+          while (continue) {
+            if (rHead == null) {
+              if (rIter.hasNext) {
+                rHead = rIter.next().copy()
+                rHeadKey = rKeyProj(rHead).copy()
+              } else { continue = false }
+            }
+            if (rHead != null) {
+              val c = keyOrd.compare(rHeadKey, lKey)
+              if (c < 0) { rHead = null }        // stale key: discard
+              else if (c == 0) {
+                val rt = rHead.get(rTimeIdx, timeType)
+                if (rt == null) { rHead = null } // null time never matches
+                else if (lTimeVal != null &&
+                    timeOrd.asInstanceOf[Ordering[Any]].lt(rt, lTimeVal)) {
+                  rHead = null                   // before this (and every later) left
+                } else continue = false          // first at-or-after: THE match
+              } else continue = false            // right ahead of left key
+            }
+          }
+        }
 
         private def advanceRightFor(lKey: InternalRow, lTimeVal: Any): Unit = {
           var continue = true
@@ -193,12 +229,20 @@ case class AsOfMergeJoinExec(
           val l = lIter.next()
           val lKey = lKeyProj(l)
           val lTimeVal = l.get(lTimeIdx, timeType)
-          advanceRightFor(lKey, lTimeVal)
-          val matched = cand != null && lTimeVal != null &&
-            keyOrd.compare(candKey, lKey) == 0
+          val matchRow = if (fwd) {
+            advanceRightForwardFor(lKey, lTimeVal)
+            // forward: the lookahead itself is the match (kept — a
+            // later left with time <= rHead's may match it again)
+            if (rHead != null && lTimeVal != null &&
+              keyOrd.compare(rHeadKey, lKey) == 0) rHead else null
+          } else {
+            advanceRightFor(lKey, lTimeVal)
+            if (cand != null && lTimeVal != null &&
+              keyOrd.compare(candKey, lKey) == 0) cand else null
+          }
           numOutputRows += 1
-          if (matched) numMatched += 1
-          val r = if (matched) payloadProj(cand) else nullPayload
+          if (matchRow != null) numMatched += 1
+          val r = if (matchRow != null) payloadProj(matchRow) else nullPayload
           resultProj(joined(l, r))
         }
       }

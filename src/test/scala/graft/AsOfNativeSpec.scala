@@ -73,6 +73,57 @@ class AsOfNativeSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Window"), plan)
   }
 
+  test("forward direction: earliest at-or-after, ties inclusive, stale keys null (r8)") {
+    val out = AsOfJoin.asOfNative(leftDf, rightDf, Seq("k"), "lt", "rt",
+        forward = true)
+      .select("k", "lt", "rval").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.getString(2))).toMap
+    // brute-force expected: min rt >= lt per key
+    val rights = Seq(("a", 10L, "r10"), ("a", 25L, "r25"), ("b", 99L, "r99"), ("d", 2L, "r2"))
+    val expected = Seq(("a", 10L), ("a", 20L), ("a", 30L), ("b", 5L),
+      ("b", 100L), ("c", 50L), ("d", 1L)).map { case (k, lt) =>
+      (k, lt) -> rights.filter(r => r._1 == k && r._2 >= lt)
+        .sortBy(_._2).headOption.map(_._3)
+    }.toMap
+    assert(out === expected, s"forward as-of mismatch:\n got $out\n exp $expected")
+    // spot meanings: tie at 10 matches (inclusive); 30 has no future
+    // right; d@1 now matches r2 (backward leaves it null)
+    assert(out(("a", 10L)) === Some("r10"))
+    assert(out(("a", 30L)) === None)
+    assert(out(("d", 1L)) === Some("r2"))
+  }
+
+  test("forward matches a window-formulation twin on the fixture tables (r8)") {
+    import org.apache.spark.sql.functions._
+    // distinct: the twin's groupBy would dedup the fixture's reused
+    // (orderkey, linenumber) rows while the native op preserves them
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        pmod(col("l_suppkey"), lit(10)).cast("int").as("k"), col("l_shipdate"))
+      .distinct()
+    val ord = Tables.load(spark, sf, "orders")
+      .groupBy(pmod(col("o_custkey"), lit(10)).cast("int").as("k"),
+        col("o_orderdate").as("rt"))
+      .agg(max(col("o_orderkey")).as("okey"))
+    val native = AsOfJoin.asOfNative(li, ord, Seq("k"), "l_shipdate", "rt",
+        forward = true)
+      .select("l_orderkey", "l_linenumber", "k", "okey", "rt")
+    // independent formulation: min-at-or-after via plain join + agg
+    // conditional min keeps no-future-right lefts (a WHERE would drop
+    // their whole group, losing the null-payload row native emits)
+    val cand = li.join(ord.select(col("k"), col("rt")), Seq("k"), "left")
+      .groupBy(col("l_orderkey"), col("l_linenumber"), col("k"), col("l_shipdate"))
+      .agg(min(when(col("rt") >= col("l_shipdate"), col("rt"))).as("rt"))
+    val ord2 = ord.select(col("k").as("k2"), col("rt").as("r_rt"), col("okey"))
+    val twin = cand.join(ord2,
+        col("k") === col("k2") && col("rt") === col("r_rt"), "left")
+      .select(col("l_orderkey"), col("l_linenumber"), col("k"),
+        col("okey"), col("rt"))
+    val n = native.collect().map(_.toString).sorted.toSeq
+    val w = twin.collect().map(_.toString).sorted.toSeq
+    assert(n == w, s"forward native != join twin (sizes ${n.size}/${w.size})")
+  }
+
   test("mismatched time or key types fail at construction, not silently (r8)") {
     // DateType right time vs LongType left time: the merge would read
     // the right value through the LEFT type and mis-compare — must
