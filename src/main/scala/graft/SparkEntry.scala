@@ -70,6 +70,7 @@ object SparkEntry {
     "q_table_stats" -> (TpchQueries.tableStats _),
     "q_table_stats_approx" -> (TpchQueries.tableStatsApprox _),
     "q_sliding_distinct_hll" -> (AnalyticsExtras.slidingDistinctHll _),
+    "q_simjoin_prefix" -> (TextQueries.simJoinPrefix _),
     "q_merge_upsert" -> (AnalyticsWave4.mergeUpsert _),
     "q_cum_distinct" -> (AnalyticsWave4.cumulativeDistinct _),
     "q_rolling_median" -> (AnalyticsWave4.rollingMedian _),
@@ -1224,6 +1225,28 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1997-07-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ngram_jaccard" -> NgramJaccardSql,
+    // engine side is prefix-filtered over shingle HASHES; the oracle
+    // is the definition over trigram STRINGS — |∩| via the shingle
+    // equi-join count (a pair with zero shared shingles cannot reach
+    // J >= 0.9), |∪| = na + nb − |∩|, integer-math threshold
+    // 10|∩| >= 9|∪|. Hash-set and string-set cardinalities agree
+    // (64-bit collisions ~1e-11).
+    "q_simjoin_prefix" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s
+        |  FROM d WHERE len(toks) >= 3),
+        |t AS (SELECT doc_id, unnest(s) AS h, len(s) AS n FROM g),
+        |i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.n AS na, b.n AS nb, count(*) AS ix
+        |  FROM t a JOIN t b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a_id, b_id,
+        |  round(ix / CAST(na + nb - ix AS DOUBLE), 6) AS jaccard
+        |FROM i WHERE 10 * ix >= 9 * (na + nb - ix)
+        |ORDER BY a_id, b_id""".stripMargin,
     // components via transitive closure: reach(id, r) = ids reachable
     // from id over the symmetrized pair edges; comp = min(reachable)
     "q_dup_clusters" ->

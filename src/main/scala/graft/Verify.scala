@@ -19,9 +19,14 @@ object Verify {
     val spark = Tables.session()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Queries that can't be SQL-oracled (ANN) embed a self-checking
-    // `recall_ok` boolean column; a false row at ANY scale must fail the
-    // dump loudly, not slide through as a rows-only pass.
+    // Self-checking claim columns: ANN dumps carry `recall_ok`, the
+    // accuracy-gated sketch queries carry `within_*`/`*_ok` booleans
+    // (r8). A false claim row at ANY scale must fail the dump loudly —
+    // for oracle-gated queries the driver would also hash-mismatch,
+    // but the local dump should not need the DuckDB pass to notice.
+    def claimCols(cols: Array[String]): Seq[String] =
+      cols.filter(c => c == "recall_ok" || c.startsWith("within_") ||
+        c.endsWith("_ok")).toSeq
     var recallFailures = List.empty[String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
@@ -31,11 +36,11 @@ object Verify {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         val written = spark.read.parquet(s"$outDir/$name")
-        if (written.columns.contains("recall_ok")) {
-          val bad = written.where(!org.apache.spark.sql.functions.col("recall_ok")).count()
+        claimCols(written.columns).foreach { c =>
+          val bad = written.where(!org.apache.spark.sql.functions.col(c)).count()
           if (bad > 0) {
             recallFailures ::= name
-            System.err.println(s"[verify] $name RECALL FAILURE: $bad recall_ok=false rows")
+            System.err.println(s"[verify] $name CLAIM FAILURE: $bad $c=false rows")
           }
         }
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
@@ -60,7 +65,7 @@ object Verify {
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
     if (recallFailures.nonEmpty) {
-      System.err.println(s"[verify] RECALL GATE FAILED: ${recallFailures.mkString(", ")}")
+      System.err.println(s"[verify] CLAIM GATE FAILED: ${recallFailures.mkString(", ")}")
       sys.exit(3)
     }
   }

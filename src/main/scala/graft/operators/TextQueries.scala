@@ -480,6 +480,78 @@ object TextQueries {
     * No SQL oracle (hash choice is engine-specific); verified by
     * TextQueriesSpec (candidate recall + exact-jaccard agreement).
     */
+  /** EXACT similarity self-join via PREFIX FILTERING
+    * (Chaudhuri/Ganti/Kaushik 2006, the AllPairs/PPJoin family; r8) —
+    * every corpus pair with trigram-shingle Jaccard >= 0.9, with
+    * candidate generation that never goes all-pairs:
+    * shingle hashes get a GLOBAL rarity order (df asc — one
+    * vocab-grain aggregation), each doc keeps only its
+    * n − ⌈t·n⌉ + 1 rarest shingles as its prefix, and candidates are
+    * pairs sharing >= 1 prefix shingle — complete by
+    * pigeonhole: a qualifying pair's globally-rarest shared shingle
+    * is preceded in each doc only by non-shared shingles, of which
+    * there are at most n − ⌈t·n⌉ < the prefix length.
+    *
+    * This is the EXACT complement to the probabilistic
+    * [[minhashDedup]] LSH funnel over the same shingle fingerprints:
+    * same candidate-generation economics (pair count ∝ Σ prefix-
+    * bucket², steered by rarity instead of hash bands) with a
+    * ZERO-false-negative guarantee. The domain is the trigram-hash
+    * set, not raw words, because signature selectivity needs a large
+    * vocabulary: this fixture's WORD vocabulary is 31 tokens, so
+    * word-prefix buckets degenerate to all-pairs (measured 26.9M
+    * candidate pairs at sf0.1), while the 27k-shingle domain prunes
+    * to 125k (max bucket 7). Threshold compares in integer math
+    * (10·|∩| >= 9·|∪|) so no float boundary can disagree with the
+    * oracle; hash-set cardinalities equal string-set cardinalities
+    * (64-bit xxhash collisions are ~1e-11 at this vocab).
+    * At 100 TB: the df table is shingle-vocab-grain, prefixes cut the
+    * exploded stream to (1−t)·corpus, and the verify join ships
+    * shingle arrays only for candidate docs. */
+  def simJoinPrefix(spark: SparkSession, dir: String): DataFrame = {
+    val sets = simJoinSets(spark, dir)
+    val sa = sets.select(col("doc_id").as("a_id"), col("s").as("sa"))
+    val sb = sets.select(col("doc_id").as("b_id"), col("s").as("sb"))
+    simJoinCandidates(spark, dir)
+      .join(sa, Seq("a_id")).join(sb, Seq("b_id"))
+      .withColumn("n_i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("n_u", size(array_union(col("sa"), col("sb"))))
+      .where(col("n_i") * 10 >= col("n_u") * 9) // J >= 0.9 in exact integer math
+      .select(col("a_id"), col("b_id"),
+        F.roundBin(col("n_i") / col("n_u").cast("double"), 6).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** Per-doc distinct trigram-shingle hash sets. */
+  private[graft] def simJoinSets(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.install(spark)
+    withTokens(load(spark, dir, "documents"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), F.ngramHashes(col("toks"), 3).as("s"))
+  }
+
+  /** Distinct candidate (a_id, b_id) pairs from the prefix filter —
+    * exposed so TextQueriesSpec can assert the prune factor against
+    * the all-pairs count, not just result correctness. */
+  private[graft] def simJoinCandidates(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.9
+    val shingles = simJoinSets(spark, dir)
+      .select(col("doc_id"), explode(col("s")).as("h"))
+    val dfreq = shingles.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefixes = shingles.join(dfreq, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, h))), x -> x.h)")
+        .as("sh"))
+      .select(col("doc_id"),
+        explode(slice(col("sh"), lit(1),
+          (size(col("sh")) - ceil(size(col("sh")) * lit(t)) + 1).cast("int")))
+          .as("h"))
+    prefixes.select(col("h"), col("doc_id").as("a_id"))
+      .join(prefixes.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+  }
+
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.install(spark)
     val docs = withTokens(load(spark, dir, "documents"))

@@ -174,6 +174,40 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("simJoinPrefix: equals brute-force exact pairs; prefix filter actually prunes (r8)") {
+    // brute force over trigram-shingle STRING sets, all pairs
+    def shingles(t: String): Set[String] =
+      t.split("\\s+", -1).toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = docs.collect { case (id, t) if t.split("\\s+", -1).length >= 3 =>
+      (id, shingles(t))
+    }
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a < b
+      i = (sa & sb).size; u = (sa | sb).size
+      if i * 10 >= u * 9
+    } yield (a, b)).toSet
+    val rows = TextQueries.simJoinPrefix(spark, sf).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected,
+      s"prefix-filtered pairs != brute force: missing ${expected -- got}, extra ${got -- expected}")
+    // zero false negatives is the guarantee; jaccard values exact
+    val byId = sets.toMap
+    rows.foreach { r =>
+      val (sa, sb) = (byId(r.getLong(0)), byId(r.getLong(1)))
+      val exp = (sa & sb).size.toDouble / (sa | sb).size
+      assert(math.abs(r.getDouble(2) - exp) < 1e-6, s"jaccard(${r.getLong(0)},${r.getLong(1)})")
+    }
+    // and the filter must genuinely prune: candidates examined stay
+    // far below the all-pairs count (this is the point of the prefix;
+    // a word-domain variant degenerated to all-pairs on this
+    // 31-token-vocabulary fixture — shingle vocab is ~27k)
+    val allPairs = sets.size.toLong * (sets.size - 1) / 2
+    val nCand = TextQueries.simJoinCandidates(spark, sf).count()
+    assert(nCand * 5 < allPairs,
+      s"prefix filter examined $nCand of $allPairs pairs — not pruning")
+  }
+
   test("minhashDedup: pairs have high exact shingle-jaccard (LSH recall property)") {
     val rows = TextQueries.minhashDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
