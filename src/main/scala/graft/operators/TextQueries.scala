@@ -546,10 +546,21 @@ object TextQueries {
         explode(slice(col("sh"), lit(1),
           (size(col("sh")) - ceil(size(col("sh")) * lit(t)) + 1).cast("int")))
           .as("h"))
-    prefixes.select(col("h"), col("doc_id").as("a_id"))
-      .join(prefixes.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
+    // the self-join would otherwise re-plan the whole shingle+df+
+    // prefix pipeline per branch (no CSE across self-join sides —
+    // the plan showed both subtrees twice): cache the (1−t)-sized
+    // prefix stream once, materialize the SMALL candidate manifest,
+    // release the cache (same lifecycle as minhashDedup's shingle
+    // cache — localCheckpoint blocks are ContextCleaner-managed,
+    // CacheManager entries are not)
+    val p = prefixes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = p.select(col("h"), col("doc_id").as("a_id"))
+      .join(p.select(col("h"), col("doc_id").as("b_id")), Seq("h"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
+      .localCheckpoint()
+    p.unpersist()
+    cand
   }
 
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {

@@ -93,6 +93,19 @@ class AsOfNativeSpec extends SparkSpec {
     assert(out(("d", 1L)) === Some("r2"))
   }
 
+  test("forward direction: null times on either side never match (r8)") {
+    val l = Seq(("a", Some(10L), "l1"), ("a", None, "l2"), ("b", Some(5L), "l3"))
+      .toDF("k", "lt", "lval")
+    val r = Seq(("a", Some(15L), "r15"), ("a", None, "rN"), ("b", None, "rN2"))
+      .toDF("k", "rt", "rval")
+    val out = AsOfJoin.asOfNative(l, r, Seq("k"), "lt", "rt", forward = true)
+      .select("k", "lval", "rval").collect()
+      .map(x => (x.getString(0), x.getString(1)) -> Option(x.getString(2))).toMap
+    assert(out(("a", "l1")) === Some("r15")) // normal forward match
+    assert(out(("a", "l2")) === None)        // null left time matches nothing
+    assert(out(("b", "l3")) === None)        // only a null-time right: no match
+  }
+
   test("forward matches a window-formulation twin on the fixture tables (r8)") {
     import org.apache.spark.sql.functions._
     // distinct: the twin's groupBy would dedup the fixture's reused
