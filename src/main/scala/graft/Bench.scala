@@ -23,8 +23,8 @@ object Bench {
     * ingest machinery inside the timed region. */
   val Pipelines: Set[String] =
     Set("q_raw_kpis", "q_stream_hourly", "q_stateful_sessions", "q_tws_sessions",
-      "q_pruned_kpis", "q_stream_enrich", "q_stream_dedup", "q_stream_join",
-      "q_stream_upsert", "q_stream_sketch", "q_compact_kpis")
+      "q_pruned_kpis", "q_stream_enrich", "q_stream_dedup", "q_stream_dedup_wm",
+      "q_stream_join", "q_stream_upsert", "q_stream_sketch", "q_compact_kpis")
 
   /** Fully evaluates every row and column of the plan. `count()` would
     * let Catalyst prune projections and eliminate sorts under the

@@ -130,6 +130,7 @@ object SparkEntry {
     "q_stream_hourly" -> (PipelineQueries.streamHourly _),
     "q_stream_enrich" -> (PipelineQueries.streamEnrich _),
     "q_stream_dedup" -> (PipelineQueries.streamDedup _),
+    "q_stream_dedup_wm" -> (PipelineQueries.streamDedupWatermark _),
     "q_stream_upsert" -> (PipelineQueries.streamUpsertKpis _),
     "q_stream_sketch" -> (PipelineQueries.streamSketchTable _),
     "q_stream_join" -> (PipelineQueries.streamJoin _),
@@ -480,6 +481,11 @@ object SparkEntry {
         |FROM e LEFT JOIN m ON e.et = m.et
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_stream_dedup" ->
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT event_id) AS n_events
+        |FROM events WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.StreamCutoff}'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both dedup regimes pin to the same exact-distinct oracle
+    "q_stream_dedup_wm" ->
       s"""SELECT strftime(ts, '%Y-%m-%d') AS dt, count(DISTINCT event_id) AS n_events
         |FROM events WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.StreamCutoff}'
         |GROUP BY 1 ORDER BY 1""".stripMargin,

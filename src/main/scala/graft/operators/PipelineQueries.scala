@@ -361,23 +361,68 @@ object PipelineQueries {
     * id. The gate injects a re-delivered batch (the first 500 wire
     * lines duplicated into the backlog) and requires per-day counts to
     * equal direct SQL DISTINCT counts over the fixture. Bounded
-    * backlog ⇒ plain dropDuplicates; the unbounded-stream variant is
-    * dropDuplicatesWithinWatermark, which bounds state to the
-    * watermark horizon at the cost of only deduping within it. */
+    * backlog ⇒ plain dropDuplicates; the unbounded-stream variant
+    * (dropDuplicatesWithinWatermark, state bounded to the watermark
+    * horizon) is executed by [[streamDedupWatermark]] against the
+    * same oracle. */
   def streamDedup(spark: SparkSession, dir: String): DataFrame = {
-    val in = zoneCache.getOrElseUpdate(("graft-dedup-in", dir, Some(StreamCutoff)), {
-      val zone = writeJsonl(spark, dir, "graft-dedup-in-base", cutoffDate = Some(StreamCutoff))
-      // simulate at-least-once re-delivery: duplicate a prefix of the feed
-      asWireJson(spark, dir, Some(StreamCutoff)).limit(500)
-        .coalesce(1).write.mode("append").text(zone)
-      zone
-    })
+    val in = dedupInZone(spark, dir)
     val out = Files.createTempDirectory("graft-dedup-out")
     val ck = Files.createTempDirectory("graft-dedup-ck")
     out.toFile.deleteOnExit(); ck.toFile.deleteOnExit()
     withShufflePartitions(spark, 8) {
       val q = spark.readStream.schema(graft.model.EventSchema.schema).json(in)
         .dropDuplicates("session_id") // wire session_id carries event_id
+        .writeStream.format("json").option("path", out.toString)
+        .option("checkpointLocation", ck.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    spark.read.schema(graft.model.EventSchema.schema).json(out.toString)
+      .where(col("event_ts").isNotNull)
+      .groupBy(substring(col("event_ts"), 1, 10).as("dt"))
+      .agg(count(lit(1)).as("n_events"))
+      .orderBy(col("dt"))
+  }
+
+  /** The at-least-once feed with a duplicated 500-line prefix appended
+    * (re-delivery simulation), shared by both dedup regimes. */
+  private def dedupInZone(spark: SparkSession, dir: String): String =
+    zoneCache.getOrElseUpdate(("graft-dedup-in", dir, Some(StreamCutoff)), {
+      val zone = writeJsonl(spark, dir, "graft-dedup-in-base", cutoffDate = Some(StreamCutoff))
+      // simulate at-least-once re-delivery: duplicate a prefix of the feed
+      asWireJson(spark, dir, Some(StreamCutoff)).limit(500)
+        .coalesce(1).write.mode("append").text(zone)
+      zone
+    })
+
+  /** The UNBOUNDED-stream dedup regime executed (r8): the same
+    * at-least-once feed deduped with `dropDuplicatesWithinWatermark` —
+    * key state is dropped once the event-time watermark passes the
+    * key's event time + delay, so state is bounded by the watermark
+    * horizon instead of growing with the stream (the 100 TB/day
+    * difference; plain dropDuplicates holds every key ever seen).
+    * Delay (10 d) covers the fixture's full 5-day re-delivery gap —
+    * the duplicated prefix arrives at the END of the feed carrying
+    * the OLDEST event times, so a too-short delay would re-admit
+    * those late duplicates; with the horizon covering the feed, the
+    * result is exactly the bounded-backlog dedup and shares
+    * q_stream_dedup's oracle. maxFilesPerTrigger=2 forces multiple
+    * micro-batches so the watermark genuinely advances between
+    * batches (a single batch would dedup trivially at watermark 0). */
+  def streamDedupWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val in = dedupInZone(spark, dir)
+    val out = Files.createTempDirectory("graft-dedupwm-out")
+    val ck = Files.createTempDirectory("graft-dedupwm-ck")
+    out.toFile.deleteOnExit(); ck.toFile.deleteOnExit()
+    withShufflePartitions(spark, 8) {
+      val q = spark.readStream.schema(graft.model.EventSchema.schema)
+        .option("maxFilesPerTrigger", 2)
+        .json(in)
+        .withColumn("ts", to_timestamp(col("event_ts")))
+        .withWatermark("ts", "10 days")
+        .dropDuplicatesWithinWatermark("session_id")
+        .drop("ts")
         .writeStream.format("json").option("path", out.toString)
         .option("checkpointLocation", ck.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
