@@ -37,6 +37,8 @@ object SparkEntry {
     "q_retention_cohorts" -> (KpiQueries.retentionCohorts _),
     "q_event_transitions" -> (KpiQueries.eventTransitions _),
     "q_anomaly_hours" -> (KpiQueries.anomalyHours _),
+    "q_drift_psi" -> (ExperimentQueries.driftPsi _),
+    "q_ab_srm" -> (ExperimentQueries.abSrm _),
     "q_rfm_segments" -> (KpiQueries.rfmSegments _),
     "q_approx_distinct" -> (KpiQueries.approxDistinct _),
     "q_approx_distinct_fast" -> (KpiQueries.approxDistinctFast _),
@@ -402,6 +404,53 @@ object SparkEntry {
         |  round((n - mu) / sd, 3) AS z
         |FROM s WHERE sd IS NOT NULL AND sd > 0
         |ORDER BY 1""".stripMargin,
+    // PSI drift vs first-day reference: Laplace-0.5-smoothed shares
+    // over the zero-filled day x type grid (K = global type count)
+    "q_drift_psi" ->
+      """WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |ty AS (SELECT DISTINCT event_type FROM c),
+        |k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM ty),
+        |d AS (SELECT dt, CAST(sum(cnt) AS BIGINT) AS n_day FROM c GROUP BY 1),
+        |grid AS (SELECT d.dt, ty.event_type, d.n_day,
+        |    coalesce(c.cnt, 0) AS cnt
+        |  FROM d CROSS JOIN ty
+        |  LEFT JOIN c ON c.dt = d.dt AND c.event_type = ty.event_type),
+        |sm AS (SELECT dt, event_type, n_day,
+        |    (cnt + 0.5) / (n_day + 0.5 * k.k) AS share
+        |  FROM grid CROSS JOIN k),
+        |r AS (SELECT event_type, share AS ref_share FROM sm
+        |  WHERE dt = (SELECT min(dt) FROM sm))
+        |SELECT sm.dt, max(sm.n_day) AS n_events,
+        |  round(sum((share - ref_share) * ln(share / ref_share)), 6) AS psi
+        |FROM sm JOIN r USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // md5-bucketed 50/50 assignment (same engine-portable recipe as
+    // q_train_split) + sample-ratio-mismatch chi-square at alpha=.05
+    "q_ab_srm" ->
+      """WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+        |         THEN 'A' ELSE 'B' END AS variant,
+        |    count(*) AS n_events,
+        |    max(CASE WHEN lower(coalesce(event_type, '')) = 'purchase'
+        |        THEN 1 ELSE 0 END) AS converted,
+        |    sum(CASE WHEN lower(coalesce(event_type, '')) = 'purchase'
+        |        THEN coalesce(value, 0) ELSE 0 END) AS revenue
+        |  FROM events GROUP BY 1, 2),
+        |v AS (SELECT variant, count(*) AS n_users,
+        |    CAST(sum(n_events) AS BIGINT) AS n_events,
+        |    CAST(sum(converted) AS BIGINT) AS n_converted,
+        |    round(sum(revenue), 2) AS revenue
+        |  FROM u GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_users) AS DOUBLE) / 2 AS exp_users FROM v),
+        |c AS (SELECT sum(pow(n_users - t.exp_users, 2) / t.exp_users) AS chi2
+        |  FROM v CROSS JOIN t)
+        |SELECT v.variant, v.n_users, v.n_events, v.n_converted,
+        |  round(CAST(v.n_converted AS DOUBLE) / v.n_users, 4) AS conv_rate,
+        |  v.revenue, round(c.chi2, 4) AS srm_chi2,
+        |  c.chi2 >= 3.841 AS srm_detected
+        |FROM v CROSS JOIN c ORDER BY 1""".stripMargin,
     "q_retention_cohorts" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |f AS (SELECT user_id, min(d) AS cohort FROM ud GROUP BY 1)
