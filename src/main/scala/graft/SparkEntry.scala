@@ -39,6 +39,10 @@ object SparkEntry {
     "q_anomaly_hours" -> (KpiQueries.anomalyHours _),
     "q_drift_psi" -> (ExperimentQueries.driftPsi _),
     "q_ab_srm" -> (ExperimentQueries.abSrm _),
+    "q_feature_assoc" -> (ExperimentQueries.featureAssoc _),
+    "q_ks_drift" -> (ExperimentQueries.ksDrift _),
+    "q_sample_stratified" -> (ExperimentQueries.stratifiedSample _),
+    "q_sample_bernoulli" -> (ExperimentQueries.bernoulliSample _),
     "q_rfm_segments" -> (KpiQueries.rfmSegments _),
     "q_approx_distinct" -> (KpiQueries.approxDistinct _),
     "q_approx_distinct_fast" -> (KpiQueries.approxDistinctFast _),
@@ -451,6 +455,79 @@ object SparkEntry {
         |  v.revenue, round(c.chi2, 4) AS srm_chi2,
         |  c.chi2 >= 3.841 AS srm_detected
         |FROM v CROSS JOIN c ORDER BY 1""".stripMargin,
+    // MI over observed cells, chi2 over the zero-filled grid (an
+    // empty cell contributes its expectation), Cramer's V normalizer
+    // n * min(r-1, c-1)
+    "q_feature_assoc" ->
+      """WITH c AS (SELECT event_type, CAST(hour(ts) AS INT) AS hr,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |n AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n FROM c),
+        |mx AS (SELECT event_type, CAST(sum(cnt) AS DOUBLE) AS nx
+        |  FROM c GROUP BY 1),
+        |my AS (SELECT hr, CAST(sum(cnt) AS DOUBLE) AS ny FROM c GROUP BY 1),
+        |g AS (SELECT mx.event_type, my.hr, mx.nx, my.ny, n.n,
+        |    coalesce(c.cnt, 0) AS cnt
+        |  FROM mx CROSS JOIN my CROSS JOIN n
+        |  LEFT JOIN c ON c.event_type = mx.event_type AND c.hr = my.hr),
+        |s AS (SELECT max(n) AS n,
+        |    count(DISTINCT event_type) AS n_types,
+        |    count(DISTINCT hr) AS n_hours,
+        |    sum(CASE WHEN cnt > 0
+        |        THEN (cnt / n) * ln(cnt * n / (nx * ny)) ELSE 0 END) AS mi,
+        |    sum(pow(cnt - nx * ny / n, 2) / (nx * ny / n)) AS chi2
+        |  FROM g)
+        |SELECT CAST(n AS BIGINT) AS n, n_types, n_hours,
+        |  CAST((n_types - 1) * (n_hours - 1) AS BIGINT) AS dof,
+        |  round(mi, 6) AS mi, round(chi2, 6) AS chi2,
+        |  round(sqrt(chi2 / (n * least(n_types - 1, n_hours - 1))), 6)
+        |    AS cramers_v
+        |FROM s""".stripMargin,
+    // binned two-sample KS vs the first-day reference: 64 equal-width
+    // bins over the global value range, ECDF from integer bin counts
+    "q_ks_drift" ->
+      """WITH e AS (SELECT strftime(ts, '%Y-%m-%d') AS dt, value
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT min(value) AS lo, max(value) AS hi FROM e),
+        |b AS (SELECT dt,
+        |    CASE WHEN r.hi > r.lo THEN least(63, greatest(0,
+        |        CAST(floor((value - r.lo) / ((r.hi - r.lo) / 64))
+        |          AS BIGINT)))
+        |      ELSE 0 END AS bin,
+        |    count(*) AS cnt
+        |  FROM e CROSS JOIN r GROUP BY 1, 2),
+        |d AS (SELECT dt, CAST(sum(cnt) AS BIGINT) AS n_day FROM b GROUP BY 1),
+        |g AS (SELECT d.dt, t.bin, d.n_day, coalesce(b.cnt, 0) AS cnt
+        |  FROM d CROSS JOIN (SELECT unnest(range(64)) AS bin) t
+        |  LEFT JOIN b ON b.dt = d.dt AND b.bin = t.bin),
+        |c AS (SELECT dt, bin, n_day,
+        |    CAST(sum(cnt) OVER (PARTITION BY dt ORDER BY bin) AS DOUBLE)
+        |      / n_day AS cdf
+        |  FROM g),
+        |rf AS (SELECT bin, cdf AS ref_cdf, n_day AS n_ref FROM c
+        |  WHERE dt = (SELECT min(dt) FROM c)),
+        |s AS (SELECT c.dt, max(c.n_day) AS n, max(rf.n_ref) AS m,
+        |    max(abs(c.cdf - rf.ref_cdf)) AS ks
+        |  FROM c JOIN rf USING (bin) GROUP BY 1)
+        |SELECT dt, CAST(n AS BIGINT) AS n, round(ks, 6) AS ks,
+        |  round(1.36 * sqrt((n + m) / CAST(n * m AS DOUBLE)), 6) AS ks_crit,
+        |  ks > 1.36 * sqrt((n + m) / CAST(n * m AS DOUBLE)) AS drift_detected
+        |FROM s ORDER BY 1""".stripMargin,
+    // exact stratified sample: ceil(0.1 * n_g) md5-smallest rows per
+    // stratum — rank is a pure function of event_id on both engines
+    "q_sample_stratified" ->
+      """WITH b AS (SELECT event_id, user_id, event_type,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_g
+        |  FROM events)
+        |SELECT event_type, rn AS sample_rank, event_id, user_id,
+        |  n_g AS stratum_n
+        |FROM b WHERE rn <= ceil(n_g * 0.1)""".stripMargin,
+    "q_sample_bernoulli" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '1999'"""
+        .stripMargin,
     "q_retention_cohorts" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |f AS (SELECT user_id, min(d) AS cohort FROM ud GROUP BY 1)

@@ -135,4 +135,157 @@ object ExperimentQueries {
         (col("chi2") >= lit(SrmChi2Crit)).as("srm_detected"))
       .orderBy(col("variant"))
   }
+
+  /** Feature-association report between two categorical columns —
+    * here event_type x hour-of-day, the "is the event mix
+    * time-dependent?" question a feature-selection pass asks of every
+    * candidate pair. One row: mutual information (nats), Pearson
+    * chi-square over the zero-filled contingency grid (absent cells
+    * contribute their expectation), degrees of freedom, and Cramer's
+    * V (chi2 normalized to [0,1] by n * min(r-1, c-1)) so tables of
+    * different shape are comparable.
+    *
+    * Shape: identical scaling law to [[driftPsi]] — ONE
+    * map-side-combinable count down to the r x c cell grain is the
+    * only stage that touches data; marginals, the zero-fill cross
+    * join, and both statistics run on the checkpoint-pinned cell
+    * table (r*c rows) with broadcast-only joins. */
+  def featureAssoc(spark: SparkSession, dir: String): DataFrame = {
+    val counts = load(spark, dir, "events")
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val nDf = counts.agg(sum(col("cnt")).cast("double").as("n"))
+    val mx = counts.groupBy(col("event_type"))
+      .agg(sum(col("cnt")).cast("double").as("nx"))
+    val my = counts.groupBy(col("hr"))
+      .agg(sum(col("cnt")).cast("double").as("ny"))
+    val grid = mx.crossJoin(broadcast(my))
+      .join(counts, Seq("event_type", "hr"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .crossJoin(broadcast(nDf))
+    val e = col("nx") * col("ny") / col("n")
+    grid.agg(
+      max(col("n")).cast("long").as("n"),
+      countDistinct(col("event_type")).as("n_types"),
+      countDistinct(col("hr")).as("n_hours"),
+      // MI over observed cells only (p_xy = 0 cells contribute 0)
+      sum(when(col("cnt") > 0,
+        (col("cnt") / col("n")) *
+          log(col("cnt") * col("n") / (col("nx") * col("ny"))))
+        .otherwise(0.0)).as("mi_raw"),
+      // chi2 over ALL cells: an empty cell still contributes its
+      // expectation ((0-e)^2/e = e)
+      sum(pow(col("cnt") - e, 2) / e).as("chi2_raw"))
+    .select(
+      col("n"), col("n_types"), col("n_hours"),
+      ((col("n_types") - 1) * (col("n_hours") - 1)).as("dof"),
+      F.roundBin(col("mi_raw"), 6).as("mi"),
+      F.roundBin(col("chi2_raw"), 6).as("chi2"),
+      F.roundBin(sqrt(col("chi2_raw") /
+        (col("n") * least(col("n_types") - 1, col("n_hours") - 1))), 6)
+        .as("cramers_v"))
+  }
+
+  /** ECDF grid resolution for [[ksDrift]]. */
+  val KsBins = 64
+
+  /** Per-day continuous-distribution drift — the numeric complement
+    * to [[driftPsi]]'s categorical PSI: a binned two-sample
+    * Kolmogorov-Smirnov statistic of the `value` column vs the
+    * pinned first-day reference. Values are bucketed into [[KsBins]]
+    * equal-width bins over the global [min, max] (so both samples
+    * share one grid and the ECDF difference is exact GIVEN the
+    * binning — binning can only under-state the true KS, never
+    * invent drift); drift_detected applies the classic large-sample
+    * critical value 1.36 * sqrt((n+m)/(n*m)) at alpha = .05.
+    *
+    * Shape: one pass computes the global range, one
+    * map-side-combinable groupBy(day, bin) count is the only other
+    * data-sized stage; the cumulative ECDF window and the
+    * reference-day join run on the checkpoint-pinned day x bin grid
+    * (|days| * 64 rows, all joins broadcast). The integer bin counts
+    * make the ECDF doubles bit-identical across engines — no
+    * summation-order ambiguity survives the binning. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("value"))
+      .where(col("value").isNotNull)
+    val rng = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val binned = ev.crossJoin(broadcast(rng))
+      .withColumn("bin",
+        when(col("hi") > col("lo"),
+          least(lit(KsBins - 1L), greatest(lit(0L),
+            floor((col("value") - col("lo")) /
+              ((col("hi") - col("lo")) / KsBins)))))
+          .otherwise(0L))
+      .groupBy(col("dt"), col("bin")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val days = binned.groupBy(col("dt")).agg(sum(col("cnt")).as("n_day"))
+    val bins = spark.range(KsBins).select(col("id").as("bin"))
+    val wc = Window.partitionBy(col("dt")).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cdf = days.crossJoin(broadcast(bins))
+      .join(binned, Seq("dt", "bin"), "left")
+      .na.fill(0L, Seq("cnt"))
+      .withColumn("cdf",
+        sum(col("cnt")).over(wc).cast("double") / col("n_day"))
+    val refDt = days.agg(min(col("dt")).as("dt"))
+    val ref = cdf.join(broadcast(refDt), "dt")
+      .select(col("bin"), col("cdf").as("ref_cdf"), col("n_day").as("n_ref"))
+    val crit = lit(1.36) * sqrt((col("n") + col("m")) /
+      (col("n") * col("m")).cast("double"))
+    cdf.join(broadcast(ref), Seq("bin"))
+      .groupBy(col("dt"))
+      .agg(
+        max(col("n_day")).as("n"),
+        max(col("n_ref")).as("m"),
+        max(abs(col("cdf") - col("ref_cdf"))).as("ks_raw"))
+      .select(
+        col("dt"), col("n"),
+        F.roundBin(col("ks_raw"), 6).as("ks"),
+        F.roundBin(crit, 6).as("ks_crit"),
+        (col("ks_raw") > crit).as("drift_detected"))
+      .orderBy(col("dt"))
+  }
+
+  /** Exact deterministic stratified sample: the ceil(f * n_g)
+    * md5-smallest rows of each event_type stratum (f = 10%). The
+    * rank order is a pure function of event_id, so the sample is
+    * identical across runs, engines, and re-shards — the property a
+    * train/eval split pipeline needs from its sampler.
+    *
+    * Shape: one exchange on the stratum key feeds both windows
+    * (rank and stratum size). HONEST SCALE LIMIT: with only
+    * |strata| partitions, each window task sorts a whole stratum —
+    * exact per-stratum rank is inherently a per-stratum selection.
+    * At 100 TB use [[bernoulliSample]] (scan-only, no shuffle) and
+    * accept the binomial count wobble, or tighten it exact-k by
+    * pre-filtering on an approx_percentile(hkey, f) threshold and
+    * ranking only the ~k survivors. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val byStratum = Window.partitionBy(col("event_type"))
+    load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .withColumn("hkey", md5(col("event_id").cast("string")))
+      .withColumn("rn",
+        row_number().over(byStratum.orderBy(col("hkey"), col("event_id"))))
+      .withColumn("n_g", count(lit(1)).over(byStratum))
+      .where(col("rn") <= ceil(col("n_g") * lit(0.1)))
+      .select(col("event_type"), col("rn").cast("long").as("sample_rank"),
+        col("event_id"), col("user_id"), col("n_g").as("stratum_n"))
+  }
+
+  /** Deterministic Bernoulli(~10%) hash sample — the 100 TB sampling
+    * path: keep a row iff the first 4 hex chars of md5(event_id)
+    * fall below 0x1999 (6553/65536 = 9.999%). Map-only, zero
+    * shuffle, zero coordination; the same rows survive in any
+    * engine, at any parallelism, under any re-shard. Sample size is
+    * Binomial(n, f) — within O(sqrt(n)) of f*n, which is the
+    * standard trade against [[stratifiedSample]]'s exact count. */
+  def bernoulliSample(spark: SparkSession, dir: String): DataFrame = {
+    load(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .where(substring(md5(col("event_id").cast("string")), 1, 4) < "1999")
+  }
 }

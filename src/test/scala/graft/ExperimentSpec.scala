@@ -59,4 +59,72 @@ class ExperimentSpec extends SparkSpec {
     val b = ExperimentQueries.abSrm(spark, sf).collect()
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
+
+  test("featureAssoc: statistics recompute from the raw contingency table") {
+    import org.apache.spark.sql.functions._
+    val r = ExperimentQueries.featureAssoc(spark, sf).head()
+    val cells = Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), hour(col("ts")).as("hr")).count()
+      .collect().map(x => (x.getString(0), x.getInt(1)) -> x.getLong(2)).toMap
+    val n = cells.values.sum.toDouble
+    val xs = cells.keys.map(_._1).toSeq.distinct
+    val ys = cells.keys.map(_._2).toSeq.distinct
+    val nx = xs.map(x => x -> cells.collect { case ((`x`, _), c) => c }.sum.toDouble).toMap
+    val ny = ys.map(y => y -> cells.collect { case ((_, `y`), c) => c }.sum.toDouble).toMap
+    val mi = cells.map { case ((x, y), c) =>
+      (c / n) * math.log(c * n / (nx(x) * ny(y))) }.sum
+    val chi2 = (for { x <- xs; y <- ys } yield {
+      val e = nx(x) * ny(y) / n
+      val o = cells.getOrElse((x, y), 0L).toDouble
+      (o - e) * (o - e) / e
+    }).sum
+    assert(r.getAs[Long]("n") == n.toLong)
+    assert(r.getAs[Long]("dof") == (xs.size - 1) * (ys.size - 1))
+    assert(math.abs(r.getAs[Double]("mi") - mi) < 1e-5)
+    assert(math.abs(r.getAs[Double]("chi2") - chi2) < 1e-3)
+    val v = r.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0)
+    assert(r.getAs[Double]("mi") >= 0.0, "MI is non-negative")
+  }
+
+  test("ksDrift: reference day scores 0 and KS stays in [0,1]") {
+    val rows = ExperimentQueries.ksDrift(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val refDt = rows.map(_.getString(0)).min
+    rows.foreach { r =>
+      val ks = r.getAs[Double]("ks")
+      assert(ks >= 0.0 && ks <= 1.0)
+      if (r.getString(0) == refDt) {
+        assert(ks == 0.0, s"reference day must self-score 0, got $ks")
+        assert(!r.getAs[Boolean]("drift_detected"))
+      }
+    }
+  }
+
+  test("stratifiedSample: exactly ceil(0.1 * n_g) rows per stratum, rank-dense") {
+    val rows = ExperimentQueries.stratifiedSample(spark, sf).collect()
+    val byStratum = rows.groupBy(_.getString(0))
+    byStratum.foreach { case (st, rs) =>
+      val nG = rs.head.getAs[Long]("stratum_n")
+      assert(rs.forall(_.getAs[Long]("stratum_n") == nG))
+      assert(rs.length == math.ceil(nG * 0.1).toLong,
+        s"stratum $st: ${rs.length} sampled of $nG")
+      assert(rs.map(_.getAs[Long]("sample_rank")).sorted.toSeq ==
+        (1L to rs.length).toSeq, "ranks must be 1..k with no gaps")
+    }
+    // strata cover the full type vocabulary
+    val types = Tables.load(spark, sf, "events")
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    assert(byStratum.keySet == types)
+  }
+
+  test("bernoulliSample: deterministic membership near the 10% target") {
+    val a = ExperimentQueries.bernoulliSample(spark, sf).collect()
+    val b = ExperimentQueries.bernoulliSample(spark, sf).collect()
+    assert(a.map(_.getLong(0)).sorted.toSeq == b.map(_.getLong(0)).sorted.toSeq)
+    val total = Tables.load(spark, sf, "events").count()
+    val frac = a.length.toDouble / total
+    // Binomial(n, .1): sf0.001 has ~6k events, 6 sigma ~ 0.023
+    assert(math.abs(frac - 0.09999) < 0.025, s"fraction $frac off target")
+  }
 }
