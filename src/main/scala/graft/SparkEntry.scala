@@ -43,6 +43,8 @@ object SparkEntry {
     "q_ks_drift" -> (ExperimentQueries.ksDrift _),
     "q_sample_stratified" -> (ExperimentQueries.stratifiedSample _),
     "q_sample_bernoulli" -> (ExperimentQueries.bernoulliSample _),
+    "q_holt_trend" -> (ForecastQueries.holtTrend _),
+    "q_ols_trend" -> (ForecastQueries.olsTrend _),
     "q_rfm_segments" -> (KpiQueries.rfmSegments _),
     "q_approx_distinct" -> (KpiQueries.approxDistinct _),
     "q_approx_distinct_fast" -> (KpiQueries.approxDistinctFast _),
@@ -455,6 +457,61 @@ object SparkEntry {
         |  v.revenue, round(c.chi2, 4) AS srm_chi2,
         |  c.chi2 >= 3.841 AS srm_detected
         |FROM v CROSS JOIN c ORDER BY 1""".stripMargin,
+    // Holt level+trend recursion as a recursive CTE, identical
+    // operation shapes to the Spark fold (0.5/0.3/0.7 literals parse
+    // to the same doubles both engines)
+    "q_holt_trend" ->
+      """WITH RECURSIVE d AS (SELECT event_type,
+        |    strftime(ts, '%Y-%m-%d') AS dt, count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |o AS (SELECT event_type, CAST(x AS DOUBLE) AS x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dt) AS t
+        |  FROM d),
+        |h AS (
+        |  SELECT a.event_type, 1 AS t, a.x AS level, b.x - a.x AS trend,
+        |    CAST(0.0 AS DOUBLE) AS ape
+        |  FROM o a JOIN o b ON b.event_type = a.event_type AND b.t = 2
+        |  WHERE a.t = 1
+        |  UNION ALL
+        |  SELECT h.event_type, h.t + 1,
+        |    0.5 * o.x + 0.5 * (h.level + h.trend),
+        |    0.3 * ((0.5 * o.x + 0.5 * (h.level + h.trend)) - h.level)
+        |      + 0.7 * h.trend,
+        |    h.ape + abs(o.x - (h.level + h.trend)) / o.x
+        |  FROM h JOIN o ON o.event_type = h.event_type AND o.t = h.t + 1)
+        |SELECT h.event_type, CAST(m.n AS BIGINT) AS n_days,
+        |  round(h.level, 6) AS level, round(h.trend, 6) AS trend,
+        |  round(h.level + h.trend, 6) AS forecast_next,
+        |  round(h.ape / (m.n - 1), 6) AS mape
+        |FROM h JOIN (SELECT event_type, max(t) AS n FROM o GROUP BY 1) m
+        |  ON m.event_type = h.event_type AND h.t = m.n
+        |ORDER BY 1""".stripMargin,
+    // closed-form OLS from the five sums; t and y are integer-valued
+    // so the sums are exact and every derived double is
+    // engine-identical
+    "q_ols_trend" ->
+      """WITH d AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS dt,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1, 2),
+        |o AS (SELECT event_type,
+        |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY dt)
+        |      AS DOUBLE) AS t,
+        |    CAST(x AS DOUBLE) AS y
+        |  FROM d),
+        |s AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n,
+        |    sum(t) AS sx, sum(y) AS sy, sum(t * t) AS sxx,
+        |    sum(y * y) AS syy, sum(t * y) AS sxy
+        |  FROM o GROUP BY 1)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_days,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |  round((sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n,
+        |    6) AS intercept,
+        |  round(pow(n * sxy - sx * sy, 2) /
+        |    ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2,
+        |  round(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (n + 1) +
+        |    (sy - sx * ((n * sxy - sx * sy) / (n * sxx - sx * sx))) / n,
+        |    6) AS fit_next
+        |FROM s ORDER BY 1""".stripMargin,
     // MI over observed cells, chi2 over the zero-filled grid (an
     // empty cell contributes its expectation), Cramer's V normalizer
     // n * min(r-1, c-1)

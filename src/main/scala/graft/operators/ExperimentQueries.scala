@@ -18,6 +18,10 @@ import graft.functions.F
   *    the designed 50/50? (Deterministic hash assignment + the
   *    sample-ratio-mismatch chi-square gate every experimentation
   *    platform runs before believing a lift number.)
+  *  - '''Association''': is a candidate feature pair independent?
+  *    (Mutual information + chi-square + Cramer's V.)
+  *  - '''Sampling''': deterministic stratified and Bernoulli samples
+  *    whose membership is a pure function of the row key.
   *
   * Both shapes are 100 TB-safe by construction: the only data-sized
   * stage in each is ONE map-side-combinable aggregation down to a

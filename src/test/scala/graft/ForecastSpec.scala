@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ForecastQueries
+
+/** Independent Scala-side recomputation of both forecast models from
+  * the raw daily series — the property layer under the DuckDB hash
+  * oracle (which pins engine parity but not the math itself).
+  */
+class ForecastSpec extends SparkSpec {
+
+  private def dailySeries: Map[String, Seq[Double]] =
+    Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .count().collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rows) =>
+        k -> rows.sortBy(_.getString(1)).map(_.getLong(2).toDouble).toSeq
+      }
+
+  test("holtTrend: matches a plain-Scala Holt recursion per series") {
+    val got = ForecastQueries.holtTrend(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val series = dailySeries
+    assert(got.keySet == series.keySet)
+    series.foreach { case (k, xs) =>
+      var level = xs(0)
+      var trend = xs(1) - xs(0)
+      var ape = 0.0
+      xs.drop(1).foreach { x =>
+        val prior = level + trend
+        val l = ForecastQueries.Alpha * x + ForecastQueries.OneMinusAlpha * prior
+        val b = ForecastQueries.Beta * (l - level) +
+          ForecastQueries.OneMinusBeta * trend
+        ape += math.abs(x - prior) / x
+        level = l; trend = b
+      }
+      val r = got(k)
+      assert(r.getAs[Long]("n_days") == xs.size)
+      assert(math.abs(r.getAs[Double]("level") - level) < 1e-5, k)
+      assert(math.abs(r.getAs[Double]("trend") - trend) < 1e-5, k)
+      assert(math.abs(r.getAs[Double]("forecast_next") - (level + trend)) < 1e-5, k)
+      assert(math.abs(r.getAs[Double]("mape") - ape / (xs.size - 1)) < 1e-5, k)
+    }
+  }
+
+  test("olsTrend: matches the closed-form fit and R2 stays in [0,1]") {
+    val got = ForecastQueries.olsTrend(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    dailySeries.foreach { case (k, ys) =>
+      val n = ys.size.toDouble
+      val ts = (1 to ys.size).map(_.toDouble)
+      val (sx, sy) = (ts.sum, ys.sum)
+      val sxx = ts.map(t => t * t).sum
+      val syy = ys.map(y => y * y).sum
+      val sxy = ts.zip(ys).map { case (t, y) => t * y }.sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val intercept = (sy - sx * slope) / n
+      val r2 = math.pow(n * sxy - sx * sy, 2) /
+        ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      val r = got(k)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-6, k)
+      assert(math.abs(r.getAs[Double]("intercept") - intercept) < 1e-6, k)
+      assert(math.abs(r.getAs[Double]("r2") - r2) < 1e-6, k)
+      assert(r.getAs[Double]("r2") >= 0.0 && r.getAs[Double]("r2") <= 1.0, k)
+      assert(math.abs(r.getAs[Double]("fit_next") -
+        (slope * (n + 1) + intercept)) < 1e-6, k)
+    }
+  }
+}
