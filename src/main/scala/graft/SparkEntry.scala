@@ -141,6 +141,7 @@ object SparkEntry {
     "q_stream_dedup_wm" -> (PipelineQueries.streamDedupWatermark _),
     "q_stream_upsert" -> (PipelineQueries.streamUpsertKpis _),
     "q_stream_sketch" -> (PipelineQueries.streamSketchTable _),
+    "q_stream_drift" -> (PipelineQueries.streamDriftPsi _),
     "q_stream_join" -> (PipelineQueries.streamJoin _),
     "q_csv_scan" -> (PipelineQueries.csvScan _),
     "q_orc_scan" -> (PipelineQueries.orcScan _),
@@ -676,6 +677,30 @@ object SparkEntry {
       s"""SELECT strftime(ts, '%Y-%m-%d') AS dt,
         |  count(DISTINCT user_id) AS exact_users, TRUE AS within_5pct
         |FROM events WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.StreamCutoff}'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // same PSI math as q_drift_psi, over the stream-cutoff window —
+    // the engine side computes it from the incrementally maintained
+    // day x type count table, not raw history
+    "q_stream_drift" ->
+      s"""WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type,
+        |    count(*) AS cnt
+        |  FROM events WHERE CAST(ts AS DATE) < DATE '${operators.PipelineQueries.StreamCutoff}'
+        |  GROUP BY 1, 2),
+        |ty AS (SELECT DISTINCT event_type FROM c),
+        |k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM ty),
+        |d AS (SELECT dt, CAST(sum(cnt) AS BIGINT) AS n_day FROM c GROUP BY 1),
+        |grid AS (SELECT d.dt, ty.event_type, d.n_day,
+        |    coalesce(c.cnt, 0) AS cnt
+        |  FROM d CROSS JOIN ty
+        |  LEFT JOIN c ON c.dt = d.dt AND c.event_type = ty.event_type),
+        |sm AS (SELECT dt, event_type, n_day,
+        |    (cnt + 0.5) / (n_day + 0.5 * k.k) AS share
+        |  FROM grid CROSS JOIN k),
+        |r AS (SELECT event_type, share AS ref_share FROM sm
+        |  WHERE dt = (SELECT min(dt) FROM sm))
+        |SELECT sm.dt, max(sm.n_day) AS n_events,
+        |  round(sum((share - ref_share) * ln(share / ref_share)), 6) AS psi
+        |FROM sm JOIN r USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_salted_join" ->
       """SELECT o_orderkey, count(*) AS n_items,

@@ -48,11 +48,18 @@ object ExperimentQueries {
     * K, the zero-fill cross join, the reference-day slice) reuse the
     * materialized aggregate instead of re-scanning events. All joins
     * after the checkpoint are broadcastable by construction. */
-  def driftPsi(spark: SparkSession, dir: String): DataFrame = {
-    val counts = load(spark, dir, "events")
+  def driftPsi(spark: SparkSession, dir: String): DataFrame =
+    psiOfCounts(load(spark, dir, "events")
       .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"), col("event_type"))
-      .agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .agg(count(lit(1)).as("cnt")))
+
+  /** PSI body over an already-aggregated (dt, event_type, cnt) count
+    * table — shared by the batch query above and the streaming
+    * monitor ([[PipelineQueries.streamDriftPsi]]), which maintains
+    * the count table incrementally and recomputes PSI from the
+    * stored grain instead of raw history. */
+  private[graft] def psiOfCounts(counts0: DataFrame): DataFrame = {
+    val counts = counts0.localCheckpoint(false)
     val types = counts.select(col("event_type")).distinct()
     val kDf = types.agg(count(lit(1)).cast("double").as("k"))
     val days = counts.groupBy(col("dt")).agg(sum(col("cnt")).as("n_day"))

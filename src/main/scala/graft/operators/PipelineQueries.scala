@@ -840,6 +840,99 @@ object PipelineQueries {
     (table, n)
   }
 
+  /** ST12 × E7: CONTINUOUS drift monitoring — PSI recomputed from an
+    * incrementally maintained day × event_type count table rather
+    * than raw history. The drain keeps the count table current at
+    * O(new data) per trigger; PSI then runs on the stored grain
+    * (|days| × |types| rows), so at 100 TB the monitor's steady-state
+    * cost is the new events plus a toy-sized reread — never a
+    * rescan. Oracle: the same PSI SQL as q_drift_psi restricted to
+    * the stream cutoff. */
+  def streamDriftPsi(spark: SparkSession, dir: String): DataFrame =
+    streamDriftPsiCounted(spark, dir)._1
+
+  private[graft] def streamDriftPsiCounted(
+      spark: SparkSession, dir: String): (DataFrame, Long) = {
+    val in = writeJsonl(spark, dir, "graft-drift-in", cutoffDate = Some(StreamCutoff))
+    val out = Files.createTempDirectory("graft-drift-out")
+    val ck = Files.createTempDirectory("graft-drift-ck")
+    out.toFile.deleteOnExit(); ck.toFile.deleteOnExit()
+    val n = driftCountDrain(spark, in, out.toString, ck.toString)
+    (ExperimentQueries.psiOfCounts(driftCountTable(spark, out.toString)), n)
+  }
+
+  private val driftSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("event_type",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("cnt",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("dt",
+      org.apache.spark.sql.types.StringType)))
+
+  private[graft] def driftCountTable(
+      spark: SparkSession, outDir: String): DataFrame =
+    spark.read.schema(driftSchema).parquet(outDir)
+      .select(col("dt").cast("string").as("dt"), col("event_type"),
+        col("cnt"))
+
+  /** One AvailableNow maintenance drain of the day × event_type count
+    * table at `out` — the mechanism here is KEY-GRAIN UPSERT INSIDE
+    * PARTITION-GRAIN OVERWRITE, which neither existing maintenance
+    * gate needs: the additive-upsert gate's grain equals its
+    * partition (one row per day) and the sketch gate's merge is
+    * idempotent register-max. Counts are neither: the streaming
+    * aggregation runs in UPDATE mode, so each batch emits CUMULATIVE
+    * totals for exactly the (day, type) keys it changed — replay-safe
+    * overwrites, no read-add-write race — but a day partition also
+    * holds the types the batch did NOT change. Before the dynamic
+    * partition overwrite, stored rows of touched days are read back
+    * (partition-pruned listing) and the keys the batch updated are
+    * anti-joined away; batch rows win, untouched keys survive, and
+    * untouched DAYS are never listed, read, or rewritten. */
+  private[graft] def driftCountDrain(
+      spark: SparkSession, in: String, outDir: String, ckDir: String): Long = {
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val out = new java.io.File(outDir)
+    val wire = spark.readStream.schema(graft.model.EventSchema.schema)
+      .option("maxFilesPerTrigger", 1)
+      .json(in)
+    val counts = wire.where(col("event_ts").isNotNull)
+      .withColumn("dt", substring(col("event_ts"), 1, 10))
+      .groupBy(col("dt"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    withShufflePartitions(spark, 8) {
+      val q = counts.writeStream.outputMode("update")
+        .option("checkpointLocation", ckDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          nBatches.incrementAndGet()
+          val b = batch.cache()
+          try {
+            val touched = b.select(col("dt")).distinct()
+              .collect().map(_.getString(0)).toSeq
+            if (touched.nonEmpty) {
+              val hasTable = out.isDirectory && out.listFiles().exists(
+                f => f.isDirectory && f.getName.startsWith("dt="))
+              val stored =
+                if (hasTable)
+                  driftCountTable(spark, outDir)
+                    .where(col("dt").isin(touched: _*))
+                else b.limit(0).select(col("dt"), col("event_type"), col("cnt"))
+              val kept = stored.join(b.select(col("dt"), col("event_type")),
+                Seq("dt", "event_type"), "left_anti")
+              b.select(col("dt"), col("event_type"), col("cnt")).union(kept)
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("dt")
+                .parquet(outDir)
+            }
+          } finally b.unpersist()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    nBatches.get()
+  }
+
   /** One AvailableNow maintenance drain of the sketch table at `out`
     * from the JSONL zone at `in` (checkpoint `ck`) — extracted (r8) so
     * StreamSketchSpec can run SUCCESSIVE drains against one checkpoint
