@@ -39,6 +39,7 @@ object SparkEntry {
     "q_anomaly_hours" -> (KpiQueries.anomalyHours _),
     "q_drift_psi" -> (ExperimentQueries.driftPsi _),
     "q_ab_srm" -> (ExperimentQueries.abSrm _),
+    "q_ab_lift" -> (ExperimentQueries.abLift _),
     "q_feature_assoc" -> (ExperimentQueries.featureAssoc _),
     "q_ks_drift" -> (ExperimentQueries.ksDrift _),
     "q_sample_stratified" -> (ExperimentQueries.stratifiedSample _),
@@ -458,6 +459,43 @@ object SparkEntry {
         |  v.revenue, round(c.chi2, 4) AS srm_chi2,
         |  c.chi2 >= 3.841 AS srm_detected
         |FROM v CROSS JOIN c ORDER BY 1""".stripMargin,
+    // switchback design: (user, day) randomization unit, same-day
+    // purchase conversion, pooled two-proportion z-test; degenerate
+    // variance (p in {0,1}) yields NULL z / false verdict
+    "q_ab_lift" ->
+      """WITH u AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS dt,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+        |        strftime(ts, '%Y-%m-%d')), 1, 2) < '80'
+        |      THEN 'A' ELSE 'B' END AS variant,
+        |    max(CASE WHEN lower(coalesce(event_type, '')) = 'purchase'
+        |        THEN 1 ELSE 0 END) AS converted
+        |  FROM events GROUP BY 1, 2, 3),
+        |w AS (SELECT
+        |    CAST(sum(CASE WHEN variant = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN variant = 'A' THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_a,
+        |    CAST(sum(CASE WHEN variant = 'B' THEN converted ELSE 0 END)
+        |      AS BIGINT) AS conv_b
+        |  FROM u),
+        |s AS (SELECT n_a, n_b, conv_a, conv_b,
+        |    conv_a / CAST(n_a AS DOUBLE) AS ra,
+        |    conv_b / CAST(n_b AS DOUBLE) AS rb,
+        |    (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE) AS p
+        |  FROM w),
+        |s2 AS (SELECT *, sqrt(p * (CAST(1 AS DOUBLE) - p) *
+        |    (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b)) AS se
+        |  FROM s)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |  round(ra, 6) AS rate_a, round(rb, 6) AS rate_b,
+        |  round(ra - rb, 6) AS lift_abs,
+        |  CASE WHEN rb > 0 THEN round((ra - rb) / rb, 6) END AS lift_rel,
+        |  CASE WHEN se > 0 THEN round((ra - rb) / se, 6) END AS z,
+        |  coalesce(abs(CASE WHEN se > 0 THEN (ra - rb) / se END) >= 1.96,
+        |    FALSE) AS significant
+        |FROM s2""".stripMargin,
     // Holt level+trend recursion as a recursive CTE, identical
     // operation shapes to the Spark fold (0.5/0.3/0.7 literals parse
     // to the same doubles both engines)

@@ -88,6 +88,81 @@ object ExperimentQueries {
     * standard SRM gate. */
   val SrmChi2Crit = 3.841
 
+  /** Two-sided normal critical value at alpha = 0.05. */
+  val ZCrit = 1.96
+
+  /** The experiment's user grain: per user, event count, converted
+    * flag (any purchase), revenue, and the deterministic md5-bucket
+    * variant — shared by [[abSrm]] and [[abLift]]. One shuffle on
+    * user_id with map-side partials; the variant is a pure map-side
+    * function of the key. */
+  private def variantUsers(spark: SparkSession, dir: String): DataFrame = {
+    val isPurchase = lower(coalesce(col("event_type"), lit(""))) === "purchase"
+    load(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        max(when(isPurchase, 1L).otherwise(0L)).as("converted"),
+        sum(when(isPurchase, coalesce(col("value"), lit(0.0)))
+          .otherwise(0.0)).as("revenue"))
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 2) < "80", "A")
+          .otherwise("B"))
+  }
+
+  /** The lift readout that follows a clean SRM gate, as a SWITCHBACK
+    * experiment: the randomization unit is (user, day) — the
+    * standard design when a user-level split has no variance to
+    * measure (this fixture's user pool is dense enough that EVERY
+    * user purchases eventually, so user-grain conversion is
+    * degenerately 100%; per-exposure-day conversion is ~1/3 and the
+    * z-test is real). Per-variant unit counts and same-day-purchase
+    * conversion rates, absolute/relative lift of A over B, and the
+    * pooled two-proportion z-test with its alpha = .05 verdict.
+    * Degenerate guards are explicit CASE branches (p in {0,1} means
+    * zero pooled variance → z is NULL, significant false; Spark 4
+    * runs ANSI mode, where an unguarded 0/0 double division is a
+    * runtime error, not a NaN).
+    *
+    * Shape: one shuffle at the (user, day) unit grain with map-side
+    * partials, then one conditional aggregation straight to a single
+    * row — no second pass, no driver math. Integer count inputs keep
+    * every derived double engine-exact. */
+  def abLift(spark: SparkSession, dir: String): DataFrame = {
+    val isPurchase = lower(coalesce(col("event_type"), lit(""))) === "purchase"
+    val units = load(spark, dir, "events")
+      .select(col("user_id"), date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+        col("event_type"))
+      .groupBy(col("user_id"), col("dt"))
+      .agg(max(when(isPurchase, 1L).otherwise(0L)).as("converted"))
+      .withColumn("variant",
+        when(substring(md5(concat(col("user_id").cast("string"), lit(":"),
+          col("dt"))), 1, 2) < "80", "A").otherwise("B"))
+    val agg = units.agg(
+      sum(when(col("variant") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("variant") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("variant") === "A", col("converted")).otherwise(0L))
+        .as("conv_a"),
+      sum(when(col("variant") === "B", col("converted")).otherwise(0L))
+        .as("conv_b"))
+    val ra = col("conv_a") / col("n_a").cast("double")
+    val rb = col("conv_b") / col("n_b").cast("double")
+    val p = (col("conv_a") + col("conv_b")) /
+      (col("n_a") + col("n_b")).cast("double")
+    val se = sqrt(p * (lit(1.0) - p) *
+      (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+    val z = when(se > 0, (ra - rb) / se)
+    agg.select(
+      col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      F.roundBin(ra, 6).as("rate_a"),
+      F.roundBin(rb, 6).as("rate_b"),
+      F.roundBin(ra - rb, 6).as("lift_abs"),
+      when(rb > 0, F.roundBin((ra - rb) / rb, 6)).as("lift_rel"),
+      F.roundBin(z, 6).as("z"),
+      coalesce(abs(z) >= lit(ZCrit), lit(false)).as("significant"))
+  }
+
   /** Deterministic 50/50 A/B assignment + sample-ratio-mismatch gate.
     *
     * Assignment is a pure function of user_id (first two hex chars of
@@ -106,19 +181,7 @@ object ExperimentQueries {
     * variant rollup; the chi-square runs as a window over that 2-row
     * frame — no driver-side math, no second pass over data. */
   def abSrm(spark: SparkSession, dir: String): DataFrame = {
-    val isPurchase = lower(coalesce(col("event_type"), lit(""))) === "purchase"
-    val users = load(spark, dir, "events")
-      .select(col("user_id"), col("event_type"), col("value"))
-      .groupBy(col("user_id"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        max(when(isPurchase, 1L).otherwise(0L)).as("converted"),
-        sum(when(isPurchase, coalesce(col("value"), lit(0.0)))
-          .otherwise(0.0)).as("revenue"))
-      .withColumn("variant",
-        when(substring(md5(col("user_id").cast("string")), 1, 2) < "80", "A")
-          .otherwise("B"))
-    val byVariant = users.groupBy(col("variant"))
+    val byVariant = variantUsers(spark, dir).groupBy(col("variant"))
       .agg(
         count(lit(1)).as("n_users"),
         sum(col("n_events")).as("n_events"),

@@ -60,6 +60,30 @@ class ExperimentSpec extends SparkSpec {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("abLift: units partition the user-day population; z recomputes from counts") {
+    import org.apache.spark.sql.functions._
+    val lift = ExperimentQueries.abLift(spark, sf).head()
+    val totalUnits = Tables.load(spark, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().count()
+    assert(lift.getAs[Long]("n_a") + lift.getAs[Long]("n_b") == totalUnits,
+      "variant unit counts must partition the user-day population")
+    // the switchback grain must have genuine variance on this fixture
+    // (the user grain degenerates to 100% conversion — that's WHY the
+    // unit is user-day)
+    assert(lift.getAs[Long]("conv_a") < lift.getAs[Long]("n_a"))
+    assert(lift.getAs[Long]("conv_a") > 0L)
+    assert(!lift.isNullAt(lift.fieldIndex("z")), "z must be defined here")
+    val (na, nb) = (lift.getAs[Long]("n_a").toDouble, lift.getAs[Long]("n_b").toDouble)
+    val (ca, cb) = (lift.getAs[Long]("conv_a").toDouble, lift.getAs[Long]("conv_b").toDouble)
+    val (ra, rb) = (ca / na, cb / nb)
+    val p = (ca + cb) / (na + nb)
+    val z = (ra - rb) / math.sqrt(p * (1.0 - p) * (1.0 / na + 1.0 / nb))
+    assert(math.abs(lift.getAs[Double]("z") - z) < 1e-5)
+    assert(lift.getAs[Boolean]("significant") ==
+      (math.abs(z) >= ExperimentQueries.ZCrit))
+    assert(math.abs(lift.getAs[Double]("lift_abs") - (ra - rb)) < 1e-5)
+  }
+
   test("featureAssoc: statistics recompute from the raw contingency table") {
     import org.apache.spark.sql.functions._
     val r = ExperimentQueries.featureAssoc(spark, sf).head()

@@ -125,6 +125,33 @@ class SqlInterfaceSpec extends SparkSpec {
       "SQL sessionize != Scala sessionize")
   }
 
+  test("drift PSI (zero-filled grid + reference-day self-join) via pure SQL text") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """WITH c AS (SELECT date_format(ts, 'yyyy-MM-dd') AS dt, event_type,
+        |    count(*) AS cnt FROM events GROUP BY 1, 2),
+        |ty AS (SELECT DISTINCT event_type FROM c),
+        |k AS (SELECT CAST(count(*) AS DOUBLE) AS k FROM ty),
+        |d AS (SELECT dt, sum(cnt) AS n_day FROM c GROUP BY 1),
+        |grid AS (SELECT d.dt, ty.event_type, d.n_day,
+        |    coalesce(c.cnt, 0) AS cnt
+        |  FROM d CROSS JOIN ty
+        |  LEFT JOIN c ON c.dt = d.dt AND c.event_type = ty.event_type),
+        |sm AS (SELECT dt, event_type, n_day,
+        |    (cnt + 0.5) / (n_day + 0.5 * k.k) AS share
+        |  FROM grid CROSS JOIN k),
+        |r AS (SELECT event_type, share AS ref_share FROM sm
+        |  WHERE dt = (SELECT min(dt) FROM sm))
+        |SELECT sm.dt, max(sm.n_day) AS n_events,
+        |  round_bin(sum((share - ref_share) * ln(share / ref_share)), 6)
+        |    AS psi
+        |FROM sm JOIN r USING (event_type)
+        |GROUP BY sm.dt ORDER BY sm.dt""".stripMargin)
+    assert(rowsOf(viaSql) ===
+      rowsOf(graft.operators.ExperimentQueries.driftPsi(spark, sf)),
+      "SQL PSI != Scala PSI")
+  }
+
   test("custom aggregate + scalar functions compose in SQL over a view") {
     // KMV: no name collision with Spark's datasketches builtins (the
     // builtin `hll_union` shadows graft's SQL name — install() never
