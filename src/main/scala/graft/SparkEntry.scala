@@ -40,6 +40,7 @@ object SparkEntry {
     "q_drift_psi" -> (ExperimentQueries.driftPsi _),
     "q_ab_srm" -> (ExperimentQueries.abSrm _),
     "q_ab_lift" -> (ExperimentQueries.abLift _),
+    "q_cuped" -> (ExperimentQueries.cupedLift _),
     "q_feature_assoc" -> (ExperimentQueries.featureAssoc _),
     "q_ks_drift" -> (ExperimentQueries.ksDrift _),
     "q_sample_stratified" -> (ExperimentQueries.stratifiedSample _),
@@ -459,6 +460,54 @@ object SparkEntry {
         |  v.revenue, round(c.chi2, 4) AS srm_chi2,
         |  c.chi2 >= 3.841 AS srm_detected
         |FROM v CROSS JOIN c ORDER BY 1""".stripMargin,
+    // CUPED from the six per-variant sums: var(Y') expands in closed
+    // form, so no per-user adjusted value is summed (order-dependent
+    // float addition would break engine parity); population variance
+    "q_cuped" ->
+      s"""WITH u AS (SELECT user_id,
+        |    CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 2) < '80'
+        |         THEN 'A' ELSE 'B' END AS variant,
+        |    sum(CASE WHEN CAST(ts AS DATE) < DATE '${operators.ExperimentQueries.CupedSplit}'
+        |        THEN 1 ELSE 0 END) AS x,
+        |    sum(CASE WHEN CAST(ts AS DATE) < DATE '${operators.ExperimentQueries.CupedSplit}'
+        |        THEN 0 ELSE 1 END) AS y
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT variant, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy
+        |  FROM u GROUP BY 1),
+        |g AS (SELECT *,
+        |    sum(n) OVER () AS gn, sum(sx) OVER () AS gsx,
+        |    sum(sy) OVER () AS gsy, sum(sxx) OVER () AS gsxx,
+        |    sum(sxy) OVER () AS gsxy
+        |  FROM s),
+        |t AS (SELECT *,
+        |    gsxx / gn - (gsx / gn) * (gsx / gn) AS gvarx,
+        |    gsxy / gn - (gsx / gn) * (gsy / gn) AS gcov,
+        |    sy / n AS mean_y
+        |  FROM g),
+        |t2 AS (SELECT *,
+        |    CASE WHEN gvarx > 0 THEN gcov / gvarx ELSE 0.0 END AS theta,
+        |    syy / n - mean_y * mean_y AS var_y,
+        |    sxx / n - (sx / n) * (sx / n) AS var_x,
+        |    sxy / n - (sx / n) * mean_y AS cov_xy
+        |  FROM t),
+        |t3 AS (SELECT *,
+        |    mean_y - theta * (sx / n - gsx / gn) AS mean_y_cuped,
+        |    var_y - 2.0 * theta * cov_xy + theta * theta * var_x
+        |      AS var_y_cuped
+        |  FROM t2)
+        |SELECT variant, CAST(n AS BIGINT) AS n_users,
+        |  round(theta, 6) AS theta,
+        |  round(mean_y, 6) AS mean_y, round(var_y, 6) AS var_y,
+        |  round(mean_y_cuped, 6) AS mean_y_cuped,
+        |  round(var_y_cuped, 6) AS var_y_cuped,
+        |  CASE WHEN var_y > 0
+        |    THEN round(CAST(1 AS DOUBLE) - var_y_cuped / var_y, 6) END
+        |    AS var_reduction
+        |FROM t3 ORDER BY 1""".stripMargin,
     // switchback design: (user, day) randomization unit, same-day
     // purchase conversion, pooled two-proportion z-test; degenerate
     // variance (p in {0,1}) yields NULL z / false verdict

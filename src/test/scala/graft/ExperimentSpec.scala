@@ -84,6 +84,60 @@ class ExperimentSpec extends SparkSpec {
     assert(math.abs(lift.getAs[Double]("lift_abs") - (ra - rb)) < 1e-5)
   }
 
+  test("cupedLift: closed-form matches a per-user recompute; variance genuinely drops") {
+    import org.apache.spark.sql.functions._
+    val rows = ExperimentQueries.cupedLift(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("A", "B"))
+    // theta is pooled — identical on both rows
+    assert(rows("A").getAs[Double]("theta") == rows("B").getAs[Double]("theta"))
+    // recompute from raw per-user (x, y, variant)
+    val users = Tables.load(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(to_date(col("ts")) < lit(ExperimentQueries.CupedSplit), 1L)
+          .otherwise(0L)).as("x"),
+        sum(when(to_date(col("ts")) < lit(ExperimentQueries.CupedSplit), 0L)
+          .otherwise(1L)).as("y"))
+      .withColumn("variant",
+        when(substring(md5(col("user_id").cast("string")), 1, 2) < "80", "A")
+          .otherwise("B"))
+      .collect().map(r => (r.getAs[String]("variant"),
+        r.getAs[Long]("x").toDouble, r.getAs[Long]("y").toDouble))
+    val gn = users.length.toDouble
+    val gmx = users.map(_._2).sum / gn
+    val gmy = users.map(_._3).sum / gn
+    val gvarx = users.map(u => (u._2 - gmx) * (u._2 - gmx)).sum / gn
+    val gcov = users.map(u => (u._2 - gmx) * (u._3 - gmy)).sum / gn
+    val theta = gcov / gvarx
+    assert(math.abs(rows("A").getAs[Double]("theta") - theta) < 1e-4)
+    Seq("A", "B").foreach { v =>
+      val vs = users.filter(_._1 == v)
+      val n = vs.length.toDouble
+      val my = vs.map(_._3).sum / n
+      val varY = vs.map(u => (u._3 - my) * (u._3 - my)).sum / n
+      val adj = vs.map(u => u._3 - theta * (u._2 - gmx))
+      val mc = adj.sum / n
+      val varC = adj.map(a => (a - mc) * (a - mc)).sum / n
+      val r = rows(v)
+      assert(r.getAs[Long]("n_users") == vs.length)
+      assert(math.abs(r.getAs[Double]("mean_y") - my) < 1e-4, v)
+      assert(math.abs(r.getAs[Double]("var_y") - varY) < 1e-2, v)
+      assert(math.abs(r.getAs[Double]("mean_y_cuped") - mc) < 1e-4, v)
+      assert(math.abs(r.getAs[Double]("var_y_cuped") - varC) < 1e-2, v)
+    }
+    // the provable property is POPULATION-wide: var(Y - theta*X) is
+    // minimized at theta = cov/var, so the pooled variance must drop
+    // (a 15-user subgroup can legitimately see a pooled theta
+    // over-adjust — variant A at sf0.001 does)
+    val gvary = users.map(u => (u._3 - gmy) * (u._3 - gmy)).sum / gn
+    val adjAll = users.map(u => u._3 - theta * (u._2 - gmx))
+    val mcAll = adjAll.sum / gn
+    val gvarc = adjAll.map(a => (a - mcAll) * (a - mcAll)).sum / gn
+    assert(gvarc < gvary,
+      s"CUPED did not reduce pooled variance: $gvarc vs $gvary")
+  }
+
   test("featureAssoc: statistics recompute from the raw contingency table") {
     import org.apache.spark.sql.functions._
     val r = ExperimentQueries.featureAssoc(spark, sf).head()
