@@ -47,6 +47,7 @@ object SparkEntry {
     "q_sample_bernoulli" -> (ExperimentQueries.bernoulliSample _),
     "q_holt_trend" -> (ForecastQueries.holtTrend _),
     "q_ols_trend" -> (ForecastQueries.olsTrend _),
+    "q_stl_decompose" -> (ForecastQueries.stlDecompose _),
     "q_rfm_segments" -> (KpiQueries.rfmSegments _),
     "q_approx_distinct" -> (KpiQueries.approxDistinct _),
     "q_approx_distinct_fast" -> (KpiQueries.approxDistinctFast _),
@@ -574,6 +575,27 @@ object SparkEntry {
         |FROM h JOIN (SELECT event_type, max(t) AS n FROM o GROUP BY 1) m
         |  ON m.event_type = h.event_type AND h.t = m.n
         |ORDER BY 1""".stripMargin,
+    // STL-lite: 7-day centered MA trend, dow seasonal re-centered to
+    // sum to zero over the series, 2-sigma residual anomaly;
+    // Spark dayofweek - 1 == DuckDB dayofweek (Sunday = 0)
+    "q_stl_decompose" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS dt, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT dt, n, dayofweek(CAST(dt AS DATE)) AS dow,
+        |    CASE WHEN count(*) OVER w7 = 7
+        |      THEN CAST(sum(n) OVER w7 AS DOUBLE) / 7.0 END AS trend
+        |  FROM d
+        |  WINDOW w7 AS (ORDER BY dt ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |t2 AS (SELECT *, n - trend AS detrended FROM t),
+        |t3 AS (SELECT *, avg(detrended) OVER (PARTITION BY dow) AS s_raw
+        |  FROM t2),
+        |t4 AS (SELECT *, s_raw - avg(s_raw) OVER () AS seasonal FROM t3),
+        |t5 AS (SELECT *, n - trend - seasonal AS resid FROM t4),
+        |t6 AS (SELECT *, stddev_pop(resid) OVER () AS sigma FROM t5)
+        |SELECT dt, n, CAST(dow AS INT) AS dow, round(trend, 6) AS trend,
+        |  round(seasonal, 6) AS seasonal, round(resid, 6) AS resid,
+        |  coalesce(abs(resid) > 2.0 * sigma, FALSE) AS anomaly
+        |FROM t6 ORDER BY 1""".stripMargin,
     // closed-form OLS from the five sums; t and y are integer-valued
     // so the sums are exact and every derived double is
     // engine-identical

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.F
 
@@ -94,6 +95,58 @@ object ForecastQueries {
         F.roundBin(col("h.level") + col("h.trend"), 6).as("forecast_next"),
         F.roundBin(col("h.ape") / (col("n_days") - 1), 6).as("mape"))
       .orderBy(col("event_type"))
+  }
+
+  /** STL-lite additive decomposition of the global daily event count:
+    * trend = centered 7-day moving average (null at the 3-day edges
+    * where the window is incomplete), seasonal = per-day-of-week mean
+    * of the detrended series re-centered to sum to zero, residual =
+    * n - trend - seasonal, and a |resid| > 2*sigma anomaly flag —
+    * the seasonality-aware monitor that a plain z-score
+    * (q_anomaly_hours) can't be: a strong weekly cycle would
+    * otherwise flag every weekend.
+    *
+    * Engine parity: counts are integers, so the 7-day window sums are
+    * exact and trend is a single deterministic division; day-of-week
+    * uses Spark's dayofweek(d) - 1 == DuckDB's dayofweek(d)
+    * (Sunday = 0) explicitly.
+    *
+    * Shape: ONE map-side-combinable count to the day grain touches
+    * data; the decomposition runs on the checkpoint-pinned |days|-row
+    * series (single-partition windows over 30 rows by design — at
+    * years-of-history scale this is still thousands of rows on one
+    * task, which is the correct plan; the data-sized stage never
+    * re-runs). */
+  def stlDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val dailyAll = load(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false)
+    val wTrend = Window.orderBy(col("dt")).rowsBetween(-3, 3)
+    val trended = dailyAll
+      .withColumn("dow", (dayofweek(to_date(col("dt"))) - 1).cast("int"))
+      .withColumn("trend",
+        when(count(lit(1)).over(wTrend) === 7,
+          sum(col("n")).over(wTrend).cast("double") / lit(7.0)))
+      .withColumn("detrended", col("n") - col("trend"))
+    val bySeason = trended
+      .withColumn("s_raw", avg(col("detrended")).over(Window.partitionBy(col("dow"))))
+      .withColumn("seasonal",
+        col("s_raw") - avg(col("s_raw")).over(Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("resid", col("n") - col("trend") - col("seasonal"))
+    val sd = bySeason
+      .withColumn("sigma", stddev_pop(col("resid")).over(
+        Window.partitionBy(lit(1))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    sd.select(
+      col("dt"), col("n"), col("dow"),
+      F.roundBin(col("trend"), 6).as("trend"),
+      F.roundBin(col("seasonal"), 6).as("seasonal"),
+      F.roundBin(col("resid"), 6).as("resid"),
+      coalesce(abs(col("resid")) > lit(2.0) * col("sigma"), lit(false))
+        .as("anomaly"))
+      .orderBy(col("dt"))
   }
 
   /** Closed-form OLS fit of daily count vs day index t = 1..n per

@@ -44,6 +44,37 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("stlDecompose: components recompose; seasonal sums to zero; edges null") {
+    val rows = ForecastQueries.stlDecompose(spark, sf).collect()
+      .sortBy(_.getString(0))
+    assert(rows.length >= 7)
+    // 3-day edges have no complete 7-day window
+    (rows.take(3) ++ rows.takeRight(3)).foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("trend")), s"edge trend must be null: $r")
+      assert(r.isNullAt(r.fieldIndex("resid")))
+      assert(!r.getAs[Boolean]("anomaly"), "null resid must not flag")
+    }
+    rows.drop(3).dropRight(3).foreach { r =>
+      // trend equals the centered 7-day mean of raw counts
+      val i = rows.indexOf(r)
+      val ma = rows.slice(i - 3, i + 4).map(_.getAs[Long]("n")).sum / 7.0
+      assert(math.abs(r.getAs[Double]("trend") - ma) < 1e-6, r.getString(0))
+      // n = trend + seasonal + resid
+      val recomposed = r.getAs[Double]("trend") +
+        r.getAs[Double]("seasonal") + r.getAs[Double]("resid")
+      assert(math.abs(recomposed - r.getAs[Long]("n")) < 1e-4, r.getString(0))
+    }
+    // the seasonal component is centered over the series
+    val sumSeasonal = rows.map(_.getAs[Double]("seasonal")).sum
+    assert(math.abs(sumSeasonal) < 1e-3, s"seasonal not centered: $sumSeasonal")
+    // dow matches the calendar (Sunday = 0)
+    rows.foreach { r =>
+      val expected = java.time.LocalDate.parse(r.getString(0))
+        .getDayOfWeek.getValue % 7
+      assert(r.getAs[Int]("dow") == expected, r.getString(0))
+    }
+  }
+
   test("olsTrend: matches the closed-form fit and R2 stays in [0,1]") {
     val got = ForecastQueries.olsTrend(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
