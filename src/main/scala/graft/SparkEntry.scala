@@ -48,6 +48,7 @@ object SparkEntry {
     "q_holt_trend" -> (ForecastQueries.holtTrend _),
     "q_ols_trend" -> (ForecastQueries.olsTrend _),
     "q_stl_decompose" -> (ForecastQueries.stlDecompose _),
+    "q_cusum" -> (ForecastQueries.cusum _),
     "q_rfm_segments" -> (KpiQueries.rfmSegments _),
     "q_approx_distinct" -> (KpiQueries.approxDistinct _),
     "q_approx_distinct_fast" -> (KpiQueries.approxDistinctFast _),
@@ -575,6 +576,35 @@ object SparkEntry {
         |FROM h JOIN (SELECT event_type, max(t) AS n FROM o GROUP BY 1) m
         |  ON m.event_type = h.event_type AND h.t = m.n
         |ORDER BY 1""".stripMargin,
+    // two-sided CUSUM on the standardized daily count; mu/sigma from
+    // exact integer sums (no Welford path), k=0.5, h=4
+    "q_cusum" ->
+      """WITH RECURSIVE d AS (SELECT strftime(ts, '%Y-%m-%d') AS dt,
+        |    count(*) AS x
+        |  FROM events GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS cnt,
+        |    CAST(sum(x) AS DOUBLE) AS sx,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx
+        |  FROM d),
+        |o AS (SELECT dt, x, row_number() OVER (ORDER BY dt) AS t,
+        |    (x - st.sx / st.cnt) /
+        |      sqrt(st.sxx / st.cnt - (st.sx / st.cnt) * (st.sx / st.cnt))
+        |      AS z
+        |  FROM d CROSS JOIN st),
+        |h AS (
+        |  SELECT dt, x, t, z,
+        |    greatest(0.0, z - 0.5) AS spos,
+        |    greatest(0.0, -z - 0.5) AS sneg
+        |  FROM o WHERE t = 1
+        |  UNION ALL
+        |  SELECT o.dt, o.x, o.t, o.z,
+        |    greatest(0.0, h.spos + o.z - 0.5),
+        |    greatest(0.0, h.sneg - o.z - 0.5)
+        |  FROM h JOIN o ON o.t = h.t + 1)
+        |SELECT dt, x AS n, round(z, 6) AS z,
+        |  round(spos, 6) AS cusum_pos, round(sneg, 6) AS cusum_neg,
+        |  (spos > 4.0 OR sneg > 4.0) AS alarm
+        |FROM h ORDER BY 1""".stripMargin,
     // STL-lite: 7-day centered MA trend, dow seasonal re-centered to
     // sum to zero over the series, 2-sigma residual anomaly;
     // Spark dayofweek - 1 == DuckDB dayofweek (Sunday = 0)

@@ -149,6 +149,75 @@ object ForecastQueries {
       .orderBy(col("dt"))
   }
 
+  /** CUSUM reference drift `k` (in sigma units) and alarm threshold
+    * `h` — the textbook defaults for detecting a sustained ~1-sigma
+    * level shift. */
+  val CusumK = 0.5
+  val CusumH = 4.0
+
+  /** Two-sided CUSUM change-point detection on the standardized
+    * global daily count: z_t = (x_t - mu)/sigma with mu/sigma from
+    * the exact integer sums (engine-deterministic — no Welford-path
+    * stddev), then the classic recursions
+    * {{{
+    *   S+_t = max(0, S+_{t-1} + z_t - k)
+    *   S-_t = max(0, S-_{t-1} - z_t - k)
+    * }}}
+    * alarming when either side exceeds h. Where [[stlDecompose]]
+    * flags single outlier days, CUSUM accumulates small sustained
+    * shifts — the level-change monitor of the family.
+    *
+    * The recursion folds the sorted series like [[holtTrend]], but
+    * emits the whole path: the accumulator is the array of states,
+    * seeded with day 1 (never empty, so the last-element access
+    * needs no ANSI-hostile out-of-bounds guard), and explodes back
+    * to rows at the end. Scale: one map-side-combinable count to day
+    * grain touches data; the fold is |days|-bounded. */
+  def cusum(spark: SparkSession, dir: String): DataFrame = {
+    val dailyAll = load(spark, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt"))
+      .agg(count(lit(1)).as("x"))
+    val stats = dailyAll.agg(
+      count(lit(1)).cast("double").as("cnt"),
+      sum(col("x")).cast("double").as("sx"),
+      sum(col("x") * col("x")).cast("double").as("sxx"))
+    val series = dailyAll
+      .agg(array_sort(collect_list(struct(col("dt"), col("x")))).as("pts"))
+      .crossJoin(broadcast(stats))
+      .withColumn("mu", col("sx") / col("cnt"))
+      .withColumn("sigma",
+        sqrt(col("sxx") / col("cnt") - (col("sx") / col("cnt")) *
+          (col("sx") / col("cnt"))))
+    def zOf(p: Column): Column =
+      (p.getField("x").cast("double") - col("mu")) / col("sigma")
+    def state(p: Column, spos: Column, sneg: Column): Column =
+      struct(p.getField("dt").as("dt"), p.getField("x").as("x"),
+        zOf(p).as("z"), spos.as("spos"), sneg.as("sneg"))
+    val first = element_at(col("pts"), 1)
+    val z1 = zOf(first)
+    val path = aggregate(
+      slice(col("pts"), lit(2), size(col("pts")) - 1),
+      array(state(first,
+        greatest(lit(0.0), z1 - lit(CusumK)),
+        greatest(lit(0.0), -z1 - lit(CusumK)))),
+      (acc, p) => {
+        val last = element_at(acc, size(acc))
+        concat(acc, array(state(p,
+          greatest(lit(0.0), last.getField("spos") + zOf(p) - lit(CusumK)),
+          greatest(lit(0.0), last.getField("sneg") - zOf(p) - lit(CusumK)))))
+      })
+    series
+      .select(explode(path).as("p"))
+      .select(
+        col("p.dt").as("dt"), col("p.x").as("n"),
+        F.roundBin(col("p.z"), 6).as("z"),
+        F.roundBin(col("p.spos"), 6).as("cusum_pos"),
+        F.roundBin(col("p.sneg"), 6).as("cusum_neg"),
+        (col("p.spos") > lit(CusumH) || col("p.sneg") > lit(CusumH))
+          .as("alarm"))
+      .orderBy(col("dt"))
+  }
+
   /** Closed-form OLS fit of daily count vs day index t = 1..n per
     * event_type: slope/intercept from the classic sum formulation
     * {{{

@@ -75,6 +75,31 @@ class ForecastSpec extends SparkSpec {
     }
   }
 
+  test("cusum: recursion recomputes from the raw series; alarms coherent") {
+    val rows = ForecastQueries.cusum(spark, sf).collect().sortBy(_.getString(0))
+    val xs = Tables.load(spark, sf, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("dt")).count()
+      .collect().sortBy(_.getString(0)).map(_.getLong(1).toDouble)
+    assert(rows.length == xs.length)
+    val n = xs.length.toDouble
+    val mu = xs.sum / n
+    val sigma = math.sqrt(xs.map(x => x * x).sum / n - mu * mu)
+    var spos = 0.0; var sneg = 0.0
+    rows.zip(xs).foreach { case (r, x) =>
+      val z = (x - mu) / sigma
+      spos = math.max(0.0, spos + z - ForecastQueries.CusumK)
+      sneg = math.max(0.0, sneg - z - ForecastQueries.CusumK)
+      assert(r.getAs[Long]("n") == x.toLong)
+      assert(math.abs(r.getAs[Double]("z") - z) < 1e-5, r.getString(0))
+      assert(math.abs(r.getAs[Double]("cusum_pos") - spos) < 1e-5, r.getString(0))
+      assert(math.abs(r.getAs[Double]("cusum_neg") - sneg) < 1e-5, r.getString(0))
+      assert(r.getAs[Boolean]("alarm") ==
+        (spos > ForecastQueries.CusumH || sneg > ForecastQueries.CusumH))
+      assert(r.getAs[Double]("cusum_pos") >= 0.0)
+      assert(r.getAs[Double]("cusum_neg") >= 0.0)
+    }
+  }
+
   test("olsTrend: matches the closed-form fit and R2 stays in [0,1]") {
     val got = ForecastQueries.olsTrend(spark, sf).collect()
       .map(r => r.getString(0) -> r).toMap
