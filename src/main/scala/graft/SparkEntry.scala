@@ -146,6 +146,7 @@ object SparkEntry {
     "q_stream_upsert" -> (PipelineQueries.streamUpsertKpis _),
     "q_stream_sketch" -> (PipelineQueries.streamSketchTable _),
     "q_stream_drift" -> (PipelineQueries.streamDriftPsi _),
+    "q_dsv2_scan" -> (PipelineQueries.dsv2Scan _),
     "q_stream_join" -> (PipelineQueries.streamJoin _),
     "q_csv_scan" -> (PipelineQueries.csvScan _),
     "q_orc_scan" -> (PipelineQueries.orcScan _),

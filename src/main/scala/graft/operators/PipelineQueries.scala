@@ -840,6 +840,30 @@ object PipelineQueries {
     (table, n)
   }
 
+  /** S1 × S6 via the DataSourceV2 CONNECTOR API: KPIs over the
+    * synthetic wire stream read through `format("graft-events")` —
+    * the scan plans one InputPartition per day, the pushed event_ts
+    * filter prunes the first 3 of 7 days at PLANNING time, and
+    * column pruning reaches the reader (only the projected fields are
+    * ever materialized). No DuckDB twin exists for a virtual source,
+    * so the gate is rows-only; EventsSourceSpec pins bit-identity to
+    * the column-expression generator, the pruned partition count,
+    * and the pruned scan schema. */
+  def dsv2Scan(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-events")
+      .option("n", 50000L).option("days", 7)
+      .load()
+      .where(col("event_ts") >= "2025-09-04")
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("event_ts")).as("first_ts"),
+        max(col("event_ts")).as("last_ts"),
+        graft.functions.F.roundBin(
+          sum(coalesce(col("price"), lit(0.0))), 2).as("revenue"))
+      .orderBy(col("event_type"))
+
   /** ST12 × E7: CONTINUOUS drift monitoring — PSI recomputed from an
     * incrementally maintained day × event_type count table rather
     * than raw history. The drain keeps the count table current at

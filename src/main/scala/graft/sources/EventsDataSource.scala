@@ -1,0 +1,253 @@
+package graft.sources
+
+import java.time.{Instant, LocalDate, ZoneOffset}
+import java.time.format.DateTimeFormatter
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XxHash64Function}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSourceV2 connector for the deterministic synthetic event
+  * stream — the CONNECTOR-API rung of the custom-extension ladder
+  * (Expression → TypedImperativeAggregate → Generator → Rule →
+  * Strategy/SparkPlan → TableProvider). `spark.read
+  * .format("graft-events").option("n", …)` plans one InputPartition
+  * per synthetic DAY, prunes those partitions against pushed
+  * `event_ts` range filters BEFORE any reader is created (the
+  * connector-level analogue of Hive partition pruning), and honors
+  * column pruning by materializing only the fields Spark asks for —
+  * an un-projected wire row never exists.
+  *
+  * Every value is bit-identical to [[graft.gen.EventGenerator]]'s
+  * column-expression formulation (reference:
+  * kafka/producer/produce_events.py:23-74): the same xxhash64-seeded
+  * uniforms (`XxHash64Function` IS the interpreter behind the SQL
+  * `xxhash64`), the same sha2-256 session surrogate, the same
+  * HALF_EVEN bround on the decimal repr of the price double.
+  * EventsSourceSpec pins row-set equality, the partition count after
+  * pruning, and the pruned read schema.
+  *
+  * Scale: embarrassingly parallel — partition planning is O(days)
+  * driver work (binary-searched exact id boundaries, so a pruned day
+  * can never orphan a boundary row), readers are independent, and no
+  * shuffle exists anywhere. Filters are re-evaluated by Spark after
+  * the scan (pushFilters returns them all), so pruning is a pure
+  * optimization that can never change semantics.
+  */
+class EventsDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-events"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EventsDataSource.WireSchema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new EventsTable(EventsConf(new CaseInsensitiveStringMap(properties)))
+}
+
+object EventsDataSource {
+  /** The producer wire schema (after the generator drops id/ts). */
+  val WireSchema: StructType = StructType(Seq(
+    StructField("event_ts", StringType, nullable = false),
+    StructField("user_id", StringType, nullable = false),
+    StructField("session_id", StringType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("page", StringType, nullable = false),
+    StructField("product_id", StringType, nullable = false),
+    StructField("price", DoubleType, nullable = true),
+    StructField("currency", StringType, nullable = false),
+    StructField("referrer", StringType, nullable = false),
+    StructField("user_agent", StringType, nullable = false)))
+
+  private val MicrosPerDay = 86400000000L
+  private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+    .withZone(ZoneOffset.UTC)
+
+  /** seeded xxhash64 of (seed ++ id) exactly as the SQL
+    * `xxhash64(concat(lit(seed), id.cast("string")))` computes it —
+    * same interpreter object, same default seed 42. */
+  private[sources] def xx(seed: String, id: Long): Long =
+    XxHash64Function.hash(UTF8String.fromString(seed + id.toString),
+      StringType, 42L)
+
+  private def pmod(a: Long, m: Long): Long = { val r = a % m; if (r < 0) r + m else r }
+
+  private[sources] def u01(seed: String, id: Long): Double =
+    pmod(xx(seed, id), 1000000L).toDouble / 1000000.0
+
+  private def pick(seed: String, id: Long, values: Seq[String]): String =
+    values(pmod(xx(seed, id), values.size.toLong).toInt)
+
+  private def sha256Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8"))
+    d.map(b => f"$b%02x").mkString
+  }
+
+  /** Spark's BRound on DoubleType: HALF_EVEN over the decimal string
+    * repr (BigDecimal.valueOf), not the binary value. */
+  private def bround2(x: Double): Double =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(2, java.math.RoundingMode.HALF_EVEN).doubleValue()
+
+  /** One wire field for event `id` — the row-wise twin of
+    * EventGenerator.withEventColumns. */
+  private[sources] def fieldValue(conf: EventsConf, field: String, id: Long): Any = {
+    val seed = conf.seed
+    field match {
+      case "event_ts" =>
+        val micros = conf.startMicros + (id.toDouble * conf.stepMicros).toLong
+        UTF8String.fromString(
+          TsFmt.format(Instant.ofEpochSecond(micros / 1000000L)) + "Z")
+      case "user_id" =>
+        UTF8String.fromString("u_" + (pmod(xx(s"$seed:uid", id), 2000L) + 1))
+      case "session_id" =>
+        UTF8String.fromString(sha256Hex(s"$seed:sess" + id.toString))
+      case "event_type" => UTF8String.fromString(eventType(seed, id))
+      case "page" => UTF8String.fromString(
+        pick(s"$seed:page", id, Seq("/", "/search", "/product", "/cart", "/checkout")))
+      case "product_id" =>
+        UTF8String.fromString("sku_" + (pmod(xx(s"$seed:sku", id), 300L) + 1))
+      case "price" =>
+        if (eventType(seed, id) == "purchase")
+          bround2(5.0 + u01(s"$seed:price", id) * 115.0)
+        else null
+      case "currency" => UTF8String.fromString("USD")
+      case "referrer" => UTF8String.fromString(
+        pick(s"$seed:ref", id, Seq("google", "email", "direct", "ads")))
+      case "user_agent" => UTF8String.fromString("Mozilla/5.0")
+    }
+  }
+
+  private def eventType(seed: String, id: Long): String = {
+    val u = u01(s"$seed:et", id)
+    if (u < 0.75) "page_view"
+    else if (u < 0.90) "add_to_cart"
+    else if (u < 0.97) "checkout"
+    else "purchase"
+  }
+}
+
+private[sources] case class EventsConf(n: Long, seed: String,
+    startDate: String, days: Int) {
+  val startMicros: Long =
+    LocalDate.parse(startDate).atStartOfDay(ZoneOffset.UTC).toEpochSecond * 1000000L
+  val stepMicros: Double = days.toDouble * 86400 * 1e6 / n
+}
+
+private[sources] object EventsConf {
+  def apply(o: CaseInsensitiveStringMap): EventsConf = EventsConf(
+    n = o.getLong("n", 10000L),
+    seed = o.getOrDefault("seed", "graft"),
+    startDate = o.getOrDefault("startDate", "2025-09-01"),
+    days = o.getInt("days", 7))
+}
+
+private[sources] class EventsTable(conf: EventsConf) extends Table with SupportsRead {
+  override def name(): String = s"graft-events(n=${conf.n}, days=${conf.days})"
+  override def schema(): StructType = EventsDataSource.WireSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EventsScanBuilder(conf)
+}
+
+private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = EventsDataSource.WireSchema
+  private var pushed: Array[Filter] = Array.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter {
+      case GreaterThan("event_ts", _: String) => true
+      case GreaterThanOrEqual("event_ts", _: String) => true
+      case LessThan("event_ts", _: String) => true
+      case LessThanOrEqual("event_ts", _: String) => true
+      case EqualTo("event_ts", _: String) => true
+      case _ => false
+    }
+    // the source prunes whole day partitions but never filters rows:
+    // hand every filter back for Spark-side evaluation, so pruning is
+    // a pure optimization
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new EventsScan(conf, required, pushed)
+}
+
+private[sources] case class EventsPartition(start: Long, end: Long,
+    minTs: String, maxTs: String) extends InputPartition
+
+private[sources] class EventsScan(conf: EventsConf, required: StructType,
+    pushed: Array[Filter]) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-events pruned=[${pushed.mkString(", ")}] cols=${required.fieldNames.mkString(",")}"
+
+  /** Exact id boundary of day `d`: the smallest id whose derived
+    * micros offset reaches d whole days — binary-searched with the
+    * SAME double arithmetic the rows use, so a boundary row can never
+    * land in a pruned partition. */
+  private def dayBoundary(d: Int): Long = {
+    if (d <= 0) return 0L
+    if (d >= conf.days) return conf.n
+    val target = d.toLong * 86400000000L
+    var lo = 0L; var hi = conf.n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if ((mid.toDouble * conf.stepMicros).toLong >= target) hi = mid else lo = mid + 1
+    }
+    lo
+  }
+
+  private def fmt(offsetMicros: Long): String = {
+    val micros = conf.startMicros + offsetMicros
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+      .withZone(ZoneOffset.UTC)
+      .format(Instant.ofEpochSecond(micros / 1000000L)) + "Z"
+  }
+
+  private def overlaps(minTs: String, maxTs: String): Boolean = pushed.forall {
+    case GreaterThan("event_ts", v: String) => maxTs > v
+    case GreaterThanOrEqual("event_ts", v: String) => maxTs >= v
+    case LessThan("event_ts", v: String) => minTs < v
+    case LessThanOrEqual("event_ts", v: String) => minTs <= v
+    case EqualTo("event_ts", v: String) => minTs <= v && v <= maxTs
+    case _ => true
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    (0 until conf.days).iterator.map { d =>
+      EventsPartition(dayBoundary(d), dayBoundary(d + 1),
+        fmt(d.toLong * 86400000000L), fmt((d + 1).toLong * 86400000000L - 1L))
+    }.filter(p => p.start < p.end && overlaps(p.minTs, p.maxTs))
+      .toArray[InputPartition]
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventsReaderFactory(conf, required.fieldNames)
+}
+
+private[sources] class EventsReaderFactory(conf: EventsConf,
+    fields: Array[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[EventsPartition]
+    new PartitionReader[InternalRow] {
+      private var id = p.start - 1
+      override def next(): Boolean = { id += 1; id < p.end }
+      override def get(): InternalRow =
+        new GenericInternalRow(
+          fields.map(f => EventsDataSource.fieldValue(conf, f, id)).toArray[Any])
+      override def close(): Unit = ()
+    }
+  }
+}
