@@ -136,7 +136,7 @@ object EventsDataSource {
 }
 
 private[sources] case class EventsConf(n: Long, seed: String,
-    startDate: String, days: Int) {
+    startDate: String, days: Int, maxPerTrigger: Long = 0L) {
   val startMicros: Long =
     LocalDate.parse(startDate).atStartOfDay(ZoneOffset.UTC).toEpochSecond * 1000000L
   val stepMicros: Double = days.toDouble * 86400 * 1e6 / n
@@ -147,14 +147,15 @@ private[sources] object EventsConf {
     n = o.getLong("n", 10000L),
     seed = o.getOrDefault("seed", "graft"),
     startDate = o.getOrDefault("startDate", "2025-09-01"),
-    days = o.getInt("days", 7))
+    days = o.getInt("days", 7),
+    maxPerTrigger = o.getLong("maxPerTrigger", 0L))
 }
 
 private[sources] class EventsTable(conf: EventsConf) extends Table with SupportsRead {
   override def name(): String = s"graft-events(n=${conf.n}, days=${conf.days})"
   override def schema(): StructType = EventsDataSource.WireSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EventsScanBuilder(conf)
 }
@@ -235,6 +236,59 @@ private[sources] class EventsScan(conf: EventsConf, required: StructType,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EventsReaderFactory(conf, required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EventsMicroBatchStream(conf, required.fieldNames)
+}
+
+/** Streaming half of the connector: the offset is simply the next
+  * unread id (a total order the synthetic stream already has), so a
+  * micro-batch is an id range — replayable, exactly-once under the
+  * checkpoint by construction. Implements admission control
+  * (`maxPerTrigger` rows per batch) and Trigger.AvailableNow (drain
+  * to the configured n in rate-limited batches, then stop). */
+private[sources] class EventsMicroBatchStream(conf: EventsConf,
+    fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit, ReadMaxRows}
+
+  override def initialOffset(): Offset = EventsOffset(0L)
+  override def deserializeOffset(json: String): Offset = EventsOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (conf.maxPerTrigger > 0) ReadLimit.maxRows(conf.maxPerTrigger)
+    else ReadLimit.allAvailable()
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) drives this source")
+  override def reportLatestOffset(): Offset = EventsOffset(conf.n)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[EventsOffset].id
+    val step = limit match {
+      case r: ReadMaxRows => r.maxRows()
+      case _ => conf.n
+    }
+    EventsOffset(math.min(conf.n, s + step))
+  }
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EventsOffset].id
+    val e = end.asInstanceOf[EventsOffset].id
+    if (s >= e) Array.empty
+    else Array(EventsPartition(s, e, "", ""))
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventsReaderFactory(conf, fields)
+}
+
+private[sources] case class EventsOffset(id: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = id.toString
 }
 
 private[sources] class EventsReaderFactory(conf: EventsConf,

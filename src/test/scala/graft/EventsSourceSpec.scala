@@ -48,6 +48,24 @@ class EventsSourceSpec extends SparkSpec {
     assert(df.count() == N)
   }
 
+  test("micro-batch stream drains rate-limited under AvailableNow, equals the batch read") {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.format("graft-events")
+      .option("n", 3000L).option("maxPerTrigger", 1000L)
+      .load()
+      .writeStream.format("memory").queryName("dsv2_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    assert(batches >= 3,
+      s"admission control ignored: drained in $batches batch(es)")
+    val got = spark.table("dsv2_stream").collect().map(_.toString).sorted.toSeq
+    val expect = spark.read.format("graft-events").option("n", 3000L)
+      .load().collect().map(_.toString).sorted.toSeq
+    assert(got.size == 3000 && got == expect,
+      "streamed rows diverge from the batch read")
+  }
+
   test("short name resolves through DataSourceRegister") {
     // format("graft-events") (not the class name) already proves the
     // service registration; double-check a misspelling fails loudly
