@@ -1,0 +1,150 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSourceV2 WRITE connector — the write-audit half of the
+  * connector rung (write-audit-publish is the standard lakehouse
+  * gate: compute statistics WHILE writing, publish them atomically at
+  * commit, abort leaves nothing behind). Each task's
+  * [[AuditDataWriter]] folds its partition's rows into a bounded
+  * stats accumulator (row count, per-column null count, and numeric
+  * min/max/sum — O(columns) state regardless of row count); the
+  * accumulators travel back as COMMIT MESSAGES and the driver merges
+  * them and atomically renames the audit JSON into place at commit.
+  * Nothing is written on abort, and a half-finished job leaves only
+  * an invisible temp file — the classic commit-protocol contract.
+  *
+  * Scale: the only cross-node traffic is one O(columns) message per
+  * task; rows never move. A billion-row audit costs the scan plus
+  * |tasks| tiny messages.
+  */
+class AuditSink extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-audit"
+  override def supportsExternalMetadata(): Boolean = true
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    StructType(Nil) // write-only: schema comes from the query
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new AuditTable(schema, properties.get("path"))
+}
+
+private[sources] class AuditTable(schema0: StructType, path: String)
+    extends Table with SupportsWrite {
+  require(path != null && path.nonEmpty, "graft-audit requires a path option")
+  override def name(): String = s"graft-audit($path)"
+  override def schema(): StructType = schema0
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new AuditWrite(info.schema(), path)
+    }
+}
+
+/** Per-column audit state: (nulls, and for numeric columns
+  * min/max/sum). Serializable — it IS the commit message. */
+private[sources] case class ColStats(nulls: Long, min: Double, max: Double,
+    sum: Double, numeric: Boolean) {
+  def merge(o: ColStats): ColStats = ColStats(nulls + o.nulls,
+    math.min(min, o.min), math.max(max, o.max), sum + o.sum, numeric)
+}
+
+private[sources] case class AuditMessage(rows: Long, cols: Array[ColStats])
+    extends WriterCommitMessage
+
+private[sources] class AuditWrite(schema: StructType, path: String) extends Write {
+  override def toBatch: BatchWrite = new AuditBatchWrite(schema, path)
+}
+
+private[sources] class AuditBatchWrite(schema: StructType, path: String)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new AuditWriterFactory(schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ms = messages.collect { case m: AuditMessage => m }
+    val rows = ms.map(_.rows).sum
+    val merged = ms.map(_.cols).reduceOption { (a, b) =>
+      a.zip(b).map { case (x, y) => x.merge(y) }
+    }.getOrElse(schema.fields.map(f => AuditWriterFactory.zero(f.dataType)))
+    val json = new StringBuilder
+    json.append(s"""{"rows": $rows, "columns": {""")
+    json.append(schema.fields.zip(merged).map { case (f, c) =>
+      val base = s""""${f.name}": {"nulls": ${c.nulls}"""
+      if (c.numeric && rows - c.nulls > 0)
+        base + s""", "min": ${c.min}, "max": ${c.max}, "sum": ${c.sum}}"""
+      else base + "}"
+    }.mkString(", "))
+    json.append("}}")
+    // atomic publish: write a temp sibling, rename into place
+    val p = java.nio.file.Paths.get(path)
+    if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling("." + p.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp, json.toString)
+    java.nio.file.Files.move(tmp, p,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[sources] object AuditWriterFactory {
+  def isNumeric(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case _ => false
+  }
+  def zero(dt: DataType): ColStats =
+    ColStats(0L, Double.PositiveInfinity, Double.NegativeInfinity, 0.0, isNumeric(dt))
+}
+
+private[sources] class AuditWriterFactory(schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new AuditDataWriter(schema)
+}
+
+private[sources] class AuditDataWriter(schema: StructType)
+    extends DataWriter[InternalRow] {
+  private var rows = 0L
+  private val cols = schema.fields.map(f => AuditWriterFactory.zero(f.dataType))
+  private val types = schema.fields.map(_.dataType)
+
+  override def write(record: InternalRow): Unit = {
+    rows += 1
+    var i = 0
+    while (i < types.length) {
+      val c = cols(i)
+      if (record.isNullAt(i)) cols(i) = c.copy(nulls = c.nulls + 1)
+      else if (c.numeric) {
+        val v = types(i) match {
+          case IntegerType => record.getInt(i).toDouble
+          case LongType => record.getLong(i).toDouble
+          case DoubleType => record.getDouble(i)
+          case FloatType => record.getFloat(i).toDouble
+          case ShortType => record.getShort(i).toDouble
+          case ByteType => record.getByte(i).toDouble
+          case d: DecimalType => record.getDecimal(i, d.precision, d.scale).toDouble
+          case _ => 0.0
+        }
+        cols(i) = ColStats(c.nulls, math.min(c.min, v), math.max(c.max, v),
+          c.sum + v, numeric = true)
+      }
+      i += 1
+    }
+  }
+  override def commit(): WriterCommitMessage = AuditMessage(rows, cols)
+  override def abort(): Unit = ()
+  override def close(): Unit = ()
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** DSv2 write connector (graft-audit): write-audit-publish — stats
+  * folded per task, merged at driver commit, atomically published.
+  */
+class AuditSinkSpec extends SparkSpec {
+
+  private def parse(path: String): Map[String, Any] = {
+    // the audit JSON is flat and builder-controlled — a tiny parse by
+    // the same duckdb-free rules the spec needs (no deps available)
+    val s = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    val rows = """"rows": (\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+    Map("raw" -> s, "rows" -> rows)
+  }
+
+  test("audit stats match an independent aggregation; commit is atomic") {
+    val out = java.nio.file.Files.createTempDirectory("graft-audit")
+    out.toFile.deleteOnExit()
+    val path = out.resolve("audit.json").toString
+    val df = Tables.load(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .repartition(4) // force multiple tasks => multiple commit messages
+    df.write.format("graft-audit").option("path", path).mode("overwrite").save()
+    val audit = parse(path)
+    val raw = audit("raw").asInstanceOf[String]
+    assert(audit("rows") == df.count())
+    val exp = df.agg(
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("nulls"),
+      min(col("value")).as("mn"), max(col("value")).as("mx"),
+      sum(col("value")).as("sm")).head()
+    val valueBlock = """"value": \{"nulls": (\d+), "min": ([-\d.E]+), "max": ([-\d.E]+), "sum": ([-\d.E]+)\}""".r
+      .findFirstMatchIn(raw).getOrElse(fail(s"no value stats in $raw"))
+    assert(valueBlock.group(1).toLong == exp.getAs[Long]("nulls"))
+    assert(math.abs(valueBlock.group(2).toDouble - exp.getAs[Double]("mn")) < 1e-9)
+    assert(math.abs(valueBlock.group(3).toDouble - exp.getAs[Double]("mx")) < 1e-9)
+    assert(math.abs(valueBlock.group(4).toDouble - exp.getAs[Double]("sm")) < 1e-6)
+    // string column: nulls only, no numeric stats
+    assert(raw.contains(""""event_type": {"nulls": """))
+    assert(!raw.matches(""".*"event_type": \{"nulls": \d+, "min".*"""))
+    // no temp file survives the atomic publish
+    assert(out.toFile.listFiles().map(_.getName).toSet == Set("audit.json"))
+  }
+
+  test("empty input commits a zero-row audit without numeric blocks") {
+    val out = java.nio.file.Files.createTempDirectory("graft-audit-empty")
+    out.toFile.deleteOnExit()
+    val path = out.resolve("audit.json").toString
+    Tables.load(spark, sf, "events").select(col("event_id"), col("value"))
+      .where(lit(false))
+      .write.format("graft-audit").option("path", path).mode("overwrite").save()
+    val raw = parse(path)("raw").asInstanceOf[String]
+    assert(raw.contains(""""rows": 0"""))
+    assert(!raw.contains(""""min""""), s"numeric stats on zero rows: $raw")
+  }
+}
