@@ -161,9 +161,35 @@ private[sources] class EventsTable(conf: EventsConf) extends Table with Supports
 }
 
 private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+
   private var required: StructType = EventsDataSource.WireSchema
   private var pushed: Array[Filter] = Array.empty
+  private var countStarPushed = false
+
+  /** COUNT(*) with no grouping and no residual filters is closed-form
+    * for a synthetic source — answer it from the driver without
+    * materializing a single row. Complete pushdown only: Spark plans
+    * no aggregate at all, so the scan must emit the final 1-row
+    * answer (one partition). Any residual filter disables this —
+    * the count would ignore it. */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions().isEmpty && pushed.isEmpty &&
+      aggregation.aggregateExpressions().nonEmpty &&
+      aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (!supportCompletePushDown(aggregation)) false
+    else {
+      countStarPushed = true
+      required = StructType(
+        aggregation.aggregateExpressions().indices
+          .map(i => StructField(s"count_$i", LongType, nullable = false)))
+      true
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter {
@@ -181,8 +207,32 @@ private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-  override def build(): Scan = new EventsScan(conf, required, pushed)
+    if (!countStarPushed) required = requiredSchema
+  override def build(): Scan =
+    if (countStarPushed) new EventsCountScan(conf, required)
+    else new EventsScan(conf, required, pushed)
+}
+
+/** The completely-pushed COUNT(*) scan: one partition, one row, the
+  * closed-form total — zero rows materialized anywhere. */
+private[sources] class EventsCountScan(conf: EventsConf, schema: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-events PushedAggregates=[COUNT(*)]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(EventsPartition(0L, 1L, "", ""))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val n = conf.n
+    val width = schema.length
+    (_: InputPartition) => new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val r = !emitted; emitted = true; r }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array.fill[Any](width)(n))
+      override def close(): Unit = ()
+    }
+  }
 }
 
 private[sources] case class EventsPartition(start: Long, end: Long,

@@ -66,6 +66,37 @@ class EventsSourceSpec extends SparkSpec {
       "streamed rows diverge from the batch read")
   }
 
+  private def scanSchemaOf(df: org.apache.spark.sql.DataFrame) = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collectFirst { case b: BatchScanExec => b.scan.readSchema() }
+  }
+
+  test("COUNT(*) is answered closed-form by the connector (complete agg pushdown)") {
+    val df = viaSource.agg(count(lit(1)))
+    val scanSchema = scanSchemaOf(df)
+    assert(scanSchema.isDefined)
+    // the scan's schema IS the count column — no wire field survives
+    assert(scanSchema.get.fields.forall(_.dataType ==
+      org.apache.spark.sql.types.LongType),
+      s"scan still materializes ${scanSchema.get.catalogString}")
+    assert(scanSchema.get.fieldNames.forall(_.startsWith("count_")),
+      s"aggregate not pushed: ${scanSchema.get.fieldNames.mkString(",")}")
+    assert(df.head().getLong(0) == N)
+    // a residual row filter must DISABLE the pushdown (the closed-form
+    // count would ignore it)
+    val filtered = viaSource.where(col("event_type") === "purchase").agg(count(lit(1)))
+    val fSchema = scanSchemaOf(filtered).get
+    assert(fSchema.fieldNames.contains("event_type"),
+      "pushdown must not swallow a residual filter")
+    val exp = EventGenerator.events(spark, N)
+      .where(col("event_type") === "purchase").count()
+    assert(filtered.head().getLong(0) == exp)
+  }
+
   test("short name resolves through DataSourceRegister") {
     // format("graft-events") (not the class name) already proves the
     // service registration; double-check a misspelling fails loudly
