@@ -12,8 +12,10 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.vectorized.ColumnarBatch
 import org.apache.spark.unsafe.types.UTF8String
 
 /** DataSourceV2 connector for the deterministic synthetic event
@@ -69,6 +71,14 @@ object EventsDataSource {
   private val MicrosPerDay = 86400000000L
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
     .withZone(ZoneOffset.UTC)
+
+  /** Typical on-wire bytes per field (string payload or 8 for the
+    * double) — drives SupportsReportStatistics' size estimate. */
+  private[sources] val FieldBytes: Map[String, Long] = Map(
+    "event_ts" -> 20L, "user_id" -> 6L, "session_id" -> 64L,
+    "event_type" -> 9L, "page" -> 9L, "product_id" -> 7L,
+    "price" -> 8L, "currency" -> 3L, "referrer" -> 6L,
+    "user_agent" -> 11L)
 
   /** seeded xxhash64 of (seed ++ id) exactly as the SQL
     * `xxhash64(concat(lit(seed), id.cast("string")))` computes it —
@@ -136,7 +146,8 @@ object EventsDataSource {
 }
 
 private[sources] case class EventsConf(n: Long, seed: String,
-    startDate: String, days: Int, maxPerTrigger: Long = 0L) {
+    startDate: String, days: Int, maxPerTrigger: Long = 0L,
+    columnar: Boolean = true) {
   val startMicros: Long =
     LocalDate.parse(startDate).atStartOfDay(ZoneOffset.UTC).toEpochSecond * 1000000L
   val stepMicros: Double = days.toDouble * 86400 * 1e6 / n
@@ -148,7 +159,8 @@ private[sources] object EventsConf {
     seed = o.getOrDefault("seed", "graft"),
     startDate = o.getOrDefault("startDate", "2025-09-01"),
     days = o.getInt("days", 7),
-    maxPerTrigger = o.getLong("maxPerTrigger", 0L))
+    maxPerTrigger = o.getLong("maxPerTrigger", 0L),
+    columnar = o.getBoolean("columnar", true))
 }
 
 private[sources] class EventsTable(conf: EventsConf) extends Table with SupportsRead {
@@ -162,12 +174,58 @@ private[sources] class EventsTable(conf: EventsConf) extends Table with Supports
 
 private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+  import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
 
   private var required: StructType = EventsDataSource.WireSchema
   private var pushed: Array[Filter] = Array.empty
   private var countStarPushed = false
+  // id range the scan will emit — limit / top-N pushdown clamps it
+  private var idLo: Long = 0L
+  private var idHi: Long = conf.n
+
+  /** LIMIT k over an unordered scan may return ANY k rows, so the
+    * deterministic source simply truncates its id range to the first
+    * k ids — zero rows generated beyond the limit, partitions past
+    * the cut never planned. Defensively refused when a time filter
+    * was pushed: Spark only pushes a limit when no Filter node sits
+    * between it and the scan, but if both ever co-occurred the
+    * truncation would undercount (limit applies ABOVE the filter).
+    * isPartiallyPushed stays true (the default): Spark keeps its own
+    * limit, so the pushdown is a pure optimization. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushed.nonEmpty || countStarPushed) false
+    else { idHi = math.min(idHi, idLo + limit); true }
+  }
+
+  // both pushdown traits default this to true; Scala wants the
+  // diamond resolved explicitly — and partial IS the contract here
+  // (Spark keeps the final limit / TakeOrderedAndProject)
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY event_ts LIMIT k is closed-form: event_ts is monotone
+    * non-decreasing in id, so the first k ids are a valid ascending
+    * top-k and the last k a valid descending one. Partial pushdown —
+    * Spark re-sorts and re-limits the ≤k survivors, which also makes
+    * ties-at-the-boundary a non-issue (any minimal multiset is
+    * acceptable input to the final TakeOrderedAndProject). */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    if (pushed.nonEmpty || countStarPushed || orders.length != 1) return false
+    val o = orders(0)
+    val onTs = o.expression() match {
+      case nr: NamedReference => nr.fieldNames().sameElements(Array("event_ts"))
+      case _ => false
+    }
+    if (!onTs) return false
+    // NullOrdering is irrelevant: event_ts is non-nullable
+    if (o.direction() == SortDirection.ASCENDING)
+      idHi = math.min(idHi, idLo + limit)
+    else
+      idLo = math.max(idLo, idHi - limit)
+    true
+  }
 
   /** COUNT(*) with no grouping and no residual filters is closed-form
     * for a synthetic source — answer it from the driver without
@@ -210,7 +268,7 @@ private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
     if (!countStarPushed) required = requiredSchema
   override def build(): Scan =
     if (countStarPushed) new EventsCountScan(conf, required)
-    else new EventsScan(conf, required, pushed)
+    else new EventsScan(conf, required, pushed, idLo, idHi)
 }
 
 /** The completely-pushed COUNT(*) scan: one partition, one row, the
@@ -239,11 +297,33 @@ private[sources] case class EventsPartition(start: Long, end: Long,
     minTs: String, maxTs: String) extends InputPartition
 
 private[sources] class EventsScan(conf: EventsConf, required: StructType,
-    pushed: Array[Filter]) extends Scan with Batch {
+    pushed: Array[Filter], idLo: Long = 0L, idHi: Long = Long.MaxValue)
+    extends Scan with Batch with SupportsReportStatistics {
+  private val lo = math.max(0L, idLo)
+  private val hi = math.min(conf.n, idHi)
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-events pruned=[${pushed.mkString(", ")}] cols=${required.fieldNames.mkString(",")}"
+    s"graft-events pruned=[${pushed.mkString(", ")}] " +
+      s"cols=${required.fieldNames.mkString(",")}" +
+      (if (lo > 0L || hi < conf.n) s" idRange=[$lo,$hi)" else "")
+
+  /** Post-pruning exact row count + width-aware byte estimate, so the
+    * optimizer sees a day-pruned / limit-clamped scan at its REAL
+    * size — a filtered slice of a huge synthetic table becomes
+    * broadcast-eligible instead of inheriting the default
+    * size (which would force a shuffle join). */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows: Long = planInputPartitions()
+      .map { case p: EventsPartition => p.end - p.start }.sum
+    private val rowWidth: Long = required.fieldNames.map { f =>
+      EventsDataSource.FieldBytes.getOrElse(f, 16L)
+    }.sum.max(1L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows * rowWidth)
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rows)
+  }
 
   /** Exact id boundary of day `d`: the smallest id whose derived
     * micros offset reaches d whole days — binary-searched with the
@@ -279,13 +359,14 @@ private[sources] class EventsScan(conf: EventsConf, required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] =
     (0 until conf.days).iterator.map { d =>
-      EventsPartition(dayBoundary(d), dayBoundary(d + 1),
+      EventsPartition(math.max(dayBoundary(d), lo),
+        math.min(dayBoundary(d + 1), hi),
         fmt(d.toLong * 86400000000L), fmt((d + 1).toLong * 86400000000L - 1L))
     }.filter(p => p.start < p.end && overlaps(p.minTs, p.maxTs))
       .toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EventsReaderFactory(conf, required.fieldNames)
+    new EventsReaderFactory(conf, required.fieldNames, columnar = conf.columnar)
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
@@ -342,7 +423,8 @@ private[sources] case class EventsOffset(id: Long)
 }
 
 private[sources] class EventsReaderFactory(conf: EventsConf,
-    fields: Array[String]) extends PartitionReaderFactory {
+    fields: Array[String], columnar: Boolean = false)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EventsPartition]
     new PartitionReader[InternalRow] {
@@ -352,6 +434,59 @@ private[sources] class EventsReaderFactory(conf: EventsConf,
         new GenericInternalRow(
           fields.map(f => EventsDataSource.fieldValue(conf, f, id)).toArray[Any])
       override def close(): Unit = ()
+    }
+  }
+
+  /** Vectorized read path: rows are emitted as 4K-row ColumnarBatches
+    * into on-heap column vectors, so the scan enters Spark's columnar
+    * execution (`BatchScanExec.supportsColumnar`) and downstream
+    * whole-stage codegen consumes vectors instead of one
+    * GenericInternalRow allocation per row — the same shape a
+    * vectorized parquet reader hands Spark. Batch-only (the
+    * micro-batch stream keeps the row path; columnar streaming scans
+    * gain nothing at trigger-sized batches). */
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[EventsPartition]
+    new PartitionReader[ColumnarBatch] {
+      private val Cap = 4096
+      private val types: Array[DataType] =
+        fields.map(f => if (f == "price") DoubleType else StringType)
+      private val vectors: Array[OnHeapColumnVector] =
+        types.map(t => new OnHeapColumnVector(Cap, t))
+      private val batch = new ColumnarBatch(vectors.toArray[
+        org.apache.spark.sql.vectorized.ColumnVector])
+      private var id = p.start
+
+      override def next(): Boolean = {
+        if (id >= p.end) return false
+        val m = math.min(Cap.toLong, p.end - id).toInt
+        var c = 0
+        while (c < fields.length) {
+          val v = vectors(c)
+          v.reset()
+          val f = fields(c)
+          var i = 0
+          while (i < m) {
+            EventsDataSource.fieldValue(conf, f, id + i) match {
+              case null => v.putNull(i)
+              case s: UTF8String => v.putByteArray(i, s.getBytes)
+              case d: Double => v.putDouble(i, d)
+              case other => throw new IllegalStateException(
+                s"unexpected wire value ${other.getClass} for $f")
+            }
+            i += 1
+          }
+          c += 1
+        }
+        batch.setNumRows(m)
+        id += m
+        true
+      }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
     }
   }
 }

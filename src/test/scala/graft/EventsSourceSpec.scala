@@ -97,6 +97,100 @@ class EventsSourceSpec extends SparkSpec {
     assert(filtered.head().getLong(0) == exp)
   }
 
+  private def scanDescOf(df: org.apache.spark.sql.DataFrame): String = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collectFirst { case b: BatchScanExec => b.scan.description() }.getOrElse("")
+  }
+
+  test("LIMIT pushdown truncates the id range: no row generated past the cut") {
+    val df = viaSource.limit(100)
+    assert(scanDescOf(df).contains("idRange=[0,100)"),
+      s"limit not pushed: ${scanDescOf(df)}")
+    // 100 < one synthetic day, so a single partition survives planning
+    assert(df.rdd.getNumPartitions == 1)
+    // ids are monotone in event_ts, so the first 100 ids ARE the
+    // 100 earliest events — comparable against the sorted generator
+    val expect = EventGenerator.events(spark, N).orderBy(col("event_ts"))
+      .limit(100).collect().map(_.toString).sorted.toSeq
+    assert(df.collect().map(_.toString).sorted.toSeq == expect)
+    // a residual row filter blocks the pushdown (Filter sits between
+    // the limit and the scan — truncating would undercount)
+    val guarded = viaSource.where(col("event_type") === "purchase").limit(5)
+    assert(!scanDescOf(guarded).contains("idRange"),
+      "limit must not push past a residual filter")
+    assert(guarded.count() == 5)
+  }
+
+  test("ORDER BY event_ts LIMIT k pushes as a closed-form top-N id range") {
+    val asc = viaSource.orderBy(col("event_ts")).limit(50)
+    assert(scanDescOf(asc).contains("idRange=[0,50)"),
+      s"asc top-N not pushed: ${scanDescOf(asc)}")
+    val expectAsc = EventGenerator.events(spark, N).orderBy(col("event_ts"))
+      .limit(50).collect().map(_.toString).sorted.toSeq
+    assert(asc.collect().map(_.toString).sorted.toSeq == expectAsc)
+
+    val desc = viaSource.orderBy(col("event_ts").desc).limit(50)
+    assert(scanDescOf(desc).contains(s"idRange=[${N - 50},$N)"),
+      s"desc top-N not pushed: ${scanDescOf(desc)}")
+    val expectDesc = EventGenerator.events(spark, N).orderBy(col("event_ts").desc)
+      .limit(50).collect().map(_.toString).sorted.toSeq
+    assert(desc.collect().map(_.toString).sorted.toSeq == expectDesc)
+
+    // a non-time sort key must NOT push (the source is only ordered
+    // by event_ts) — Spark plans its own global TakeOrdered instead
+    val other = viaSource.orderBy(col("user_id")).limit(50)
+    assert(!scanDescOf(other).contains("idRange"))
+    assert(other.count() == 50)
+  }
+
+  test("reported statistics shrink with pruning, making the slice broadcastable") {
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+    def statsOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: DataSourceV2ScanRelation => r.stats
+      }.get
+    val full = statsOf(viaSource)
+    assert(full.rowCount.contains(BigInt(N)),
+      s"full-scan rowCount ${full.rowCount} != $N")
+    // day pruning: the 4 surviving days' exact row count, and bytes
+    // shrink proportionally — the optimizer sees the slice's REAL size
+    val sliced = viaSource.where(col("event_ts") >= "2025-09-04T00:00:00Z")
+    val s = statsOf(sliced)
+    val expectRows = EventGenerator.events(spark, N)
+      .where(col("event_ts") >= "2025-09-04T00:00:00Z").count()
+    assert(s.rowCount.contains(BigInt(expectRows)),
+      s"pruned rowCount ${s.rowCount} != $expectRows")
+    assert(s.sizeInBytes < full.sizeInBytes)
+    // and a pruned slice joined to a large table broadcasts: the
+    // reported size is under the 10MB default threshold
+    assert(s.sizeInBytes < 10L * 1024 * 1024)
+  }
+
+  test("columnar read path: vectorized batches, bit-identical to the row path") {
+    val colDf = viaSource // columnar defaults on for batch reads
+    val colScan = colDf.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(colScan.supportsColumnar, "batch scan did not enter columnar mode")
+    val rowDf = spark.read.format("graft-events")
+      .option("n", N).option("columnar", false).load()
+    val rowScan = rowDf.queryExecution.executedPlan.collectFirst {
+      case b: BatchScanExec => b
+    }.get
+    assert(!rowScan.supportsColumnar, "columnar=false must keep the row path")
+    // identical rows either way — including the null prices that
+    // exercise the vector's null bitmap
+    val a = colDf.collect().map(_.toString).sorted.toSeq
+    val b = rowDf.collect().map(_.toString).sorted.toSeq
+    assert(a == b, "columnar and row reads diverge")
+    assert(colDf.where(col("price").isNull).count() ==
+      rowDf.where(col("price").isNull).count())
+  }
+
   test("short name resolves through DataSourceRegister") {
     // format("graft-events") (not the class name) already proves the
     // service registration; double-check a misspelling fails loudly
