@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, XxHash64Function}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
@@ -72,13 +72,38 @@ object EventsDataSource {
   private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
     .withZone(ZoneOffset.UTC)
 
+  /** Hidden provenance columns (SupportsMetadataColumns): the
+    * synthetic row id — the stream's total order and the lineage key
+    * a training-data pipeline carries through dedup/packing so any
+    * emitted example can be traced back to its source event — and the
+    * partition day index the planner pruned on. Absent from the wire
+    * schema and from `SELECT *`; selecting them by name materializes
+    * them per-row with zero cost for queries that don't ask. */
+  private[sources] val EventIdCol = "_event_id"
+  private[sources] val DayCol = "_day"
+
   /** Typical on-wire bytes per field (string payload or 8 for the
     * double) — drives SupportsReportStatistics' size estimate. */
   private[sources] val FieldBytes: Map[String, Long] = Map(
     "event_ts" -> 20L, "user_id" -> 6L, "session_id" -> 64L,
     "event_type" -> 9L, "page" -> 9L, "product_id" -> 7L,
     "price" -> 8L, "currency" -> 3L, "referrer" -> 6L,
-    "user_agent" -> 11L)
+    "user_agent" -> 11L, EventIdCol -> 8L, DayCol -> 4L)
+  private[sources] val MetaCols: Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name: String = EventIdCol
+      override def dataType: DataType = LongType
+      override def isNullable: Boolean = false
+      override def comment: String =
+        "monotone synthetic row id — provenance/lineage key"
+    },
+    new MetadataColumn {
+      override def name: String = DayCol
+      override def dataType: DataType = IntegerType
+      override def isNullable: Boolean = false
+      override def comment: String =
+        "zero-based partition day index (the unit of partition pruning)"
+    })
 
   /** seeded xxhash64 of (seed ++ id) exactly as the SQL
     * `xxhash64(concat(lit(seed), id.cast("string")))` computes it —
@@ -133,6 +158,11 @@ object EventsDataSource {
       case "referrer" => UTF8String.fromString(
         pick(s"$seed:ref", id, Seq("google", "email", "direct", "ads")))
       case "user_agent" => UTF8String.fromString("Mozilla/5.0")
+      case EventIdCol => id
+      case DayCol =>
+        // same double arithmetic as event_ts, so _day always agrees
+        // with the day the planner's binary search assigned the row to
+        ((id.toDouble * conf.stepMicros).toLong / MicrosPerDay).toInt
     }
   }
 
@@ -163,9 +193,11 @@ private[sources] object EventsConf {
     columnar = o.getBoolean("columnar", true))
 }
 
-private[sources] class EventsTable(conf: EventsConf) extends Table with SupportsRead {
+private[sources] class EventsTable(conf: EventsConf) extends Table
+    with SupportsRead with SupportsMetadataColumns {
   override def name(): String = s"graft-events(n=${conf.n}, days=${conf.days})"
   override def schema(): StructType = EventsDataSource.WireSchema
+  override def metadataColumns(): Array[MetadataColumn] = EventsDataSource.MetaCols
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -176,12 +208,13 @@ private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN {
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
   import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
 
   private var required: StructType = EventsDataSource.WireSchema
   private var pushed: Array[Filter] = Array.empty
-  private var countStarPushed = false
+  private var aggValues: Array[Any] = null
+  private def countStarPushed: Boolean = aggValues != null
   // id range the scan will emit — limit / top-N pushdown clamps it
   private var idLo: Long = 0L
   private var idHi: Long = conf.n
@@ -227,24 +260,50 @@ private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
     true
   }
 
-  /** COUNT(*) with no grouping and no residual filters is closed-form
-    * for a synthetic source — answer it from the driver without
-    * materializing a single row. Complete pushdown only: Spark plans
-    * no aggregate at all, so the scan must emit the final 1-row
-    * answer (one partition). Any residual filter disables this —
-    * the count would ignore it. */
+  /** COUNT(*), MIN(event_ts) and MAX(event_ts) with no grouping and
+    * no residual filters are closed-form for a synthetic source —
+    * count is the configured n, and event_ts is monotone
+    * non-decreasing in id so min/max are the first/last rows'
+    * timestamps. Answered from the driver without materializing a
+    * single row. Complete pushdown only: Spark plans no aggregate at
+    * all, so the scan must emit the final 1-row answer (one
+    * partition). Any residual filter or a prior limit clamp disables
+    * this — the closed forms would ignore them. */
+  private def closedForm(f: AggregateFunc): Boolean = f match {
+    case _: CountStar => true
+    case m: Min => m.column() match {
+      case nr: NamedReference => nr.fieldNames().sameElements(Array("event_ts"))
+      case _ => false
+    }
+    case m: Max => m.column() match {
+      case nr: NamedReference => nr.fieldNames().sameElements(Array("event_ts"))
+      case _ => false
+    }
+    case _ => false
+  }
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     aggregation.groupByExpressions().isEmpty && pushed.isEmpty &&
+      idLo == 0L && idHi == conf.n &&
       aggregation.aggregateExpressions().nonEmpty &&
-      aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+      aggregation.aggregateExpressions().forall(closedForm)
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (!supportCompletePushDown(aggregation)) false
     else {
-      countStarPushed = true
-      required = StructType(
-        aggregation.aggregateExpressions().indices
-          .map(i => StructField(s"count_$i", LongType, nullable = false)))
+      val exprs = aggregation.aggregateExpressions()
+      aggValues = exprs.map {
+        case _: CountStar => conf.n: Any
+        case _: Min =>
+          if (conf.n > 0) EventsDataSource.fieldValue(conf, "event_ts", 0L) else null
+        case _: Max =>
+          if (conf.n > 0) EventsDataSource.fieldValue(conf, "event_ts", conf.n - 1) else null
+      }
+      required = StructType(exprs.zipWithIndex.map {
+        case (_: CountStar, i) => StructField(s"count_$i", LongType, nullable = false)
+        case (_: Min, i) => StructField(s"min_$i", StringType, nullable = true)
+        case (_: Max, i) => StructField(s"max_$i", StringType, nullable = true)
+      })
       true
     }
   }
@@ -267,27 +326,26 @@ private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (!countStarPushed) required = requiredSchema
   override def build(): Scan =
-    if (countStarPushed) new EventsCountScan(conf, required)
+    if (countStarPushed) new EventsAggScan(required, aggValues)
     else new EventsScan(conf, required, pushed, idLo, idHi)
 }
 
-/** The completely-pushed COUNT(*) scan: one partition, one row, the
-  * closed-form total — zero rows materialized anywhere. */
-private[sources] class EventsCountScan(conf: EventsConf, schema: StructType)
+/** The completely-pushed aggregate scan: one partition, one row, the
+  * closed-form answers — zero rows materialized anywhere. */
+private[sources] class EventsAggScan(schema: StructType, values: Array[Any])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
-  override def description(): String = s"graft-events PushedAggregates=[COUNT(*)]"
+  override def description(): String =
+    s"graft-events PushedAggregates=[${schema.fieldNames.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
     Array(EventsPartition(0L, 1L, "", ""))
   override def createReaderFactory(): PartitionReaderFactory = {
-    val n = conf.n
-    val width = schema.length
+    val vs = values
     (_: InputPartition) => new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean = { val r = !emitted; emitted = true; r }
-      override def get(): InternalRow =
-        new GenericInternalRow(Array.fill[Any](width)(n))
+      override def get(): InternalRow = new GenericInternalRow(vs.clone())
       override def close(): Unit = ()
     }
   }
@@ -298,7 +356,11 @@ private[sources] case class EventsPartition(start: Long, end: Long,
 
 private[sources] class EventsScan(conf: EventsConf, required: StructType,
     pushed: Array[Filter], idLo: Long = 0L, idHi: Long = Long.MaxValue)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
+  import org.apache.spark.sql.connector.expressions.{Expressions, Literal, NamedReference}
+  import org.apache.spark.sql.connector.expressions.filter.Predicate
+
   private val lo = math.max(0L, idLo)
   private val hi = math.min(conf.n, idHi)
   override def readSchema(): StructType = required
@@ -307,6 +369,46 @@ private[sources] class EventsScan(conf: EventsConf, required: StructType,
     s"graft-events pruned=[${pushed.mkString(", ")}] " +
       s"cols=${required.fieldNames.mkString(",")}" +
       (if (lo > 0L || hi < conf.n) s" idRange=[$lo,$hi)" else "")
+
+  /** Runtime (DPP-style) day pruning: when this scan sits under an
+    * equi-join on event_ts whose other side is small and selective,
+    * Spark evaluates that side first and hands the surviving join
+    * keys here as an IN predicate — BEFORE readers are created
+    * (SPARK-35779's SupportsRuntimeV2Filtering contract). Day
+    * partitions containing none of the keys are dropped at runtime,
+    * the connector analogue of dynamic partition pruning on a Hive
+    * table. Purely advisory: unparseable predicates are ignored and
+    * Spark re-evaluates the join condition on every surviving row. */
+  @volatile private var runtimeTsKeys: Option[Set[String]] = None
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(Expressions.column("event_ts"))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    def isTs(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case nr: NamedReference => nr.fieldNames().sameElements(Array("event_ts"))
+        case _ => false
+      }
+    def litStr(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case l: Literal[_] if l.dataType == StringType =>
+          Option(l.value).map(_.toString)
+        case _ => None
+      }
+    val keySets = predicates.flatMap { p =>
+      val c = p.children()
+      p.name() match {
+        case "IN" if c.length >= 2 && isTs(c(0)) =>
+          val lits = c.drop(1).flatMap(litStr(_))
+          if (lits.length == c.length - 1) Some(lits.toSet) else None
+        case "=" if c.length == 2 && isTs(c(0)) => litStr(c(1)).map(Set(_))
+        case "=" if c.length == 2 && isTs(c(1)) => litStr(c(0)).map(Set(_))
+        case _ => None
+      }
+    }
+    if (keySets.nonEmpty) runtimeTsKeys = Some(keySets.reduce(_ intersect _))
+  }
 
   /** Post-pruning exact row count + width-aware byte estimate, so the
     * optimizer sees a day-pruned / limit-clamped scan at its REAL
@@ -357,12 +459,19 @@ private[sources] class EventsScan(conf: EventsConf, required: StructType,
     case _ => true
   }
 
+  // a day survives a runtime IN filter iff it contains at least one
+  // surviving join key (an empty key set prunes every partition —
+  // the join is provably empty)
+  private def survivesRuntime(minTs: String, maxTs: String): Boolean =
+    runtimeTsKeys.forall(_.exists(v => minTs <= v && v <= maxTs))
+
   override def planInputPartitions(): Array[InputPartition] =
     (0 until conf.days).iterator.map { d =>
       EventsPartition(math.max(dayBoundary(d), lo),
         math.min(dayBoundary(d + 1), hi),
         fmt(d.toLong * 86400000000L), fmt((d + 1).toLong * 86400000000L - 1L))
-    }.filter(p => p.start < p.end && overlaps(p.minTs, p.maxTs))
+    }.filter(p => p.start < p.end && overlaps(p.minTs, p.maxTs) &&
+        survivesRuntime(p.minTs, p.maxTs))
       .toArray[InputPartition]
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -452,8 +561,12 @@ private[sources] class EventsReaderFactory(conf: EventsConf,
     val p = partition.asInstanceOf[EventsPartition]
     new PartitionReader[ColumnarBatch] {
       private val Cap = 4096
-      private val types: Array[DataType] =
-        fields.map(f => if (f == "price") DoubleType else StringType)
+      private val types: Array[DataType] = fields.map {
+        case "price" => DoubleType
+        case EventsDataSource.EventIdCol => LongType
+        case EventsDataSource.DayCol => IntegerType
+        case _ => StringType
+      }
       private val vectors: Array[OnHeapColumnVector] =
         types.map(t => new OnHeapColumnVector(Cap, t))
       private val batch = new ColumnarBatch(vectors.toArray[
@@ -474,6 +587,8 @@ private[sources] class EventsReaderFactory(conf: EventsConf,
               case null => v.putNull(i)
               case s: UTF8String => v.putByteArray(i, s.getBytes)
               case d: Double => v.putDouble(i, d)
+              case l: Long => v.putLong(i, l)
+              case n: Int => v.putInt(i, n)
               case other => throw new IllegalStateException(
                 s"unexpected wire value ${other.getClass} for $f")
             }

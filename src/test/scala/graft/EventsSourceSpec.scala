@@ -191,6 +191,59 @@ class EventsSourceSpec extends SparkSpec {
       rowDf.where(col("price").isNull).count())
   }
 
+  test("metadata columns: hidden from SELECT *, selectable by name, pruned-consistent") {
+    // hidden: the wire schema and a plain read never carry them
+    assert(!viaSource.schema.fieldNames.exists(Set("_event_id", "_day")))
+    // selectable: provenance id is the stream's total order — it must
+    // agree with the event_ts sort order and be unique
+    val df = viaSource.select(col("_event_id"), col("_day"), col("event_ts"))
+    val rows = df.collect()
+    assert(rows.length == N)
+    val ids = rows.map(_.getLong(0))
+    assert(ids.distinct.length == N, "_event_id must be unique")
+    val tsInIdOrder = rows.sortBy(_.getLong(0)).map(_.getString(2))
+    assert(tsInIdOrder.sliding(2).forall {
+      case Array(a, b) => a <= b
+      case _ => true
+    }, "_event_id order must agree with event_ts order")
+    // _day agrees with the calendar day derived from event_ts
+    val bad = df.where(
+      col("_day") =!= datediff(to_date(substring(col("event_ts"), 1, 10)),
+        lit("2025-09-01"))).count()
+    assert(bad == 0, s"$bad rows where _day disagrees with event_ts's day")
+    // pruning composes: a day filter keeps _day values consistent and
+    // partition count pruned
+    val pruned = viaSource.where(col("event_ts") >= "2025-09-04T00:00:00Z")
+      .select(col("_day"))
+    assert(pruned.rdd.getNumPartitions == 4)
+    assert(pruned.distinct().collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4, 5, 6))
+    // and the columnar path carries the long/int vectors
+    val viaColumnar = viaSource.select(col("_event_id")).agg(sum(col("_event_id")))
+    assert(viaColumnar.head().getLong(0) == N * (N - 1) / 2)
+  }
+
+  test("MIN/MAX(event_ts) push down closed-form alongside COUNT(*)") {
+    val df = viaSource.agg(count(lit(1)).as("n"),
+      min(col("event_ts")).as("lo"), max(col("event_ts")).as("hi"))
+    val schema = scanSchemaOf(df).get
+    assert(schema.fieldNames.sameElements(Array("count_0", "min_1", "max_2")),
+      s"aggregates not completely pushed: ${schema.fieldNames.mkString(",")}")
+    val r = df.head()
+    val exp = EventGenerator.events(spark, N)
+      .agg(count(lit(1)), min(col("event_ts")), max(col("event_ts"))).head()
+    assert(r.getLong(0) == exp.getLong(0) && r.getString(1) == exp.getString(1)
+      && r.getString(2) == exp.getString(2),
+      s"closed-form agg diverges: $r vs $exp")
+    // min/max on a NON-monotone column must NOT push — Spark keeps its
+    // own aggregate over the wire rows
+    val other = viaSource.agg(min(col("user_id")))
+    val oSchema = scanSchemaOf(other).get
+    assert(oSchema.fieldNames.contains("user_id"),
+      "min(user_id) has no closed form and must not push")
+    assert(other.head().getString(0) ==
+      EventGenerator.events(spark, N).agg(min(col("user_id"))).head().getString(0))
+  }
+
   test("short name resolves through DataSourceRegister") {
     // format("graft-events") (not the class name) already proves the
     // service registration; double-check a misspelling fails loudly
