@@ -111,6 +111,8 @@ object SparkEntry {
     "q_lang_id" -> (TextQueries.langId _),
     "q_fingerprint" -> (TextQueries.fingerprint _),
     "q_vocab_topk" -> ((s, d) => TextQueries.vocabTopk(s, d)),
+    "q_bpe_pairs" -> ((s, d) => TextQueries.bpePairs(s, d)),
+    "q_rep_filter" -> (TextQueries.repFilter _),
     "q_inverted_index" -> (TextQueries.invertedIndex _),
     "q_heavy_hitters" -> ((s, d) => TextQueries.heavyHitters(s, d)),
     "q_pii_scrub" -> (TextQueries.piiScrub _),
@@ -1395,6 +1397,34 @@ object SparkEntry {
         |g AS (SELECT token, doc_id, count(*) AS n FROM t GROUP BY 1, 2)
         |SELECT token, CAST(sum(n) AS BIGINT) AS tf, count(*) AS df
         |FROM g GROUP BY 1 ORDER BY tf DESC, token LIMIT 20""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+        |  FROM documents),
+        |wf AS (SELECT word, count(*) AS wf FROM w
+        |  WHERE length(word) >= 2 GROUP BY 1),
+        |p AS (SELECT substring(word, CAST(i AS INT), 2) AS pair, wf
+        |  FROM (SELECT word, wf, unnest(range(1, length(word))) AS i FROM wf))
+        |SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+    "q_rep_filter" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
+        |  FROM documents),
+        |u1 AS (SELECT doc_id, w, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2),
+        |u AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_toks,
+        |    CAST(max(c) AS BIGINT) AS max_tok_cnt FROM u1 GROUP BY 1),
+        |bg0 AS (SELECT doc_id,
+        |    toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1] AS bg
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM t)),
+        |b1 AS (SELECT doc_id, bg, count(*) AS c FROM bg0 GROUP BY 1, 2),
+        |b AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |    CAST(max(c) AS BIGINT) AS max_bigram_cnt FROM b1 GROUP BY 1)
+        |SELECT u.doc_id, n_toks, max_tok_cnt,
+        |  coalesce(n_bigrams, 0) AS n_bigrams,
+        |  coalesce(max_bigram_cnt, 0) AS max_bigram_cnt,
+        |  (coalesce(max_bigram_cnt, 0) * 100 > coalesce(n_bigrams, 0) * 18
+        |   OR max_tok_cnt * 100 > n_toks * 30) AS rep_flag
+        |FROM u LEFT JOIN b USING (doc_id) ORDER BY u.doc_id""".stripMargin,
     "q_inverted_index" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents)

@@ -85,6 +85,66 @@ object TextQueries {
       .limit(k)
   }
 
+  /** E4/E6 BPE merge-pair statistics — ONE iteration of byte-pair
+    * tokenizer training: corpus-wide counts of adjacent character
+    * pairs inside words, weighted by word frequency; the argmax pair
+    * is the next BPE merge. The scale move is grain separation: the
+    * token stream is aggregated to the VOCABULARY first (word-grain
+    * groupBy with map-side partials, state bounded by |vocab| not
+    * corpus size), and the quadratic-ish pair explode runs only on
+    * distinct words — at 100 TB the explode input is a few million
+    * vocab rows regardless of corpus size. Pair generation is a
+    * higher-order `transform` over an index `sequence` (codegen'd, no
+    * UDF); 1-char words are filtered before `sequence` so the
+    * descending-range edge case never constructs. */
+  def bpePairs(spark: SparkSession, dir: String, k: Int = 30): DataFrame = {
+    val docs = withTokens(load(spark, dir, "documents"))
+    val vocab = docs.select(explode(col("toks")).as("word"))
+      .where(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+    vocab
+      .select(col("wf"), explode(transform(
+        sequence(lit(0), length(col("word")) - 2),
+        i => col("word").substr(i + 1, lit(2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wf")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(k)
+  }
+
+  /** E4 intra-document repetition filter (Gopher-style quality rule):
+    * per-doc top-unigram and top-bigram concentration, the repetition
+    * signal the length/punct/stopword scorer (q_text_quality) cannot
+    * see. Integer-exact output — counts plus a cross-multiplied flag
+    * (max_bigram_cnt/n_bigrams > 0.18 OR max_tok_cnt/n_toks > 0.30)
+    * so no float ever reaches the oracle hash. Scale: both cascades
+    * aggregate at (doc, gram) then doc grain — state is bounded per
+    * document, the corpus never concentrates on one key, and the two
+    * branches join at doc grain (co-partitioned by the same key). */
+  def repFilter(spark: SparkSession, dir: String): DataFrame = {
+    val t = withTokens(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("toks"))
+    val uni = t.select(col("doc_id"), explode(col("toks")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_toks"), max(col("c")).as("max_tok_cnt"))
+    val bi = t.where(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("toks")) - 1),
+        i => concat_ws(" ",
+          element_at(col("toks"), i), element_at(col("toks"), i + 1)))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("max_bigram_cnt"))
+    uni.join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_toks"), col("max_tok_cnt"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("max_bigram_cnt"), lit(0L)).as("max_bigram_cnt"),
+        (coalesce(col("max_bigram_cnt"), lit(0L)) * 100 >
+            coalesce(col("n_bigrams"), lit(0L)) * 18 ||
+          col("max_tok_cnt") * 100 > col("n_toks") * 30).as("rep_flag"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E4 inverted-index build: token-sharded posting lists — the
     * retrieval-side structure a training pipeline builds for
     * decontamination lookups and corpus search. One explode + one

@@ -101,6 +101,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"vocab cut should be top-k:\n$p")
   }
 
+  test("bpePairs: pair explode runs at VOCAB grain (agg below it), cut is top-k") {
+    val p = plan(graft.operators.TextQueries.bpePairs(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"pair cut should be top-k:\n$p")
+    // two Generates: word explode (bottom), pair explode (top) — the
+    // word-frequency HashAggregate must sit BETWEEN them, proving the
+    // quadratic pair enumeration runs on distinct words, not tokens
+    val parts = p.split("Generate ")
+    assert(parts.length >= 3, s"expected token+pair explodes:\n$p")
+    assert(parts(1).contains("HashAggregate"),
+      s"pair explode is not above the vocab aggregate:\n$p")
+  }
+
   test("prunedKpis: day filter lands on the date PARTITION column (S6)") {
     // the Spark restatement of the reference's S3 prefix prune
     // (daily_kpis.py:155-156): non-empty PartitionFilters on the scan,
