@@ -1,0 +1,83 @@
+package graft
+
+/** Measured scaling curves: times a flagship-operator slate at all
+  * three fixture scales (sf0.001 → sf0.01 → sf0.1, a 100× data span)
+  * and reports the per-step time ratios — mechanical evidence for the
+  * SCALE.md claims. With fixed per-query overhead F and linear
+  * operator cost c·n, a 10× data step bounds the ratio at
+  * (F + 10cn)/(F + cn) ≤ 10: sub-10 ratios mean at-worst-linear
+  * scaling still partly inside the scheduling floor; a ratio well
+  * above 10 is a superlinear red flag (quadratic pair blowup,
+  * skew concentration). Writes scaling.json and prints one JSON line.
+  *
+  * Same measurement discipline as [[Bench]]: warmup run (codegen +
+  * JIT), median of 3 timed full-evaluations via toRdd.foreach, steal
+  * delta recorded.
+  */
+object ScalingProbe {
+
+  /** One flagship per operator family: scan+agg, star join, windowed
+    * sessionize, exact dedup, LSH near-dup funnel, graph closure,
+    * bounded top-k aggregate ANN, native as-of merge, vocab-grain BPE,
+    * doc-grain repetition, KPI rollup, hourly grid. */
+  val Flagships: Seq[String] = Seq(
+    "q1_pricing_summary", "q5_local_supplier", "q_kpi_daily",
+    "q_events_hourly", "q_sessionize", "q_dedup_exact",
+    "q_ngram_jaccard", "q_dup_clusters", "q_knn_batch_agg",
+    "q_asof_native", "q_bpe_pairs", "q_rep_filter")
+
+  private def forceEval(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.toRdd.foreach(_ => ())
+
+  private def stealSeconds(): Double =
+    try {
+      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+      if (cpu.length > 8) cpu(8).toDouble / 100.0 else 0.0
+    } catch { case _: Throwable => 0.0 }
+
+  def main(args: Array[String]): Unit = {
+    val root = if (args.nonEmpty) args(0) else "/root/testdata"
+    val out = if (args.length > 1) args(1) else "/root/repo/scaling.json"
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+    val stealStart = stealSeconds()
+    val spark = Tables.session()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val missing = Flagships.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"unknown flagship queries: $missing")
+
+    // query -> sf -> median seconds
+    val times = scala.collection.mutable.LinkedHashMap[String, Map[String, Double]]()
+    for (q <- Flagships) {
+      val fn = SparkEntry.queries(q)
+      val bySf = for (sf <- sfs) yield {
+        val dir = s"$root/$sf"
+        forceEval(fn(spark, dir)) // warm: codegen + shuffle files
+        val samples = Seq.fill(3) {
+          val t0 = System.nanoTime()
+          forceEval(fn(spark, dir))
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        sf -> samples(1)
+      }
+      times(q) = bySf.toMap
+      System.err.println(f"[scaling] $q%-28s " + bySf.map {
+        case (sf, t) => f"$sf=$t%.2fs"
+      }.mkString(" "))
+    }
+
+    def j(d: Double): String = f"$d%.3f"
+    val body = times.map { case (q, t) =>
+      val r1 = t("sf0.01") / math.max(t("sf0.001"), 1e-9)
+      val r2 = t("sf0.1") / math.max(t("sf0.01"), 1e-9)
+      s""""$q":{"sf0.001":${j(t("sf0.001"))},"sf0.01":${j(t("sf0.01"))},""" +
+        s""""sf0.1":${j(t("sf0.1"))},"ratio_step1":${j(r1)},"ratio_step2":${j(r2)}}"""
+    }.mkString(",")
+    val line = s"""{"metric":"scaling","sf_span":"100x","queries":{$body},""" +
+      s""""steal_sec":${j(stealSeconds() - stealStart)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      line.getBytes("UTF-8"))
+    println(line)
+  }
+}
