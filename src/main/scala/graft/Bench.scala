@@ -30,9 +30,10 @@ object Bench {
   /** Fully evaluates every row and column of the plan. `count()` would
     * let Catalyst prune projections and eliminate sorts under the
     * aggregate, so pure-projection queries would time only a pruned
-    * parquet scan instead of the declared operator.
+    * parquet scan instead of the declared operator. Shared with
+    * [[ScalingProbe]].
     */
-  private def forceEval(df: org.apache.spark.sql.DataFrame): Unit =
+  private[graft] def forceEval(df: org.apache.spark.sql.DataFrame): Unit =
     df.queryExecution.toRdd.foreach(_ => ())
 
   /** Cumulative hypervisor steal time (seconds) from /proc/stat — the
@@ -41,12 +42,15 @@ object Bench {
     * a 50 s record into 91 s with identical code), so the record
     * carries the delta: a `steal_sec` far above ~0 means the numbers
     * measure the neighbor, not the engine — rerun on a quiet window
-    * before comparing rounds. */
-  private def stealSeconds(): Double =
+    * before comparing rounds. Shared with [[ScalingProbe]]. */
+  private[graft] def stealSeconds(): Double =
     try {
-      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
-      if (cpu.length > 8) cpu(8).toDouble / 100.0 else 0.0
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val cpu = src.getLines()
+          .find(_.startsWith("cpu ")).get.trim.split("\\s+")
+        if (cpu.length > 8) cpu(8).toDouble / 100.0 else 0.0
+      } finally src.close()
     } catch { case _: Throwable => 0.0 }
 
   def main(args: Array[String]): Unit = {

@@ -26,15 +26,10 @@ object ScalingProbe {
     "q_ngram_jaccard", "q_dup_clusters", "q_knn_batch_agg",
     "q_asof_native", "q_bpe_pairs", "q_rep_filter")
 
+  // measurement plumbing shared with Bench — one implementation
   private def forceEval(df: org.apache.spark.sql.DataFrame): Unit =
-    df.queryExecution.toRdd.foreach(_ => ())
-
-  private def stealSeconds(): Double =
-    try {
-      val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
-        .find(_.startsWith("cpu ")).get.trim.split("\\s+")
-      if (cpu.length > 8) cpu(8).toDouble / 100.0 else 0.0
-    } catch { case _: Throwable => 0.0 }
+    Bench.forceEval(df)
+  private def stealSeconds(): Double = Bench.stealSeconds()
 
   def main(args: Array[String]): Unit = {
     val root = if (args.nonEmpty) args(0) else "/root/testdata"
@@ -67,7 +62,10 @@ object ScalingProbe {
       }.mkString(" "))
     }
 
-    def j(d: Double): String = f"$d%.3f"
+    // Locale.ROOT: a comma-decimal default locale would break the JSON
+    // (same hardening as Bench's ms())
+    def j(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val body = times.map { case (q, t) =>
       val r1 = t("sf0.01") / math.max(t("sf0.001"), 1e-9)
       val r2 = t("sf0.1") / math.max(t("sf0.01"), 1e-9)

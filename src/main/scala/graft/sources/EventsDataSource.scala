@@ -69,7 +69,7 @@ object EventsDataSource {
     StructField("user_agent", StringType, nullable = false)))
 
   private val MicrosPerDay = 86400000000L
-  private val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+  private[sources] val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
     .withZone(ZoneOffset.UTC)
 
   /** Hidden provenance columns (SupportsMetadataColumns): the
@@ -104,6 +104,17 @@ object EventsDataSource {
       override def comment: String =
         "zero-based partition day index (the unit of partition pruning)"
     })
+
+  /** The one predicate-column test every pushdown shares: is this V2
+    * expression a bare reference to event_ts? (top-N sort keys,
+    * closed-form MIN/MAX columns, runtime filter attributes). */
+  private[sources] def isEventTs(
+      e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference =>
+        nr.fieldNames().sameElements(Array("event_ts"))
+      case _ => false
+    }
 
   /** seeded xxhash64 of (seed ++ id) exactly as the SQL
     * `xxhash64(concat(lit(seed), id.cast("string")))` computes it —
@@ -247,11 +258,7 @@ private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
   override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
     if (pushed.nonEmpty || countStarPushed || orders.length != 1) return false
     val o = orders(0)
-    val onTs = o.expression() match {
-      case nr: NamedReference => nr.fieldNames().sameElements(Array("event_ts"))
-      case _ => false
-    }
-    if (!onTs) return false
+    if (!EventsDataSource.isEventTs(o.expression())) return false
     // NullOrdering is irrelevant: event_ts is non-nullable
     if (o.direction() == SortDirection.ASCENDING)
       idHi = math.min(idHi, idLo + limit)
@@ -271,14 +278,8 @@ private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
     * this — the closed forms would ignore them. */
   private def closedForm(f: AggregateFunc): Boolean = f match {
     case _: CountStar => true
-    case m: Min => m.column() match {
-      case nr: NamedReference => nr.fieldNames().sameElements(Array("event_ts"))
-      case _ => false
-    }
-    case m: Max => m.column() match {
-      case nr: NamedReference => nr.fieldNames().sameElements(Array("event_ts"))
-      case _ => false
-    }
+    case m: Min => EventsDataSource.isEventTs(m.column())
+    case m: Max => EventsDataSource.isEventTs(m.column())
     case _ => false
   }
 
@@ -386,10 +387,7 @@ private[sources] class EventsScan(conf: EventsConf, required: StructType,
 
   override def filter(predicates: Array[Predicate]): Unit = {
     def isTs(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
-      e match {
-        case nr: NamedReference => nr.fieldNames().sameElements(Array("event_ts"))
-        case _ => false
-      }
+      EventsDataSource.isEventTs(e)
     def litStr(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case l: Literal[_] if l.dataType == StringType =>
@@ -445,9 +443,7 @@ private[sources] class EventsScan(conf: EventsConf, required: StructType,
 
   private def fmt(offsetMicros: Long): String = {
     val micros = conf.startMicros + offsetMicros
-    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
-      .withZone(ZoneOffset.UTC)
-      .format(Instant.ofEpochSecond(micros / 1000000L)) + "Z"
+    EventsDataSource.TsFmt.format(Instant.ofEpochSecond(micros / 1000000L)) + "Z"
   }
 
   private def overlaps(minTs: String, maxTs: String): Boolean = pushed.forall {
@@ -465,7 +461,7 @@ private[sources] class EventsScan(conf: EventsConf, required: StructType,
   private def survivesRuntime(minTs: String, maxTs: String): Boolean =
     runtimeTsKeys.forall(_.exists(v => minTs <= v && v <= maxTs))
 
-  override def planInputPartitions(): Array[InputPartition] =
+  private def planParts(): Array[InputPartition] =
     (0 until conf.days).iterator.map { d =>
       EventsPartition(math.max(dayBoundary(d), lo),
         math.min(dayBoundary(d + 1), hi),
@@ -473,6 +469,14 @@ private[sources] class EventsScan(conf: EventsConf, required: StructType,
     }.filter(p => p.start < p.end && overlaps(p.minTs, p.maxTs) &&
         survivesRuntime(p.minTs, p.maxTs))
       .toArray[InputPartition]
+
+  // pushed-filter/limit pruning is fixed at build time, so the planning
+  // (day-boundary binary searches + ts formatting) is cached; only a
+  // runtime filter() arriving later can change the answer, and that
+  // path re-plans fresh
+  private lazy val baseParts: Array[InputPartition] = planParts()
+  override def planInputPartitions(): Array[InputPartition] =
+    if (runtimeTsKeys.isEmpty) baseParts else planParts()
 
   override def createReaderFactory(): PartitionReaderFactory =
     new EventsReaderFactory(conf, required.fieldNames, columnar = conf.columnar)

@@ -73,7 +73,9 @@ class EventsRuntimeFilterSpec extends SparkSpec {
     // Filter(LocalRelation), leaving no selective predicate for the
     // PartitionPruning rule to key on — a parquet round-trip keeps the
     // Filter node (exactly how a real dimension table arrives)
-    val dimDir = java.nio.file.Files.createTempDirectory("rtf_dim").toString
+    val dimPath = java.nio.file.Files.createTempDirectory("rtf_dim")
+    val dimDir = dimPath.toString
+    try {
     (keys.map((_, "keep")) :+ (("2030-01-01T00:00:00Z", "drop")))
       .toDF("ts", "tag").write.mode("overwrite").parquet(dimDir)
     val dim = spark.read.parquet(dimDir)
@@ -105,5 +107,11 @@ class EventsRuntimeFilterSpec extends SparkSpec {
     val prunedParts = scanExec.get.scan.toBatch.planInputPartitions().length
     assert(prunedParts == 1,
       s"runtime pruning left $prunedParts partitions, expected 1 (keys in one day)")
+    } finally {
+      // recursive temp cleanup — repeated test runs must not accumulate
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dimPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+    }
   }
 }
