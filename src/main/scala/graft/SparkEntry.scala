@@ -113,6 +113,7 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, d) => TextQueries.vocabTopk(s, d)),
     "q_bpe_pairs" -> ((s, d) => TextQueries.bpePairs(s, d)),
     "q_rep_filter" -> (TextQueries.repFilter _),
+    "q_bm25" -> ((s, d) => TextQueries.bm25(s, d)),
     "q_inverted_index" -> (TextQueries.invertedIndex _),
     "q_heavy_hitters" -> ((s, d) => TextQueries.heavyHitters(s, d)),
     "q_pii_scrub" -> (TextQueries.piiScrub _),
@@ -1425,6 +1426,26 @@ object SparkEntry {
         |  (coalesce(max_bigram_cnt, 0) * 100 > coalesce(n_bigrams, 0) * 18
         |   OR max_tok_cnt * 100 > n_toks * 30) AS rep_flag
         |FROM u LEFT JOIN b USING (doc_id) ORDER BY u.doc_id""".stripMargin,
+    "q_bm25" ->
+      """WITH tok AS (SELECT doc_id,
+        |  unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
+        |td AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfs AS (SELECT token, count(*) AS df FROM td GROUP BY 1),
+        |q AS (SELECT token, df FROM (
+        |    SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+        |    FROM dfs) WHERE r BETWEEN 11 AND 13),
+        |dl AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |  avg(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)) AS avgdl
+        |  FROM documents)
+        |SELECT td.doc_id AS doc_id,
+        |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25,
+        |  count(*) AS n_terms
+        |FROM td JOIN q USING (token) JOIN dl USING (doc_id), g
+        |GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
     "q_inverted_index" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents)

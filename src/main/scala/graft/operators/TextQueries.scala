@@ -114,12 +114,18 @@ object TextQueries {
   /** E4 intra-document repetition filter (Gopher-style quality rule):
     * per-doc top-unigram and top-bigram concentration, the repetition
     * signal the length/punct/stopword scorer (q_text_quality) cannot
-    * see. Integer-exact output — counts plus a cross-multiplied flag
+    * see. Complements [[repetitionSignals]], which computes its
+    * distinct/top-word fractions with per-ROW array kernels — zero
+    * shuffle, ideal for corpora of bounded-size docs but O(doc
+    * tokens) executor memory per row. This cascade is the dual
+    * regime: (doc, gram) → doc aggregation shuffles compact keys and
+    * never materializes a whole document's token multiset, so a
+    * single pathological multi-GB document cannot OOM an executor —
+    * the shape you pick at 100 TB when doc length is unbounded.
+    * Integer-exact output — counts plus a cross-multiplied flag
     * (max_bigram_cnt/n_bigrams > 0.18 OR max_tok_cnt/n_toks > 0.30)
-    * so no float ever reaches the oracle hash. Scale: both cascades
-    * aggregate at (doc, gram) then doc grain — state is bounded per
-    * document, the corpus never concentrates on one key, and the two
-    * branches join at doc grain (co-partitioned by the same key). */
+    * so no float ever reaches the oracle hash. The two branches join
+    * at doc grain, co-partitioned by the same key. */
   def repFilter(spark: SparkSession, dir: String): DataFrame = {
     val t = withTokens(load(spark, dir, "documents"))
       .select(col("doc_id"), col("toks"))
@@ -452,6 +458,49 @@ object TextQueries {
         F.roundBin(col("tf").cast("double") *
           log(col("n_docs").cast("double") / col("df").cast("double")), 4).as("tfidf"))
       .orderBy(col("tfidf").desc, col("token"))
+      .limit(k)
+  }
+
+  /** E4 BM25 retrieval scoring — the ranking half of the retrieval
+    * stack whose index half is [[invertedIndex]] (decontamination
+    * lookup, corpus search). Okapi BM25 with k1=1.2, b=0.75 over a
+    * deterministic query-term set (df ranks 11–13: mid-frequency
+    * terms, selected INSIDE the query so the oracle reproduces them).
+    * Scale shape: the (token, doc) tf table is semi-shrunk by the
+    * broadcast 3-term query FIRST — only docs containing a query term
+    * ever reach the doc-length join — and the global (N, avgdl)
+    * scalars ride a broadcast 1-row aggregate. Scores round through
+    * round_bin at 4dp before the cut, so both engines cut the same
+    * top-k (the tfidf recipe). */
+  def bm25(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+    val docs = withTokens(load(spark, dir, "documents"))
+    val td = docs.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("token"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = td.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // df ranks 11-13: TakeOrdered(13) bounds the sort, the window runs
+    // on 13 rows — never a vocab-wide single-partition rank
+    val top13 = dfs.orderBy(col("df").desc, col("token")).limit(13)
+    val qterms = top13.withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("token"))))
+      .where(col("r") >= 11).drop("r")
+    val dl = docs.select(col("doc_id"),
+      size(col("toks")).cast("double").as("dl"))
+    val g = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("toks")).cast("double")).as("avgdl"))
+    td.join(broadcast(qterms), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(g))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(F.roundBin(sum(col("s")), 4).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
   }
 
