@@ -125,6 +125,32 @@ class SqlInterfaceSpec extends SparkSpec {
       "SQL sessionize != Scala sessionize")
   }
 
+  test("BM25 retrieval scoring via pure SQL text equals the declared query") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """WITH tok AS (SELECT doc_id, explode(split(text, '\\s+')) AS token
+        |  FROM documents),
+        |td AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfs AS (SELECT token, count(*) AS df FROM td GROUP BY 1),
+        |top13 AS (SELECT token, df FROM dfs ORDER BY df DESC, token LIMIT 13),
+        |q AS (SELECT token, df FROM (
+        |    SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+        |    FROM top13) WHERE r >= 11),
+        |dl AS (SELECT doc_id, CAST(size(split(text, '\\s+')) AS DOUBLE) AS dl
+        |  FROM documents),
+        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |  avg(CAST(size(split(text, '\\s+')) AS DOUBLE)) AS avgdl
+        |  FROM documents)
+        |SELECT td.doc_id,
+        |  round_bin(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+        |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25,
+        |  count(*) AS n_terms
+        |FROM td JOIN q USING (token) JOIN dl USING (doc_id) CROSS JOIN g
+        |GROUP BY td.doc_id ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin)
+    assert(rowsOf(viaSql) === rowsOf(graft.operators.TextQueries.bm25(spark, sf)),
+      "SQL BM25 != Scala BM25")
+  }
+
   test("drift PSI (zero-filled grid + reference-day self-join) via pure SQL text") {
     Tables.registerViews(spark, sf)
     val viaSql = spark.sql(
