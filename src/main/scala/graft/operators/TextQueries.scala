@@ -487,8 +487,10 @@ object TextQueries {
       .where(col("r") >= 11).drop("r")
     val dl = docs.select(col("doc_id"),
       size(col("toks")).cast("double").as("dl"))
-    val g = docs.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(size(col("toks")).cast("double")).as("avgdl"))
+    // global scalars fold the doc-length relation, not the corpus —
+    // no third scan/re-tokenize of the text column
+    val g = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
     td.join(broadcast(qterms), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(g))
