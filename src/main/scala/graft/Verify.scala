@@ -37,7 +37,12 @@ object Verify {
           .parquet(s"$outDir/$name")
         val written = spark.read.parquet(s"$outDir/$name")
         claimCols(written.columns).foreach { c =>
-          val bad = written.where(!org.apache.spark.sql.functions.col(c)).count()
+          // NULL claims fail loudly like false ones (r9): a claim built
+          // from when(...) without otherwise, or comparing against a
+          // NULL exact side, evaluates to NULL — where(!col) would drop
+          // those rows and pass silently.
+          import org.apache.spark.sql.functions.{col, coalesce, lit}
+          val bad = written.where(!coalesce(col(c), lit(false))).count()
           if (bad > 0) {
             recallFailures ::= name
             System.err.println(s"[verify] $name CLAIM FAILURE: $bad $c=false rows")

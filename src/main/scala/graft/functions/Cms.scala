@@ -107,12 +107,14 @@ object CmsBuffer {
   // Per-thread last-decoded sketch cache (r8): a per-event probe
   // stream almost always probes ONE broadcast sketch, so re-parsing
   // the 8 + 8·depth·width bytes (64 KiB at defaults) every row is
-  // pure allocation churn. Identity hit is free; the Arrays.equals
-  // fallback costs a compare but no allocation (UnsafeRow.getBinary
-  // returns a fresh copy per access, so identity alone can miss —
-  // and because every access is a fresh copy, a cached reference can
-  // never be mutated behind our back). Misses decode as before:
-  // correctness never depends on the cache.
+  // pure allocation churn. The cache key is a DEFENSIVE CLONE of the
+  // caller's array (r9): cache correctness must never depend on the
+  // caller's copy semantics — if a future call site passed an array
+  // mutated in place behind a stable reference, an identity or
+  // reference-keyed hit would return a stale sketch. Arrays.equals
+  // costs a compare but no allocation; the clone is paid only on a
+  // decode miss (once per distinct sketch per thread). Misses decode
+  // as before: correctness never depends on the cache.
   private final class DecodeCache {
     var bytes: Array[Byte] = _
     var buf: CmsBuffer = _
@@ -121,9 +123,8 @@ object CmsBuffer {
 
   private def decodeCached(bytes: Array[Byte]): CmsBuffer = {
     val c = lastDecoded.get()
-    if (c.bytes != null &&
-        ((c.bytes eq bytes) || java.util.Arrays.equals(c.bytes, bytes))) c.buf
-    else { c.buf = deserialize(bytes); c.bytes = bytes; c.buf }
+    if (c.bytes != null && java.util.Arrays.equals(c.bytes, bytes)) c.buf
+    else { c.buf = deserialize(bytes); c.bytes = bytes.clone(); c.buf }
   }
 
   // Typed probe entry points called from generated code ([[CmsEstimate]]).

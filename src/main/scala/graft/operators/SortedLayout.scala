@@ -114,8 +114,14 @@ object SortedLayout {
         sum(col("n_rows")).as("total_rows"),
         date_format(min(col("min_ts")), "yyyy-MM-dd HH:mm:ss").as("min_ts"),
         date_format(max(col("max_ts")), "yyyy-MM-dd HH:mm:ss").as("max_ts"),
+        // STRICT inequality (r9): with second-granularity timestamps,
+        // `prev_max <= min_ts` would also pass boundary-touching
+        // inclusive ranges, over-claiming the non-overlap invariant.
+        // Strict holds here by construction — RangePartitioner never
+        // splits equal keys across partitions, so files share no ts
+        // value — and now the claim actually asserts it.
         (count(lit(1)) === sum(when(col("prev_max").isNull ||
-          col("prev_max") <= col("min_ts"), 1L).otherwise(0L)))
+          col("prev_max") < col("min_ts"), 1L).otherwise(0L)))
           .as("ranges_disjoint"))
   }
 

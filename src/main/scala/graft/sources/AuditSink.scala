@@ -78,12 +78,26 @@ private[sources] class AuditBatchWrite(schema: StructType, path: String)
     val merged = ms.map(_.cols).reduceOption { (a, b) =>
       a.zip(b).map { case (x, y) => x.merge(y) }
     }.getOrElse(schema.fields.map(f => AuditWriterFactory.zero(f.dataType)))
+    // JSON-escape field names (quote/backslash/control chars would
+    // otherwise produce an invalid audit file) and render non-finite
+    // doubles as JSON strings — NaN/Infinity are not JSON literals.
+    def esc(s: String): String = s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case ch if ch < ' ' => f"\\u${ch.toInt}%04x"
+      case ch => ch.toString
+    }
+    def num(v: Double): String =
+      if (java.lang.Double.isFinite(v)) v.toString else "\"" + v.toString + "\""
     val json = new StringBuilder
     json.append(s"""{"rows": $rows, "columns": {""")
     json.append(schema.fields.zip(merged).map { case (f, c) =>
-      val base = s""""${f.name}": {"nulls": ${c.nulls}"""
+      val base = s""""${esc(f.name)}": {"nulls": ${c.nulls}"""
       if (c.numeric && rows - c.nulls > 0)
-        base + s""", "min": ${c.min}, "max": ${c.max}, "sum": ${c.sum}}"""
+        base + s""", "min": ${num(c.min)}, "max": ${num(c.max)}, "sum": ${num(c.sum)}}"""
       else base + "}"
     }.mkString(", "))
     json.append("}}")

@@ -47,11 +47,15 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class EventsDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-events"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    EventsDataSource.requireUtcSession()
     EventsDataSource.WireSchema
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: JMap[String, String]): Table =
+      properties: JMap[String, String]): Table = {
+    EventsDataSource.requireUtcSession()
     new EventsTable(EventsConf(new CaseInsensitiveStringMap(properties)))
+  }
 }
 
 object EventsDataSource {
@@ -69,8 +73,32 @@ object EventsDataSource {
     StructField("user_agent", StringType, nullable = false)))
 
   private val MicrosPerDay = 86400000000L
+  /** The connector renders `event_ts` in fixed UTC, while the
+    * generator's column-expression formulation renders through the
+    * SESSION time zone (unix_timestamp/date_format). The advertised
+    * bit-identity therefore only holds under
+    * `spark.sql.session.timeZone=UTC` (which [[graft.Tables.session]]
+    * pins). Rather than silently diverge, table resolution
+    * hard-rejects non-UTC sessions (r9, [[requireUtcSession]]). */
   private[sources] val TsFmt = DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
     .withZone(ZoneOffset.UTC)
+
+  /** Loud guard for the UTC assumption above: called at
+    * inferSchema/getTable time (driver-side, once per resolution), so
+    * an embedder reading `format("graft-events")` under a non-UTC
+    * session gets an actionable error instead of event_ts strings
+    * that silently disagree with the generator. Any zone with a fixed
+    * zero offset (UTC, Z, GMT, Etc/UTC, +00:00) is accepted. */
+  private[sources] def requireUtcSession(): Unit = {
+    val zone = java.time.ZoneId.of(
+      org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+    val isUtc = zone.normalized() == ZoneOffset.UTC
+    require(isUtc,
+      s"graft-events renders event_ts in UTC and requires " +
+        s"spark.sql.session.timeZone=UTC for bit-identity with the " +
+        s"generator; session zone is '$zone'. Set the conf or read the " +
+        s"parquet fixture instead.")
+  }
 
   /** Hidden provenance columns (SupportsMetadataColumns): the
     * synthetic row id — the stream's total order and the lineage key

@@ -43,6 +43,25 @@ class AuditSinkSpec extends SparkSpec {
     assert(out.toFile.listFiles().map(_.getName).toSet == Set("audit.json"))
   }
 
+  test("hostile column names and non-finite doubles still publish valid JSON (r9)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-audit-esc")
+    out.toFile.deleteOnExit()
+    val path = out.resolve("audit.json").toString
+    import spark.implicits._
+    // a quote and a backslash in the column name; NaN in the values
+    Seq(1.0, Double.NaN, 3.0).toDF("va\"l\\ue")
+      .write.format("graft-audit").option("path", path).mode("overwrite").save()
+    val raw = parse(path)("raw").asInstanceOf[String]
+    // must parse as JSON by an independent parser: Spark's own
+    val parsed = spark.read.json(Seq(raw).toDS())
+    assert(!parsed.columns.contains("_corrupt_record"),
+      s"audit JSON invalid under hostile column name: $raw")
+    assert(raw.contains("""va\"l\\ue"""), s"name not escaped: $raw")
+    // NaN propagates through min/max/sum — rendered as a JSON string,
+    // never as a bare NaN literal (invalid JSON)
+    assert(raw.contains("\"NaN\""), s"non-finite not string-rendered: $raw")
+  }
+
   test("empty input commits a zero-row audit without numeric blocks") {
     val out = java.nio.file.Files.createTempDirectory("graft-audit-empty")
     out.toFile.deleteOnExit()

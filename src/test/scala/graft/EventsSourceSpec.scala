@@ -15,6 +15,27 @@ class EventsSourceSpec extends SparkSpec {
   private def viaSource = spark.read.format("graft-events")
     .option("n", N).load()
 
+  test("non-UTC session is rejected loudly at table resolution (r9)") {
+    // the connector renders event_ts in fixed UTC while the generator
+    // renders through the session zone — bit-identity requires UTC,
+    // and a silent divergence is worse than an error
+    val key = "spark.sql.session.timeZone"
+    val saved = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "America/New_York")
+      val e = intercept[Exception] { viaSource.collect() }
+      def msgs(t: Throwable): List[String] =
+        if (t == null) Nil else Option(t.getMessage).toList ::: msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("requires spark.sql.session.timeZone=UTC")),
+        s"unexpected failure shape: $e")
+    } finally spark.conf.set(key, saved)
+    // and a zero-offset alias is accepted
+    try {
+      spark.conf.set(key, "Etc/UTC")
+      assert(viaSource.limit(1).count() == 1L)
+    } finally spark.conf.set(key, saved)
+  }
+
   test("source rows are bit-identical to EventGenerator's") {
     val a = viaSource.collect().map(_.toString).sorted.toSeq
     val b = EventGenerator.events(spark, N).collect().map(_.toString).sorted.toSeq
