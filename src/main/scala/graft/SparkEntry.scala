@@ -1652,6 +1652,30 @@ object SparkEntry {
         |  round(ix / CAST(na + nb - ix AS DOUBLE), 6) AS jaccard
         |FROM i WHERE 10 * ix >= 9 * (na + nb - ix)
         |ORDER BY a_id, b_id""".stripMargin,
+    // accuracy-gated (r9, formerly rows-only): the engine emits the
+    // EXACT per-source-pair trigram-shingle-set jaccard (oracle pins
+    // it by hash) plus the within_tol claim on the 16-perm signature
+    // estimate (oracle fixes TRUE); trigram construction mirrors the
+    // q_simjoin_prefix oracle, keyed by source with DISTINCT shingles
+    "q_source_minhash" ->
+      """WITH d AS (SELECT source,
+        |    regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |g AS (SELECT source,
+        |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))) AS h
+        |  FROM d WHERE len(toks) >= 3),
+        |s AS (SELECT DISTINCT source, h FROM g),
+        |n AS (SELECT source, count(*) AS n FROM s GROUP BY 1),
+        |i AS (SELECT a.source AS a_src, b.source AS b_src, count(*) AS ix
+        |  FROM s a JOIN s b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT na.source AS a_src, nb.source AS b_src,
+        |  round(coalesce(i.ix, 0) /
+        |    CAST(na.n + nb.n - coalesce(i.ix, 0) AS DOUBLE), 6) AS exact_jaccard,
+        |  TRUE AS within_tol
+        |FROM n na JOIN n nb ON na.source < nb.source
+        |LEFT JOIN i ON i.a_src = na.source AND i.b_src = nb.source
+        |ORDER BY 1, 2""".stripMargin,
     // components via transitive closure: reach(id, r) = ids reachable
     // from id over the symmetrized pair edges; comp = min(reachable)
     "q_dup_clusters" ->

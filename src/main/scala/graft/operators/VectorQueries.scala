@@ -188,24 +188,104 @@ object VectorQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** E2/E3 embedding-cosine near-dup at scale: LSH-bucket blocking
-    * instead of label blocking — candidate pairs only form inside a
-    * hyperplane bucket, so pair count scales with Σ bucket² instead of
-    * corpus². Recall vs. the exact label-blocked variant is spec-
-    * checked; rows-only under the gate (hash-derived buckets). */
+  /** E2/E3 embedding-cosine near-dup at scale: MULTI-TABLE hyperplane
+    * LSH blocking (OR-amplification, r9 — the r8 single-table variant
+    * measured 0.15 recall vs the exact twin, the textbook failure of
+    * one k-bit signature at a LOW similarity threshold). Candidate
+    * pairs form inside any of L independent k-bit hyperplane buckets;
+    * per-pair hit probability is 1−(1−p^k)^L with p = 1−θ/π, so L is
+    * sized analytically ([[lshTablesFor]]) for ~0.9 recall at the
+    * query's cos ≥ 0.3 cut. Candidates are deduped as bare id pairs
+    * (16-byte rows) BEFORE vectors are joined back, so the exact-
+    * cosine verification touches each surviving pair once.
+    *
+    * Honest regime note (SCALE.md §vectors): at t = 0.3 the per-bit
+    * gap between qualifying (p≈0.60) and random (p=0.5) pairs is
+    * thin — ρ = ln(1/p₁)/ln(1/p₂) ≈ 0.75, so candidate count scales
+    * as n^{1+ρ} ≈ n^1.75: subquadratic but not cheap. Production
+    * near-dup cuts (cos ≥ 0.8, p ≈ 0.80) give ρ ≈ 0.32 and the same
+    * machinery needs L ≈ 10 tables for n^1.3 candidates — THAT is the
+    * 100 TB operating point; the fixture threshold exists to exercise
+    * the hard end.
+    *
+    * Rows-only under the gate (hash-derived buckets) but CLAIM-GATED
+    * (r9): every row carries `recall_vs_exact` against the memoized
+    * exact label-blocked pair set ([[cosineDedup]]) and `recall_ok`,
+    * which Verify enforces — a recall regression fails the dump. */
   def cosineDedupLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bits = sigBitsFor(corpusSize(spark, dir))
+    val nTables = lshTablesFor(bits, 0.3, 0.9)
     val base = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
-    val e = base.withColumn("bucket",
-      F.hyperplaneBucket(col("v"), sigBitsFor(corpusSize(spark, dir))))
-    val a = e.select(col("bucket"), col("vec_id").as("a_id"), col("v").as("av"))
-    val b = e.select(col("bucket"), col("vec_id").as("b_id"), col("v").as("bv"))
-    a.join(b, Seq("bucket"))
+    val tables = array((0 until nTables).map(t =>
+      struct(lit(t).as("t"),
+        F.hyperplaneBucket(col("v"), bits, t.toLong).as("bucket"))): _*)
+    val banded = base
+      .select(col("vec_id"), explode(tables).as("tb"))
+      .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"), col("vec_id"))
+    val cand = banded.select(col("t"), col("bucket"), col("vec_id").as("a_id"))
+      .join(banded.select(col("t"), col("bucket"), col("vec_id").as("b_id")),
+        Seq("t", "bucket"))
       .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    val pairs = cand
+      .join(base.select(col("vec_id").as("a_id"), col("v").as("av")), Seq("a_id"))
+      .join(base.select(col("vec_id").as("b_id"), col("v").as("bv")), Seq("b_id"))
       .withColumn("cos", F.cosineSim(col("av"), col("bv")))
       .where(col("cos") >= 0.3)
       .select(col("a_id"), col("b_id"), F.roundBin(col("cos"), 4).as("cos"))
+    // recall claim vs the exact label-blocked twin: |LSH ∩ exact| /
+    // |exact| stamped per row (result-sized window, same shape as the
+    // ANN recall audit). Pair key packs both ids into one long
+    // (fixture/production vec_ids < 2^31 — guarded in the cache build).
+    val exact = exactCosinePairKeys(spark, dir)
+    val recall =
+      if (exact.isEmpty) lit(1.0)
+      else {
+        val w = Window.partitionBy(lit(1))
+        val enc = shiftleft(col("a_id"), 32) + col("b_id")
+        F.roundBin(
+          sum(when(enc.isin(exact.map(Long.box).toSeq: _*), 1.0).otherwise(0.0))
+            .over(w) / lit(exact.length.toDouble), 4)
+      }
+    pairs
+      .withColumn("recall_vs_exact", recall)
+      .withColumn("recall_ok", col("recall_vs_exact") >= lit(MinDedupRecall))
       .orderBy(col("a_id"), col("b_id"))
   }
+
+  /** Claim floor for the LSH dedup recall — deterministic per fixture
+    * (hash-derived), measured 0.976 / 0.955 / 0.927 at
+    * sf0.001/0.01/0.1 with the analytic table count; 0.8 leaves
+    * margin for fixture regeneration without tolerating a real
+    * banding regression (the r8 single-table formulation measured
+    * 0.15 and would fail this gate). */
+  private val MinDedupRecall = 0.8
+
+  /** OR-amplification table count: smallest L with
+    * 1−(1−p^bits)^L ≥ targetRecall at similarity threshold t, where
+    * p = 1−acos(t)/π is the per-hyperplane agreement probability of a
+    * pair AT the threshold (pairs above t do better). Clamped to
+    * ≤ 64 — beyond that the candidate stream cost exceeds what the
+    * recall is worth at any threshold this engine declares. */
+  private[graft] def lshTablesFor(bits: Int, t: Double, targetRecall: Double): Int = {
+    val p1 = math.pow(1.0 - math.acos(t) / math.Pi, bits.toDouble)
+    val l = math.ceil(math.log1p(-targetRecall) / math.log1p(-p1)).toInt
+    math.min(64, math.max(1, l))
+  }
+
+  /** Memoized exact near-dup pair keys ([[cosineDedup]] ground truth,
+    * (a_id << 32) | b_id): the recall claim audits against a fixed
+    * exact answer once per (process, dir) — the bruteTop10Ids
+    * discipline. Result-sized collect (|pairs| ~ 10²). */
+  private val exactCosPairCache = scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
+  private def exactCosinePairKeys(spark: SparkSession, dir: String): Array[Long] =
+    exactCosPairCache.getOrElseUpdate(dir,
+      cosineDedup(spark, dir).select(col("a_id"), col("b_id")).collect().map { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        require(a >= 0 && b >= 0 && a < (1L << 31) && b < (1L << 31),
+          s"pair key packing needs ids < 2^31, got ($a, $b)")
+        (a << 32) | b
+      })
 
   /** LSH signature width for an n-vector corpus: enough hyperplanes
     * that the AVERAGE bucket holds ~targetBucket vectors —

@@ -49,13 +49,18 @@ class VectorQueriesSpec extends SparkSpec {
     }
   }
 
-  test("cosineDedupLsh: true scores; subset of all-pairs >= 0.3") {
+  test("cosineDedupLsh: true scores; subset of all-pairs >= 0.3; recall claim holds") {
     val allPairs = vecs.toSeq.combinations(2).collect {
       case Seq((a, va), (b, vb)) if cos(va, vb) >= 0.3 =>
         (math.min(a, b), math.max(a, b))
     }.toSet
-    val got = VectorQueries.cosineDedupLsh(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val raw = VectorQueries.cosineDedupLsh(spark, sf).collect()
+    // r9 multi-table claim: recall vs the exact label-blocked twin
+    // rides every row (the r8 single-table variant measured 0.15 and
+    // would fail here)
+    raw.foreach(r => assert(r.getAs[Boolean]("recall_ok"),
+      s"recall_vs_exact = ${r.getAs[Double]("recall_vs_exact")} below floor"))
+    val got = raw.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.nonEmpty)
     got.foreach { case (a, b, c) =>
       assert(a < b && allPairs.contains((a, b)), s"($a,$b) not a true near-dup")
