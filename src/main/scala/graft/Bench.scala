@@ -8,7 +8,11 @@ package graft
   * amortize to zero on a long-lived 100 TB engine), then records the
   * median of 3 timed runs, with a per-query spread guard
   * (`variance_flagged`) so host-contention flukes are mechanically
-  * separable from regressions.
+  * separable from regressions. The record is SELF-QUALIFYING (r9):
+  * hypervisor steal is measured over the timed region, a window with
+  * steal/wall > 10% is retried up to 3 times, and a record that
+  * never found a quiet window carries `"contaminated": true` so no
+  * consumer compares it across rounds unawares.
   *
   * The report splits per-query times into `queries` (every declared
   * query — the driver contract) plus `operators_sec` /
@@ -95,7 +99,7 @@ object Bench {
     // showed 8.5× single-run flukes on unchanged code, adjudicated as
     // host contention; the spread makes noise-vs-regression mechanical
     // for the next reader instead of requiring a judge re-time).
-    val results: Map[String, Option[(Double, Double, Double)]] =
+    def timedSweep(): Map[String, Option[(Double, Double, Double)]] =
       SparkEntry.queries.map { case (name, fn) =>
         var failed = false
         val samples = Seq.fill(3) {
@@ -109,6 +113,37 @@ object Bench {
         }.sorted
         name -> (if (failed) None else Some((samples.head, samples(1), samples.last)))
       }
+    // Self-qualifying record (r9): the r8 driver run carried 101 s of
+    // hypervisor steal inside a 143 s bench — half the wall-clock was
+    // the neighbor, and adjudicating that cost a judge re-time of
+    // eight queries. The record now refuses to certify a stormy
+    // window: steal is measured over the TIMED region only (warmup
+    // contamination is irrelevant to the medians), and if
+    // steal/wall > 10% the whole timed sweep re-runs on a fresh
+    // window (up to 3 attempts, keeping the least-contaminated).
+    // A record that never found a quiet window is marked
+    // "contaminated": true — consumers must not compare it across
+    // rounds.
+    val MaxAttempts = 3
+    val StealFracLimit = 0.10
+    var attempt = 0
+    var best: (Map[String, Option[(Double, Double, Double)]], Double, Double) = null
+    var done = false
+    while (!done && attempt < MaxAttempts) {
+      attempt += 1
+      val s0 = stealSeconds()
+      val t0 = System.nanoTime()
+      val r = timedSweep()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val steal = stealSeconds() - s0
+      if (best == null || steal / wall < best._3 / best._2) best = (r, wall, steal)
+      if (steal / wall <= StealFracLimit) done = true
+      else System.err.println(
+        f"[bench] attempt $attempt contaminated: steal ${steal}%.1f s over ${wall}%.1f s wall " +
+          f"(${100 * steal / wall}%.0f%% > ${100 * StealFracLimit}%.0f%%) — retrying on a fresh window")
+    }
+    val (results, timedWall, timedSteal) = best
+    val contaminated = timedSteal / timedWall > StealFracLimit
     // ms precision: full-precision doubles tripled the line length and
     // round 3's driver tail-capture truncated it mid-object (BENCH_r03
     // parsed:null). Three decimals is below the measured ~71 ms
@@ -141,7 +176,9 @@ object Bench {
       s""""floor_sec":${ms(floor)},""" +
       s""""operators_sec":${ms(ops.values.sum)},"pipelines_sec":${ms(pipes.values.sum)},""" +
       s""""pipeline_queries":$pipeNames,"failed_queries":$failedJson,""" +
-      s""""steal_sec":${ms(stealSeconds() - stealStart)},""" +
+      s""""steal_sec":${ms(timedSteal)},"timed_wall_sec":${ms(timedWall)},""" +
+      s""""steal_total_sec":${ms(stealSeconds() - stealStart)},""" +
+      s""""attempts":$attempt,"contaminated":$contaminated,""" +
       s""""variance_flagged":$flaggedJson,""" +
       s""""queries":$qs,"sf":"$sfDir","mode":"steady-state"}"""
     // Durable copy first: if the driver's stdout tail-capture ever

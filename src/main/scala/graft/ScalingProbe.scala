@@ -19,12 +19,17 @@ object ScalingProbe {
   /** One flagship per operator family: scan+agg, star join, windowed
     * sessionize, exact dedup, LSH near-dup funnel, graph closure,
     * bounded top-k aggregate ANN, native as-of merge, vocab-grain BPE,
-    * doc-grain repetition, KPI rollup, hourly grid. */
+    * doc-grain repetition, KPI rollup, hourly grid — plus the r8/r9
+    * flagships: prefix-filtered exact similarity join, BM25 retrieval
+    * scoring, trailing-window HLL fold from the stored sketch table,
+    * day-grain MERGE upsert. */
   val Flagships: Seq[String] = Seq(
     "q1_pricing_summary", "q5_local_supplier", "q_kpi_daily",
     "q_events_hourly", "q_sessionize", "q_dedup_exact",
     "q_ngram_jaccard", "q_dup_clusters", "q_knn_batch_agg",
-    "q_asof_native", "q_bpe_pairs", "q_rep_filter")
+    "q_asof_native", "q_bpe_pairs", "q_rep_filter",
+    "q_simjoin_prefix", "q_bm25", "q_sliding_distinct_hll",
+    "q_merge_upsert")
 
   // measurement plumbing shared with Bench — one implementation
   private def forceEval(df: org.apache.spark.sql.DataFrame): Unit =
