@@ -45,6 +45,7 @@ object SparkEntry {
     "q_ks_drift" -> (ExperimentQueries.ksDrift _),
     "q_sample_stratified" -> (ExperimentQueries.stratifiedSample _),
     "q_sample_bernoulli" -> (ExperimentQueries.bernoulliSample _),
+    "q_woe_iv" -> (ExperimentQueries.woeIv _),
     "q_holt_trend" -> (ForecastQueries.holtTrend _),
     "q_ols_trend" -> (ForecastQueries.olsTrend _),
     "q_stl_decompose" -> (ForecastQueries.stlDecompose _),
@@ -233,6 +234,7 @@ object SparkEntry {
     "q_ann_projected" -> (VectorQueries.annProjectedGated _),
     "q_forget_users" -> (KpiQueries.forgetUsers _),
     "q_user_lifetime" -> (ClickstreamGraph.userLifetime _),
+    "q_triangle_count" -> (ClickstreamGraph.triangleAudit _),
     "q_asof_native" -> (TpchQueries.asofNativeLineitemOrder _),
     "q_asof_fwd" -> (TpchQueries.asofNativeForward _),
     "q_bigram_topk" -> ((s, d) => TextQueries.bigramTopk(s, d)),
@@ -729,6 +731,23 @@ object SparkEntry {
       """SELECT event_id, user_id, event_type FROM events
         |WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 4) < '1999'"""
         .stripMargin,
+    // WOE/IV with Laplace 0.5 smoothing over fixed published cuts —
+    // formula mirrored term-for-term (ln on identical doubles)
+    "q_woe_iv" ->
+      """WITH c AS (SELECT
+        |    CASE WHEN n_chars < 180 THEN 1 WHEN n_chars < 300 THEN 2
+        |         WHEN n_chars < 420 THEN 3 ELSE 4 END AS bin,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_pos) AS pos, sum(n_neg) AS neg FROM c),
+        |s AS (SELECT bin, n_pos, n_neg,
+        |    (n_pos + 0.5) / (pos + 2.0) AS p,
+        |    (n_neg + 0.5) / (neg + 2.0) AS q FROM c, t),
+        |iv AS (SELECT sum((p - q) * ln(p / q)) AS iv FROM s)
+        |SELECT bin, n_pos, n_neg, round(ln(p / q), 6) AS woe,
+        |  round(iv.iv, 6) AS iv
+        |FROM s, iv ORDER BY bin""".stripMargin,
     "q_retention_cohorts" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
         |f AS (SELECT user_id, min(d) AS cohort FROM ud GROUP BY 1)
@@ -1652,6 +1671,23 @@ object SparkEntry {
         |  round(ix / CAST(na + nb - ix AS DOUBLE), 6) AS jaccard
         |FROM i WHERE 10 * ix >= 9 * (na + nb - ix)
         |ORDER BY a_id, b_id""".stripMargin,
+    // triangle count via the definitional 3-way join over the
+    // near-dup edge list (engine side is the degree-ordered
+    // wedge-closing formulation — same count, O(|E|^1.5) wedges)
+    "q_triangle_count" ->
+      s"""WITH pairs AS ($NgramJaccardSql),
+        |e AS (SELECT a_id AS a, b_id AS b FROM pairs),
+        |deg AS (SELECT id, count(*) AS deg FROM
+        |    (SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |w AS (SELECT CAST(sum(deg * (deg - 1) / 2) AS BIGINT) AS n_wedges FROM deg),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT n.n_edges, w.n_wedges, t.n_triangles,
+        |  round(CASE WHEN w.n_wedges > 0
+        |    THEN t.n_triangles * 3.0 / w.n_wedges ELSE 0.0 END, 6) AS transitivity
+        |FROM n, w, t""".stripMargin,
     // accuracy-gated (r9, formerly rows-only): the engine emits the
     // EXACT per-source-pair trigram-shingle-set jaccard (oracle pins
     // it by hash) plus the within_tol claim on the 16-perm signature

@@ -175,4 +175,67 @@ object ClickstreamGraph {
         F.roundBin(avg(col("n_ev")), 4).as("avg_events_per_user"))
       .orderBy(col("cohort"))
   }
+
+  /** Triangle count + global transitivity of the near-dup pair graph
+    * (r9) — the clique-ness audit behind [[DupClusters]]'s
+    * canonicalization: connected-component clustering merges by
+    * TRANSITIVE closure, so a similarity graph whose transitivity is
+    * low is exactly the one where closure over-merges (chains of
+    * borderline pairs welding unrelated docs into one cluster). One
+    * number a dedup pipeline checks before trusting cluster-level
+    * canonical reps.
+    *
+    * Distributed formulation — the degree-ordered wedge-closing
+    * algorithm (Suri & Vassilvitskii, WWW'11): orient every edge from
+    * its lower-(degree, id) endpoint to the higher one, build wedges
+    * only at each vertex's OUT-neighbors (every vertex has out-degree
+    * O(√|E|) under this orientation, so wedge count is O(|E|^1.5)
+    * worst-case instead of Σ deg² — the hub that breaks the naive
+    * formulation generates no wedges at all), and close each wedge
+    * with one semi-join back to the edge list; each triangle is
+    * counted exactly once at its lowest-ordered vertex. Transitivity
+    * = 3·triangles / wedges uses the UNDIRECTED wedge count
+    * Σ deg·(deg−1)/2 (each triangle contains 3 of them).
+    *
+    * At 100 TB the edge manifest is the near-dup funnel's output
+    * (pair-count bounded, never corpus²) and all three stages shuffle
+    * only id pairs; the oracle recomputes via the definitional 3-way
+    * join. */
+  def triangleAudit(spark: SparkSession, dir: String): DataFrame = {
+    val edges = TextQueries.ngramJaccard(spark, dir)
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint() // consumed 4× (degrees, orientation, closing)
+    val deg = edges.select(col("a_id").as("id"))
+      .unionAll(edges.select(col("b_id").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) → high-(deg, id)
+    val withDeg = edges
+      .join(deg.select(col("id").as("a_id"), col("deg").as("da")), Seq("a_id"))
+      .join(deg.select(col("id").as("b_id"), col("deg").as("db")), Seq("b_id"))
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a_id") < col("b_id")),
+        struct(col("a_id").as("src"), col("b_id").as("dst")))
+        .otherwise(struct(col("b_id").as("src"), col("a_id").as("dst")))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    // wedges at the lowest-ordered vertex: pairs of out-neighbors
+    val wedges = oriented.select(col("src"), col("dst").as("v"))
+      .join(oriented.select(col("src"), col("dst").as("w")), Seq("src"))
+      .where(col("v") < col("w"))
+      .select(col("v"), col("w"))
+    // close against the UNDIRECTED edge set (v < w matches a_id < b_id)
+    val tri = wedges.join(
+      edges.select(col("a_id").as("v"), col("b_id").as("w")), Seq("v", "w"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val stats = edges.agg(count(lit(1)).as("n_edges"))
+    val openWedges = deg.agg(
+      sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("n_wedges"))
+    stats.crossJoin(broadcast(openWedges)).crossJoin(broadcast(tri))
+      .select(col("n_edges"), col("n_wedges"), col("n_triangles"),
+        F.roundBin(
+          when(col("n_wedges") > 0,
+            col("n_triangles") * lit(3.0) / col("n_wedges"))
+            .otherwise(lit(0.0)), 6).as("transitivity"))
+  }
 }

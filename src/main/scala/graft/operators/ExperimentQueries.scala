@@ -446,4 +446,48 @@ object ExperimentQueries {
       .select(col("event_id"), col("user_id"), col("event_type"))
       .where(substring(md5(col("event_id").cast("string")), 1, 4) < "1999")
   }
+
+  /** Weight-of-Evidence / Information-Value feature scoring (r9) —
+    * the standard credit-scoring/feature-selection report: how well
+    * does a binned feature (document length) separate a binary
+    * outcome (is the doc English — the dominant-class proxy a
+    * pretraining mixture would balance against)?
+    *
+    *   woe_b  = ln( ((pos_b + 0.5)/(pos + 2)) / ((neg_b + 0.5)/(neg + 2)) )
+    *   iv     = Σ_b ( (pos_b + 0.5)/(pos + 2) − (neg_b + 0.5)/(neg + 2) ) · woe_b
+    *
+    * with Laplace 0.5 per cell (4 bins → +2 per margin) so an empty
+    * bin stays finite — the same smoothing convention as
+    * [[driftPsi]].
+    *
+    * Bins are FIXED published cut points (180/300/420 chars, the
+    * fixture's approximate quartiles), not data-derived ntiles: at
+    * 100 TB a global exact ntile is one data-sized single-partition
+    * window sort, while fixed cuts make the whole query ONE
+    * map-side-combinable aggregation to a 4-row grain — the
+    * production feature-pipeline posture (cuts are derived offline
+    * and versioned with the model). The per-bin margins ride a
+    * broadcast 1-row total, the IV fold runs on 4 rows. */
+  def woeIv(spark: SparkSession, dir: String): DataFrame = {
+    val bin = when(col("n_chars") < 180, 1)
+      .when(col("n_chars") < 300, 2)
+      .when(col("n_chars") < 420, 3)
+      .otherwise(4)
+    val cells = load(spark, dir, "documents")
+      .select(bin.as("bin"), (col("lang") === "en").as("is_en"))
+      .groupBy(col("bin"))
+      .agg(sum(when(col("is_en"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("is_en"), 1L).otherwise(0L)).as("n_neg"))
+    val tot = cells.agg(sum(col("n_pos")).as("pos"), sum(col("n_neg")).as("neg"))
+    val scored = cells.crossJoin(broadcast(tot))
+      .withColumn("p", (col("n_pos") + lit(0.5)) / (col("pos") + lit(2.0)))
+      .withColumn("q", (col("n_neg") + lit(0.5)) / (col("neg") + lit(2.0)))
+      .withColumn("woe", log(col("p") / col("q")))
+    val iv = scored.agg(sum((col("p") - col("q")) * col("woe")).as("iv"))
+    scored.crossJoin(broadcast(iv))
+      .select(col("bin"), col("n_pos"), col("n_neg"),
+        F.roundBin(col("woe"), 6).as("woe"),
+        F.roundBin(col("iv"), 6).as("iv"))
+      .orderBy(col("bin"))
+  }
 }

@@ -56,6 +56,32 @@ class ClickstreamGraphSpec extends SparkSpec {
     }
   }
 
+  test("triangleAudit: degree-ordered count equals brute force; transitivity recomputes") {
+    val row = ClickstreamGraph.triangleAudit(spark, sf).collect().head
+    val edges = graft.operators.TextQueries.ngramJaccard(spark, sf)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val eset = edges.toSet
+    // brute force: every id triple that pairwise-connects
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      if eset((ids(i), ids(j)))
+      k <- (j + 1) until ids.length
+      if eset((ids(i), ids(k))) && eset((ids(j), ids(k)))
+    } yield 1).size.toLong
+    assert(row.getAs[Long]("n_edges") == edges.length.toLong)
+    assert(row.getAs[Long]("n_triangles") == brute,
+      s"degree-ordered count ${row.getAs[Long]("n_triangles")} != brute $brute")
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .map(_._2.length.toLong)
+    val wedges = deg.map(d => d * (d - 1) / 2).sum
+    assert(row.getAs[Long]("n_wedges") == wedges)
+    val expected =
+      if (wedges > 0) math.rint(brute * 3.0 / wedges * 1e6) / 1e6 else 0.0
+    assert(math.abs(row.getAs[Double]("transitivity") - expected) < 1e-9)
+  }
+
   test("cooccurrence: pair counts bounded by marginals; driver recompute of one pair") {
     val rows = ClickstreamGraph.cooccurrence(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -205,4 +205,32 @@ class ExperimentSpec extends SparkSpec {
     // Binomial(n, .1): sf0.001 has ~6k events, 6 sigma ~ 0.023
     assert(math.abs(frac - 0.09999) < 0.025, s"fraction $frac off target")
   }
+
+  test("woeIv: bins cover the corpus; woe/iv recompute from raw counts") {
+    val rows = ExperimentQueries.woeIv(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    val docs = Tables.load(spark, sf, "documents")
+      .select("n_chars", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.map(t => t._2 + t._3).sum == docs.length)
+    val pos = docs.count(_._2 == "en").toDouble
+    val neg = docs.length - pos
+    // independent recompute of every woe and the shared iv
+    val expected = rows.map { case (_, np, nn, _, _) =>
+      val p = (np + 0.5) / (pos + 2.0); val q = (nn + 0.5) / (neg + 2.0)
+      (math.log(p / q), (p - q) * math.log(p / q))
+    }
+    rows.zip(expected).foreach { case ((b, _, _, woe, _), (w, _)) =>
+      assert(math.abs(woe - math.rint(w * 1e6) / 1e6) < 1e-9, s"bin $b woe")
+    }
+    val iv = expected.map(_._2).sum
+    rows.foreach { case (_, _, _, _, got) =>
+      assert(math.abs(got - math.rint(iv * 1e6) / 1e6) < 1e-9)
+    }
+    // discriminative on this corpus: en docs skew long by construction,
+    // so IV must be positive (a zero IV would mean the bins say nothing)
+    assert(iv > 0.0)
+  }
 }
