@@ -219,6 +219,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("payload_bytes"), s"native payload kernel missing:\n$p")
   }
 
+  test("woeIv: one data-sized aggregation, broadcast-only joins, pruned scan (r9)") {
+    val p = plan(graft.operators.ExperimentQueries.woeIv(spark, sf))
+    // the only joins are the broadcast 1-row total and iv folds —
+    // a SortMergeJoin would mean a data-sized shuffle snuck in
+    assert(!p.contains("SortMergeJoin"), s"data-sized join in WOE/IV:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"totals not broadcast:\n$p")
+    // fixed cuts ⇒ no window sort anywhere (the ntile formulation
+    // this operator deliberately avoids would plan a global Window)
+    assert(!p.contains("Window"), s"global window in WOE/IV:\n$p")
+    // scan pruned to the two consumed columns
+    assert(!p.contains("doc_id") && !p.contains("[text"),
+      s"column pruning lost:\n$p")
+  }
+
+  test("triangleAudit: no cartesian product; wedge join is an equi-join (r9)") {
+    val p = plan(graft.operators.ClickstreamGraph.triangleAudit(spark, sf))
+    assert(!p.contains("CartesianProduct"), s"cartesian in triangle count:\n$p")
+    // wedge build + closing are hash equi-joins on (src) / (v, w) —
+    // the inequality v < w must ride as a post-join filter, never a
+    // nested-loop join condition over non-equi keys
+    assert(!p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"wedge join degenerated to nested loop:\n$p")
+  }
+
   test("whole-stage codegen covers the q1 aggregation pipeline") {
     // AQE shows codegen stages only in the final (executed) plan
     val df = TpchQueries.q1PricingSummary(spark, sf)

@@ -178,6 +178,28 @@ class SqlInterfaceSpec extends SparkSpec {
       "SQL PSI != Scala PSI")
   }
 
+  test("WOE/IV feature scoring via pure SQL text equals the declared query") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """WITH c AS (SELECT
+        |    CASE WHEN n_chars < 180 THEN 1 WHEN n_chars < 300 THEN 2
+        |         WHEN n_chars < 420 THEN 3 ELSE 4 END AS bin,
+        |    sum(CASE WHEN lang = 'en' THEN 1L ELSE 0L END) AS n_pos,
+        |    sum(CASE WHEN lang = 'en' THEN 0L ELSE 1L END) AS n_neg
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT sum(n_pos) AS pos, sum(n_neg) AS neg FROM c),
+        |s AS (SELECT bin, n_pos, n_neg,
+        |    (n_pos + 0.5d) / (pos + 2.0d) AS p,
+        |    (n_neg + 0.5d) / (neg + 2.0d) AS q FROM c, t),
+        |iv AS (SELECT sum((p - q) * ln(p / q)) AS iv FROM s)
+        |SELECT bin, n_pos, n_neg, round_bin(ln(p / q), 6) AS woe,
+        |  round_bin(iv.iv, 6) AS iv
+        |FROM s, iv ORDER BY bin""".stripMargin)
+    assert(rowsOf(viaSql) ===
+      rowsOf(graft.operators.ExperimentQueries.woeIv(spark, sf)),
+      "SQL WOE/IV != Scala WOE/IV")
+  }
+
   test("custom aggregate + scalar functions compose in SQL over a view") {
     // KMV: no name collision with Spark's datasketches builtins (the
     // builtin `hll_union` shadows graft's SQL name — install() never
