@@ -43,6 +43,43 @@ class AuditSinkSpec extends SparkSpec {
     assert(out.toFile.listFiles().map(_.getName).toSet == Set("audit.json"))
   }
 
+  test("clusterBy: sink-required distribution + sort hold; audit proves no key split (r9)") {
+    val out = java.nio.file.Files.createTempDirectory("graft-audit-clu")
+    out.toFile.deleteOnExit()
+    val path = out.resolve("audit.json").toString
+    // adversarial input layout: keys interleaved round-robin across 7
+    // partitions — the sink's RequiresDistributionAndOrdering must
+    // override this with a hash exchange on k plus an in-task sort
+    val df = Tables.load(spark, sf, "events")
+      .select((col("user_id") % 50).as("k"), col("value"))
+      .repartition(7)
+    df.write.format("graft-audit").option("path", path)
+      .option("clusterBy", "k").mode("overwrite").save()
+    val raw = parse(path)("raw").asInstanceOf[String]
+    val m = """"cluster": \{"by": "k", "tasks": (\d+), "sorted_within_tasks": (\w+), "key_groups": (\d+)\}""".r
+      .findFirstMatchIn(raw).getOrElse(fail(s"no cluster block in $raw"))
+    // the writer verified Spark delivered the required ASC order
+    assert(m.group(2) == "true", s"required sort not delivered: $raw")
+    // Σ per-task key groups == global distinct IFF no key straddles
+    // two tasks — the mechanical witness that clustering was enforced
+    // (each task counts its distinct exactly BECAUSE of the sort)
+    val exact = df.select(col("k")).distinct().count()
+    assert(m.group(3).toLong == exact,
+      s"key_groups ${m.group(3)} != exact distinct $exact — a key split across tasks")
+    assert(m.group(1).toInt >= 1)
+
+    // a clusterBy column absent from the write schema fails loudly at
+    // plan time, not with a silent unclustered audit
+    val e = intercept[Exception] {
+      df.write.format("graft-audit")
+        .option("path", out.resolve("bad.json").toString)
+        .option("clusterBy", "nope").mode("overwrite").save()
+    }
+    def msgs(t: Throwable): List[String] =
+      if (t == null) Nil else Option(t.getMessage).toList ::: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("clusterBy column")), s"wrong failure: $e")
+  }
+
   test("hostile column names and non-finite doubles still publish valid JSON (r9)") {
     val out = java.nio.file.Files.createTempDirectory("graft-audit-esc")
     out.toFile.deleteOnExit()

@@ -63,4 +63,38 @@ class SaltedJoinSpec extends SparkSpec {
       .groupBy("s").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(salts.keySet === (0 until 8).toSet)
   }
+
+  test("AQE splits a skewed sort-merge join at runtime (the SCALE.md claim, r9)") {
+    // SCALE.md's complementary skew story — salting is the
+    // PRE-DECLARED mitigation, AQE the RUNTIME one — asserted
+    // mechanically: one hot key holding ~80% of rows, broadcast
+    // disabled so the join must sort-merge, skew thresholds lowered
+    // to fixture scale; the executed adaptive plan must carry the
+    // skew=true marker (OptimizeSkewedJoin split the hot partition).
+    // synthetic heavy skew (90% of 200k rows on key 0), built with
+    // multi-partition parallelism: AQE splits a skewed reduce
+    // partition by MAPPER ranges, so splitting requires >1 map task
+    // feeding the shuffle
+    val left = spark.range(0, 200000, 1, 8)
+      .select(when(col("id") % 10 < 9, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+    val right = spark.range(0, 200000, 1, 8).select(col("id").as("k"))
+    Tables.withConfs(spark,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val joined = left.join(right, Seq("k"))
+      // execute the join's own queryExecution (a count() would plan a
+      // separate query and leave this one's AQE plan non-final)
+      val n = joined.queryExecution.toRdd.map(_ => 1L).fold(0L)(_ + _)
+      assert(n == left.count(), "inner join on complete key set must preserve rows")
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n$p")
+    }
+  }
 }
