@@ -1176,6 +1176,14 @@ object SparkEntry {
         |SELECT 'l_tax', round(min(l_tax), 2), round(max(l_tax), 2),
         |  count(DISTINCT l_tax), count(*) - count(l_tax), TRUE FROM lineitem
         |ORDER BY col_name""".stripMargin,
+    // accuracy-gated (r9, formerly rows-only): exact per-group
+    // distinct hash-pinned; the pure-HLL estimate rides as the
+    // within_5pct claim the oracle fixes at TRUE
+    "q_approx_distinct_fast" ->
+      """SELECT event_type,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |  TRUE AS within_5pct
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sketch_rollup" ->
       """SELECT event_type, count(DISTINCT strftime(ts, '%Y-%m-%d')) AS days,
         |  count(DISTINCT user_id) AS exact_users, TRUE AS within_5pct

