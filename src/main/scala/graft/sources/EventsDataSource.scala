@@ -246,7 +246,8 @@ private[sources] class EventsTable(conf: EventsConf) extends Table
 private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with SupportsPushDownOffset {
   import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
   import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
 
@@ -276,6 +277,23 @@ private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
   // diamond resolved explicitly — and partial IS the contract here
   // (Spark keeps the final limit / TakeOrderedAndProject)
   override def isPartiallyPushed(): Boolean = true
+
+  /** OFFSET m over an unordered scan may drop ANY m rows, so the
+    * deterministic source advances its id range past the first m ids
+    * — a COMPLETE pushdown (returning true removes the Offset node,
+    * so the scan must skip exactly m rows, which an exact id shift
+    * does; partitions wholly below the new floor are never planned,
+    * the offset analogue of the limit truncation). Accepted only on a
+    * pristine scan: a pushed filter would make the skip undercount
+    * (offset applies above the filter), a prior limit/top-N clamp or
+    * closed-form aggregate would compose ambiguously — Spark never
+    * offers those combinations today (it only pushes offset when the
+    * child is a bare scan, or after a FULLY pushed limit, which this
+    * source never claims), so the guard is defensive. */
+  override def pushOffset(offset: Int): Boolean = {
+    if (pushed.nonEmpty || countStarPushed || idLo != 0L || idHi != conf.n) false
+    else { idLo = math.min(conf.n, offset.toLong); true }
+  }
 
   /** ORDER BY event_ts LIMIT k is closed-form: event_ts is monotone
     * non-decreasing in id, so the first k ids are a valid ascending

@@ -146,6 +146,26 @@ class EventsSourceSpec extends SparkSpec {
     assert(guarded.count() == 5)
   }
 
+  test("OFFSET pushdown shifts the id floor: skipped day partitions never planned (r9)") {
+    val base = spark.read.format("graft-events").option("n", N).load()
+    // 7 synthetic days ⇒ N/7 ids per day; an offset past day 0 must
+    // drop that partition at PLANNING time (the offset analogue of
+    // the limit truncation)
+    val perDay = N / 7
+    val off = base.offset((perDay + 3).toInt)
+    assert(off.rdd.getNumPartitions == 6,
+      "offset did not prune the wholly-skipped day partition")
+    assert(off.count() == N - perDay - 3, "offset must skip exactly m rows")
+    // exactly the first (lowest-id) rows are the ones skipped: the
+    // survivors equal the generator's rows minus the lowest-id prefix
+    val survivors = off.collect().map(_.toString).sorted.toSeq
+    val expected = viaSource.collect().map(_.toString).sorted.toSeq
+    // event_ts is monotone in id and the wire row embeds it first, so
+    // lexicographic row-string order == id order for this fixture size
+    assert(survivors == expected.drop(perDay.toInt + 3),
+      "offset skipped rows other than the id prefix")
+  }
+
   test("ORDER BY event_ts LIMIT k pushes as a closed-form top-N id range") {
     val asc = viaSource.orderBy(col("event_ts")).limit(50)
     assert(scanDescOf(asc).contains("idRange=[0,50)"),
