@@ -216,6 +216,7 @@ object SparkEntry {
     "q11_important_stock" -> (TpchDeep.q11ImportantStock _),
     "q20_part_shippers" -> (TpchDeep.q20PartShippers _),
     "q_dup_canonical" -> (DupClusters.canonicalReps _),
+    "q_cluster_radius" -> (DupClusters.clusterRadius _),
     "q_mode_groups" -> (AnalyticsWave3.modeGroups _),
     "q_gaps_islands" -> (AnalyticsWave3.gapsIslands _),
     "q_share_of_day" -> (AnalyticsWave3.shareOfDay _),
@@ -1720,11 +1721,33 @@ object SparkEntry {
         |FROM n na JOIN n nb ON na.source < nb.source
         |LEFT JOIN i ON i.a_src = na.source AND i.b_src = nb.source
         |ORDER BY 1, 2""".stripMargin,
+    // per-cluster BFS radius from the keeper — components via the
+    // same closure as q_dup_clusters, then a bounded breadth walk
+    // (d < 40, far above any fixture diameter; min(d) per node =
+    // shortest distance); engine side is the iterative frontier loop
+    "q_cluster_radius" ->
+      s"""WITH RECURSIVE pairs AS MATERIALIZED ($NgramJaccardSql),
+        |e AS MATERIALIZED (SELECT a_id AS x, b_id AS y FROM pairs
+        |  UNION ALL SELECT b_id, a_id FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT x, x FROM e
+        |  UNION
+        |  SELECT e.x, reach.r FROM e JOIN reach ON e.y = reach.id),
+        |comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+        |walk(comp, id, d) AS (
+        |  SELECT comp, comp, 0 FROM (SELECT DISTINCT comp FROM comp)
+        |  UNION
+        |  SELECT w.comp, e.y, w.d + 1 FROM walk w JOIN e ON e.x = w.id
+        |  WHERE w.d < 40),
+        |dist AS (SELECT comp, id, min(d) AS d FROM walk GROUP BY 1, 2)
+        |SELECT comp AS keep_id, CAST(count(*) AS BIGINT) AS n_members,
+        |  CAST(max(d) AS BIGINT) AS radius, round(avg(d), 6) AS avg_dist
+        |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin,
     // components via transitive closure: reach(id, r) = ids reachable
     // from id over the symmetrized pair edges; comp = min(reachable)
     "q_dup_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($NgramJaccardSql),
-        |e AS (SELECT a_id AS a, b_id AS b FROM pairs
+      s"""WITH RECURSIVE pairs AS MATERIALIZED ($NgramJaccardSql),
+        |e AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM pairs
         |  UNION ALL SELECT b_id, a_id FROM pairs),
         |reach(id, r) AS (
         |  SELECT a, a FROM e
@@ -1836,8 +1859,8 @@ object SparkEntry {
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_cosine_dedup" -> CosineDedupSql,
     "q_vec_clusters" ->
-      s"""WITH RECURSIVE pairs AS ($CosineDedupSql),
-        |ed AS (SELECT a_id AS a, b_id AS b FROM pairs
+      s"""WITH RECURSIVE pairs AS MATERIALIZED ($CosineDedupSql),
+        |ed AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM pairs
         |  UNION ALL SELECT b_id, a_id FROM pairs),
         |reach(id, r) AS (
         |  SELECT a, a FROM ed
@@ -2261,8 +2284,8 @@ object SparkEntry {
         |    GROUP BY 1 HAVING sum(l_quantity) > 100)
         |ORDER BY s_suppkey""".stripMargin,
     "q_dup_canonical" ->
-      s"""WITH RECURSIVE pairs AS ($NgramJaccardSql),
-        |e AS (SELECT a_id AS a, b_id AS b FROM pairs
+      s"""WITH RECURSIVE pairs AS MATERIALIZED ($NgramJaccardSql),
+        |e AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM pairs
         |  UNION ALL SELECT b_id, a_id FROM pairs),
         |reach(id, r) AS (
         |  SELECT a, a FROM e

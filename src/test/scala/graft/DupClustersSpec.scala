@@ -89,4 +89,41 @@ class DupClustersSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(got === expected)
   }
+
+  test("clusterRadius: distances equal a driver-side BFS from each component min (r9)") {
+    val pairs = graft.operators.TextQueries.ngramJaccard(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = scala.collection.mutable.Map.empty[Long, List[Long]]
+      .withDefaultValue(Nil)
+    pairs.foreach { case (a, b) => adj(a) ::= b; adj(b) ::= a }
+    // components via union-find, then textbook queue BFS from each min
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verts = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = verts.groupBy(find).map { case (_, vs) =>
+      val root = vs.min
+      val dist = scala.collection.mutable.Map(root -> 0L)
+      val q = scala.collection.mutable.Queue(root)
+      while (q.nonEmpty) {
+        val u = q.dequeue()
+        adj(u).foreach { v =>
+          if (!dist.contains(v)) { dist(v) = dist(u) + 1; q.enqueue(v) }
+        }
+      }
+      val ds = vs.map(dist)
+      (root, vs.length.toLong, ds.max,
+        math.rint(ds.sum.toDouble / ds.length * 1e6) / 1e6)
+    }.toSet
+    val got = DupClusters.clusterRadius(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got === expected,
+      s"missing ${expected -- got}, extra ${got -- expected}")
+  }
 }
