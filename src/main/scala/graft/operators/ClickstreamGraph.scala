@@ -202,9 +202,9 @@ object ClickstreamGraph {
     * only id pairs; the oracle recomputes via the definitional 3-way
     * join. */
   def triangleAudit(spark: SparkSession, dir: String): DataFrame = {
-    val edges = TextQueries.ngramJaccard(spark, dir)
-      .select(col("a_id"), col("b_id"))
-      .localCheckpoint() // consumed 4× (degrees, orientation, closing)
+    // the memoized manifest is a LocalRelation — consumed 4×
+    // (degrees, orientation, closing) with no recomputation
+    val edges = DupClusters.pairManifest(spark, dir)
     val deg = edges.select(col("a_id").as("id"))
       .unionAll(edges.select(col("b_id").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("deg"))
