@@ -173,9 +173,9 @@ object SparkEntry {
     "q_cosine_dedup" -> (VectorQueries.cosineDedup _),
     "q_vec_clusters" -> (DupClusters.cosineClusters _),
     "q_cosine_dedup_lsh" -> (VectorQueries.cosineDedupLsh _),
-    "q_ann_lsh" -> (VectorQueries.annLshGated _),
-    "q_ann_ivf" -> (VectorQueries.annIvfGated _),
-    "q_ann_ivf_kmeans" -> (VectorQueries.annIvfKmeansGated _),
+    "q_ann_lsh" -> (VectorQueries.annLshOracle _),
+    "q_ann_ivf" -> (VectorQueries.annIvfOracle _),
+    "q_ann_ivf_kmeans" -> (VectorQueries.annIvfKmeansOracle _),
     "q_knn_batch" -> ((s, d) => VectorQueries.knnBatch(s, d)),
     "q_knn_batch_agg" -> ((s, d) => VectorQueries.knnBatchAgg(s, d)),
     // §2.11 E7 second-wave analytics + training-pipeline extras
@@ -232,7 +232,7 @@ object SparkEntry {
     "q_vec_dimstats" -> (VectorQueries.vecDimstats _),
     "q_source_entropy" -> (TextQueries.sourceEntropy _),
     "q_rand_project" -> ((s, d) => VectorQueries.randProjectAudit(s, d)),
-    "q_ann_projected" -> (VectorQueries.annProjectedGated _),
+    "q_ann_projected" -> (VectorQueries.annProjectedOracle _),
     "q_forget_users" -> (KpiQueries.forgetUsers _),
     "q_user_lifetime" -> (ClickstreamGraph.userLifetime _),
     "q_triangle_count" -> (ClickstreamGraph.triangleAudit _),
@@ -278,6 +278,25 @@ object SparkEntry {
 
   /** Shared by q_cosine_dedup and (as the edge-list CTE) the
     * q_vec_clusters closure oracle. */
+  /** Exact brute-force top-10 cosine neighbors of the lowest-vec_id
+    * query vector — q_knn_brute's oracle, and (with a TRUE recall_ok
+    * claim appended) the oracle for the four accuracy-gated ANN
+    * queries (r10): the engine runs the real ANN probe, stamps
+    * recall@10 vs this exact answer into recall_ok, and emits the
+    * exact rows, so DuckDB pins both the ground truth and the claim. */
+  private val KnnBruteSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e ORDER BY vec_id LIMIT 1)
+      |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos
+      |FROM e, q WHERE e.vec_id <> q.q_id
+      |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin
+
+  /** ANN oracle: the exact neighbors plus the oracle-fixed claim. */
+  private val AnnOracleSql: String =
+    s"""WITH brute AS ($KnnBruteSql)
+      |SELECT vec_id, cos, TRUE AS recall_ok FROM brute
+      |ORDER BY cos DESC, vec_id""".stripMargin
+
   private val CosineDedupSql: String =
     """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1723,8 +1742,10 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     // per-cluster BFS radius from the keeper — components via the
     // same closure as q_dup_clusters, then a bounded breadth walk
-    // (d < 40, far above any fixture diameter; min(d) per node =
-    // shortest distance); engine side is the iterative frontier loop
+    // (d < 64 — the SAME bound as the engine's clusterRadius
+    // MaxRounds, so oracle and engine can only diverge by failing
+    // loudly, never by silent truncation; min(d) per node = shortest
+    // distance); engine side is the iterative frontier loop
     "q_cluster_radius" ->
       s"""WITH RECURSIVE pairs AS MATERIALIZED ($NgramJaccardSql),
         |e AS MATERIALIZED (SELECT a_id AS x, b_id AS y FROM pairs
@@ -1738,7 +1759,7 @@ object SparkEntry {
         |  SELECT comp, comp, 0 FROM (SELECT DISTINCT comp FROM comp)
         |  UNION
         |  SELECT w.comp, e.y, w.d + 1 FROM walk w JOIN e ON e.x = w.id
-        |  WHERE w.d < 40),
+        |  WHERE w.d < 64),
         |dist AS (SELECT comp, id, min(d) AS d FROM walk GROUP BY 1, 2)
         |SELECT comp AS keep_id, CAST(count(*) AS BIGINT) AS n_members,
         |  CAST(max(d) AS BIGINT) AS radius, round(avg(d), 6) AS avg_dist
@@ -1808,12 +1829,16 @@ object SparkEntry {
         |  FROM s)
         |SELECT q_id, vec_id, cos FROM r WHERE rn <= 5
         |ORDER BY q_id, cos DESC, vec_id""".stripMargin,
-    "q_knn_brute" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e ORDER BY vec_id LIMIT 1)
-        |SELECT e.vec_id, round(list_cosine_similarity(e.v, q.qv), 4) AS cos
-        |FROM e, q WHERE e.vec_id <> q.q_id
-        |ORDER BY cos DESC, e.vec_id LIMIT 10""".stripMargin,
+    "q_knn_brute" -> KnnBruteSql,
+    // accuracy-gated ANN family (r10, formerly rows-only): each query
+    // runs its real probe (LSH / IVF / IVF-kmeans / JL projection),
+    // measures recall@10 vs the exact brute answer, and emits the
+    // exact rows + recall_ok, which the oracle fixes at TRUE — a
+    // recall regression hash-mismatches AND trips Verify's claim gate
+    "q_ann_lsh" -> AnnOracleSql,
+    "q_ann_ivf" -> AnnOracleSql,
+    "q_ann_ivf_kmeans" -> AnnOracleSql,
+    "q_ann_projected" -> AnnOracleSql,
     "q_vec_norms" ->
       """SELECT label, count(*) AS n,
         |  round(avg(sqrt(list_sum(list_transform(

@@ -762,6 +762,13 @@ object TextQueries {
     // entries are not.
     val out = claimed.localCheckpoint()
     docs.unpersist()
+    // a catastrophic banding regression yielding ZERO pairs would
+    // otherwise dump an empty result with no recall_ok=false row —
+    // fail loudly, not vacuously (r10; cheap: `out` is already
+    // materialized, isEmpty is a limit-1 read of local blocks)
+    require(exact.isEmpty || !out.isEmpty,
+      s"minhashDedup: total recall loss — ${exact.length} exact " +
+        "J >= 1/2 pairs exist but the LSH funnel produced zero")
     out
   }
 

@@ -175,13 +175,26 @@ object VectorQueries {
     * with cosine ≥ 0.3 (fixture cosines top out ≈0.47). The label
     * blocking bounds the self-join; at 100 TB the block key would be an
     * LSH bucket (see annLsh). */
-  def cosineDedup(spark: SparkSession, dir: String): DataFrame = {
+  def cosineDedup(spark: SparkSession, dir: String): DataFrame =
+    exactPairs(spark, dir, sampleMod = 1)
+
+  /** Label-blocked exact near-dup pairs, optionally restricted to a
+    * deterministic 1-in-`sampleMod` xxhash sample of the PAIR space
+    * — sampled BEFORE the cosine kernel runs, so the claim-gate twin
+    * costs ~1/sampleMod of the exhaustive join (the 100 TB audit
+    * posture: recall is stamped from a sample; the exhaustive ground
+    * truth stays oracle-checked through q_cosine_dedup itself). */
+  private def exactPairs(spark: SparkSession, dir: String, sampleMod: Int): DataFrame = {
     val e = emb(spark, dir)
       .select(col("label"), col("vec_id"), col("embedding").as("v"))
     val a = e.select(col("label"), col("vec_id").as("a_id"), col("v").as("av"))
     val b = e.select(col("label"), col("vec_id").as("b_id"), col("v").as("bv"))
-    a.join(b, Seq("label"))
-      .where(col("a_id") < col("b_id"))
+    val joined = a.join(b, Seq("label")).where(col("a_id") < col("b_id"))
+    val sampled =
+      if (sampleMod <= 1) joined
+      else joined.where(
+        pmod(xxhash64(col("a_id"), col("b_id")), lit(sampleMod.toLong)) === 0)
+    sampled
       .withColumn("cos", expr("cosine_sim(av, bv)"))
       .where(col("cos") >= 0.3)
       .select(col("a_id"), col("b_id"), F.roundBin(col("cos"), 4).as("cos"))
@@ -195,9 +208,10 @@ object VectorQueries {
     * pairs form inside any of L independent k-bit hyperplane buckets;
     * per-pair hit probability is 1−(1−p^k)^L with p = 1−θ/π, so L is
     * sized analytically ([[lshTablesFor]]) for ~0.9 recall at the
-    * query's cos ≥ 0.3 cut. Candidates are deduped as bare id pairs
-    * (16-byte rows) BEFORE vectors are joined back, so the exact-
-    * cosine verification touches each surviving pair once.
+    * query's cos ≥ 0.3 cut. The bucket index carries the vectors, so
+    * collisions verify map-side inside the bucket join and only the
+    * small ≥-threshold survivor set is ever shuffled for dedup (see
+    * the in-body note on why this beats dedup-then-join-back).
     *
     * Honest regime note (SCALE.md §vectors): at t = 0.3 the per-bit
     * gap between qualifying (p≈0.60) and random (p=0.5) pairs is
@@ -219,46 +233,69 @@ object VectorQueries {
     val tables = array((0 until nTables).map(t =>
       struct(lit(t).as("t"),
         F.hyperplaneBucket(col("v"), bits, t.toLong).as("bucket"))): _*)
+    // The bucket index CARRIES the vectors (r10 — the standard LSH
+    // index layout: probe a bucket, get vectors): collisions are
+    // cosine-verified map-side inside the bucket join and only the
+    // ≥-threshold SURVIVORS are deduped. The r9 shape deduped bare-id
+    // candidates first, then joined vectors back — but the candidate
+    // stream is the LARGEST dataset in this job (n^1.75 at t = 0.3;
+    // 1.2M of 2M possible pairs at sf0.1), so a corpus-wide distinct
+    // on it costs more than re-verifying the ~1.6× duplicated
+    // collisions with one fused kernel: verification here is cheaper
+    // than a shuffled row. Shuffle width is now bounded by the
+    // survivor set (~10⁴), not the candidate stream (~10⁶); at 100 TB
+    // the index is written once partitioned by (t, bucket) and this
+    // join is its co-partitioned self-probe.
     val banded = base
-      .select(col("vec_id"), explode(tables).as("tb"))
-      .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"), col("vec_id"))
-    val cand = banded.select(col("t"), col("bucket"), col("vec_id").as("a_id"))
-      .join(banded.select(col("t"), col("bucket"), col("vec_id").as("b_id")),
-        Seq("t", "bucket"))
+      .select(col("vec_id"), col("v"), explode(tables).as("tb"))
+      .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"),
+        col("vec_id"), col("v"))
+    val pairs = banded
+      .select(col("t"), col("bucket"), col("vec_id").as("a_id"), col("v").as("av"))
+      .join(banded.select(col("t"), col("bucket"),
+        col("vec_id").as("b_id"), col("v").as("bv")), Seq("t", "bucket"))
       .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id")).distinct()
-    val pairs = cand
-      .join(base.select(col("vec_id").as("a_id"), col("v").as("av")), Seq("a_id"))
-      .join(base.select(col("vec_id").as("b_id"), col("v").as("bv")), Seq("b_id"))
       .withColumn("cos", F.cosineSim(col("av"), col("bv")))
       .where(col("cos") >= 0.3)
       .select(col("a_id"), col("b_id"), F.roundBin(col("cos"), 4).as("cos"))
-    // recall claim vs the exact label-blocked twin: |LSH ∩ exact| /
-    // |exact| stamped per row (result-sized window, same shape as the
-    // ANN recall audit). Pair key packs both ids into one long
-    // (fixture/production vec_ids < 2^31 — guarded in the cache build).
-    val exact = exactCosinePairKeys(spark, dir)
+      .distinct()
+      // result-sized; materialized ONCE — both the recall audit below
+      // and the final dump read these blocks (ContextCleaner-managed,
+      // unlike a CacheManager persist)
+      .localCheckpoint()
+    // Recall claim vs a deterministic xxhash SAMPLE of the exact
+    // label-blocked pair space (r10 — audits sample at 100 TB; the r9
+    // exhaustive twin cost 2.8 s of the query's 3.5 s). |LSH ∩
+    // sample| / |sample| is an unbiased recall estimator; small
+    // fixtures stay exhaustive so the estimate never rides <100
+    // pairs. Membership resolves driver-side against the result-sized
+    // key arrays — no 10³-element IN list, no one-partition window.
+    val exact = exactCosineSamplePairKeys(spark, dir)
+    val found = pairs.select(col("a_id"), col("b_id")).collect().map { r =>
+      (r.getLong(0) << 32) | r.getLong(1)
+    }.toSet
+    // a catastrophic banding regression yielding ZERO pairs would
+    // otherwise dump an empty result with no recall_ok=false row —
+    // the claim gate must fail loudly, not vacuously (r10)
+    require(exact.isEmpty || found.nonEmpty,
+      s"cosineDedupLsh: total recall loss — ${exact.length} sampled " +
+        "exact pairs exist but the LSH funnel produced zero")
     val recall =
-      if (exact.isEmpty) lit(1.0)
-      else {
-        val w = Window.partitionBy(lit(1))
-        val enc = shiftleft(col("a_id"), 32) + col("b_id")
-        F.roundBin(
-          sum(when(enc.isin(exact.map(Long.box).toSeq: _*), 1.0).otherwise(0.0))
-            .over(w) / lit(exact.length.toDouble), 4)
-      }
+      if (exact.isEmpty) 1.0
+      else exact.count(found).toDouble / exact.length
     pairs
-      .withColumn("recall_vs_exact", recall)
-      .withColumn("recall_ok", col("recall_vs_exact") >= lit(MinDedupRecall))
+      .withColumn("recall_vs_exact", lit(math.rint(recall * 10000) / 10000))
+      .withColumn("recall_ok", lit(recall >= MinDedupRecall))
       .orderBy(col("a_id"), col("b_id"))
   }
 
   /** Claim floor for the LSH dedup recall — deterministic per fixture
-    * (hash-derived), measured 0.976 / 0.955 / 0.927 at
-    * sf0.001/0.01/0.1 with the analytic table count; 0.8 leaves
-    * margin for fixture regeneration without tolerating a real
-    * banding regression (the r8 single-table formulation measured
-    * 0.15 and would fail this gate). */
+    * (hash-derived), measured 0.976 / 0.955 at sf0.001/0.01
+    * (exhaustive twin) and 0.9298 at sf0.1 (mod-4 sampled twin) with
+    * the analytic table count; 0.8 leaves margin for fixture
+    * regeneration without tolerating a real banding regression (the
+    * r8 single-table formulation measured 0.15 and would fail this
+    * gate). */
   private val MinDedupRecall = 0.8
 
   /** OR-amplification table count: smallest L with
@@ -273,19 +310,28 @@ object VectorQueries {
     math.min(64, math.max(1, l))
   }
 
-  /** Memoized exact near-dup pair keys ([[cosineDedup]] ground truth,
-    * (a_id << 32) | b_id): the recall claim audits against a fixed
-    * exact answer once per (process, dir) — the bruteTop10Ids
-    * discipline. Result-sized collect (|pairs| ~ 10²). */
+  /** Memoized SAMPLED exact near-dup pair keys ((a_id << 32) | b_id),
+    * built once per (process, dir) — the bruteTop10Ids discipline.
+    * Corpora of < [[SampleFreeBelow]] vectors keep the exhaustive
+    * exact twin (it is cheap, and a tiny sample would make the recall
+    * estimate lumpy); above that the twin computes cosines for only
+    * 1-in-[[ClaimSampleMod]] hash-chosen pairs. Exhaustive ground
+    * truth remains oracle-checked via q_cosine_dedup. Assumes fixture
+    * immutability per dir (read-only test data); a live pipeline
+    * would key on a snapshot/version id. */
+  private val ClaimSampleMod = 4
+  private val SampleFreeBelow = 1000L
   private val exactCosPairCache = scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
-  private def exactCosinePairKeys(spark: SparkSession, dir: String): Array[Long] =
-    exactCosPairCache.getOrElseUpdate(dir,
-      cosineDedup(spark, dir).select(col("a_id"), col("b_id")).collect().map { r =>
+  private def exactCosineSamplePairKeys(spark: SparkSession, dir: String): Array[Long] =
+    exactCosPairCache.getOrElseUpdate(dir, {
+      val mod = if (corpusSize(spark, dir) < SampleFreeBelow) 1 else ClaimSampleMod
+      exactPairs(spark, dir, mod).select(col("a_id"), col("b_id")).collect().map { r =>
         val a = r.getLong(0); val b = r.getLong(1)
         require(a >= 0 && b >= 0 && a < (1L << 31) && b < (1L << 31),
           s"pair key packing needs ids < 2^31, got ($a, $b)")
         (a << 32) | b
-      })
+      }
+    })
 
   /** LSH signature width for an n-vector corpus: enough hyperplanes
     * that the AVERAGE bucket holds ~targetBucket vectors —
@@ -489,6 +535,36 @@ object VectorQueries {
     withRecall(annIvf(spark, dir), bruteTop10Ids(spark, dir))
   def annIvfKmeansGated(spark: SparkSession, dir: String): DataFrame =
     withRecall(annIvfKmeans(spark, dir), bruteTop10Ids(spark, dir))
+
+  /** Accuracy-gated ORACLE form of an ANN probe (r10, the
+    * q_source_minhash graduation pattern): run the real ANN probe,
+    * measure recall@10 against the memoized exact [[knnBrute]]
+    * answer, then emit the EXACT neighbor rows — which DuckDB pins
+    * independently with the q_knn_brute SQL — plus a `recall_ok`
+    * claim the oracle fixes at TRUE. The engine-defined part of the
+    * ANN answer (bucket/centroid/projection choice) never reaches the
+    * hashed output, but a recall regression flips recall_ok on every
+    * row → DuckDB hash mismatch AND the Verify claim gate (exit 3).
+    * The probe's ≤10-row result is collected driver-side — the same
+    * bounded-collect discipline as [[bruteTop10Ids]]. */
+  private def annOracleGated(spark: SparkSession, dir: String,
+                             ann: DataFrame, minRecall: Double = 0.8): DataFrame = {
+    val bruteIds = bruteTop10Ids(spark, dir)
+    val found = ann.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val recall =
+      if (bruteIds.isEmpty) 1.0
+      else bruteIds.count(found).toDouble / bruteIds.length
+    knnBrute(spark, dir).withColumn("recall_ok", lit(recall >= minRecall))
+  }
+
+  def annLshOracle(spark: SparkSession, dir: String): DataFrame =
+    annOracleGated(spark, dir, annLsh(spark, dir))
+  def annIvfOracle(spark: SparkSession, dir: String): DataFrame =
+    annOracleGated(spark, dir, annIvf(spark, dir))
+  def annIvfKmeansOracle(spark: SparkSession, dir: String): DataFrame =
+    annOracleGated(spark, dir, annIvfKmeans(spark, dir))
+  def annProjectedOracle(spark: SparkSession, dir: String): DataFrame =
+    annOracleGated(spark, dir, annProjected(spark, dir))
 
   /** E3 scale path #4: coarse-then-fine ANN via JL projection — score
     * every vector CHEAPLY in the 32-dim [[graft.functions.RandProject]]
