@@ -151,6 +151,7 @@ object SparkEntry {
     "q_stream_sketch" -> (PipelineQueries.streamSketchTable _),
     "q_stream_drift" -> (PipelineQueries.streamDriftPsi _),
     "q_dsv2_scan" -> (PipelineQueries.dsv2Scan _),
+    "q_dsv2_daily" -> (PipelineQueries.dsv2Daily _),
     "q_stream_join" -> (PipelineQueries.streamJoin _),
     "q_csv_scan" -> (PipelineQueries.csvScan _),
     "q_orc_scan" -> (PipelineQueries.orcScan _),
@@ -1829,6 +1830,24 @@ object SparkEntry {
         |  FROM s)
         |SELECT q_id, vec_id, cos FROM r WHERE rn <= 5
         |ORDER BY q_id, cos DESC, vec_id""".stripMargin,
+    // the connector's per-day closed-form aggregate pushdown, pinned
+    // by DuckDB recomputing the same published generator arithmetic
+    // (id → trunc(id·step) micros → day / formatted second) — the
+    // pushdown's constants are cross-checked, not self-certified.
+    // Constants: n=50000, days=7, start=2025-09-01T00:00:00Z
+    // (epoch micros 1756684800000000), step = 7·86400·10⁶/50000 µs;
+    // every id·step product is an exact integer below 2^53, so the
+    // double arithmetic is exact in both engines.
+    "q_dsv2_daily" ->
+      """WITH ids AS (SELECT unnest(range(0, 50000)) AS id),
+        |e AS (SELECT CAST(trunc(id * (7.0 * 86400 * 1000000.0 / 50000)) AS BIGINT) AS us
+        |  FROM ids),
+        |d AS (SELECT us // 86400000000 AS day,
+        |  strftime(make_timestamp(1756684800000000 + (us // 1000000) * 1000000),
+        |    '%Y-%m-%dT%H:%M:%S') || 'Z' AS ts FROM e)
+        |SELECT CAST(day AS INT) AS day, count(*) AS n_events,
+        |  min(ts) AS min_ts, max(ts) AS max_ts
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_knn_brute" -> KnnBruteSql,
     // accuracy-gated ANN family (r10, formerly rows-only): each query
     // runs its real probe (LSH / IVF / IVF-kmeans / JL projection),

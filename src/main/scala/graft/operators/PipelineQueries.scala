@@ -849,6 +849,30 @@ object PipelineQueries {
     * so the gate is rows-only; EventsSourceSpec pins bit-identity to
     * the column-expression generator, the pruned partition count,
     * and the pruned scan schema. */
+  /** S13 grouped-aggregate pushdown (r10): per-day COUNT/MIN/MAX over
+    * the connector, grouped by the `_day` metadata column. The stream
+    * is day-monotone, so the connector answers each group in closed
+    * form from its binary-searched day boundaries — the plan contains
+    * NO Aggregate node and materializes zero event rows (asserted in
+    * PlanSpec). Oracle: DuckDB recomputes the same closed form from
+    * the published generator arithmetic (id → micros → day), so the
+    * pushdown's constants are pinned cross-engine, not self-certified.
+    * Fixed generator knobs (n=50000) ⇒ the answer is sf-independent,
+    * like q_dsv2_scan. */
+  def dsv2Daily(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-events")
+      .option("n", 50000L).option("days", 7)
+      .load()
+      .select(col("_day"), col("event_ts"))
+      .groupBy(col("_day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("event_ts")).as("min_ts"),
+        max(col("event_ts")).as("max_ts"))
+      .select(col("_day").cast("int").as("day"), col("n_events"),
+        col("min_ts"), col("max_ts"))
+      .orderBy(col("day"))
+
   def dsv2Scan(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("graft-events")
       .option("n", 50000L).option("days", 7)

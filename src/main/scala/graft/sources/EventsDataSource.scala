@@ -212,6 +212,24 @@ object EventsDataSource {
     else if (u < 0.97) "checkout"
     else "purchase"
   }
+
+  /** Exact id boundary of day `d`: the smallest id whose derived
+    * micros offset reaches d whole days — binary-searched with the
+    * SAME double arithmetic the rows use, so a boundary row can never
+    * land in the wrong partition. Shared by partition planning
+    * (EventsScan) and the per-day closed-form aggregate pushdown
+    * (r10), which must agree by construction. */
+  private[sources] def dayBoundary(conf: EventsConf, d: Int): Long = {
+    if (d <= 0) return 0L
+    if (d >= conf.days) return conf.n
+    val target = d.toLong * MicrosPerDay
+    var lo = 0L; var hi = conf.n
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if ((mid.toDouble * conf.stepMicros).toLong >= target) hi = mid else lo = mid + 1
+    }
+    lo
+  }
 }
 
 private[sources] case class EventsConf(n: Long, seed: String,
@@ -253,8 +271,8 @@ private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
 
   private var required: StructType = EventsDataSource.WireSchema
   private var pushed: Array[Filter] = Array.empty
-  private var aggValues: Array[Any] = null
-  private def countStarPushed: Boolean = aggValues != null
+  private var aggRows: Array[Array[Any]] = null
+  private def countStarPushed: Boolean = aggRows != null
   // id range the scan will emit — limit / top-N pushdown clamps it
   private var idLo: Long = 0L
   private var idHi: Long = conf.n
@@ -313,15 +331,21 @@ private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
     true
   }
 
-  /** COUNT(*), MIN(event_ts) and MAX(event_ts) with no grouping and
-    * no residual filters are closed-form for a synthetic source —
-    * count is the configured n, and event_ts is monotone
-    * non-decreasing in id so min/max are the first/last rows'
-    * timestamps. Answered from the driver without materializing a
-    * single row. Complete pushdown only: Spark plans no aggregate at
-    * all, so the scan must emit the final 1-row answer (one
-    * partition). Any residual filter or a prior limit clamp disables
-    * this — the closed forms would ignore them. */
+  /** COUNT(*), MIN(event_ts) and MAX(event_ts) — globally, or
+    * grouped by the `_day` metadata column (r10) — with no residual
+    * filters are closed-form for a synthetic source: count is an id
+    * range width, and event_ts is monotone non-decreasing in id so
+    * min/max are a range's first/last rows' timestamps. Grouping by
+    * `_day` works because the stream is DAY-MONOTONE — each day is
+    * exactly the id interval [dayBoundary(d), dayBoundary(d+1)), the
+    * same binary-searched boundaries partition planning uses, so the
+    * per-day answers have the same closed form as the global ones.
+    * Answered from the driver without materializing a single event
+    * row. Complete pushdown only: Spark plans no aggregate at all, so
+    * the scan must emit the final one-row-per-group answer (one
+    * partition — group rows must not split). Any residual filter or a
+    * prior limit clamp disables this — the closed forms would ignore
+    * them. */
   private def closedForm(f: AggregateFunc): Boolean = f match {
     case _: CountStar => true
     case m: Min => EventsDataSource.isEventTs(m.column())
@@ -329,9 +353,20 @@ private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
     case _ => false
   }
 
+  /** The only grouping shape with a closed form: a single bare
+    * reference to the `_day` metadata column. */
+  private def isDayGrouping(
+      g: Array[org.apache.spark.sql.connector.expressions.Expression]): Boolean =
+    g.length == 1 && (g(0) match {
+      case nr: NamedReference =>
+        nr.fieldNames().sameElements(Array(EventsDataSource.DayCol))
+      case _ => false
+    })
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    aggregation.groupByExpressions().isEmpty && pushed.isEmpty &&
-      idLo == 0L && idHi == conf.n &&
+    (aggregation.groupByExpressions().isEmpty ||
+      isDayGrouping(aggregation.groupByExpressions())) &&
+      pushed.isEmpty && idLo == 0L && idHi == conf.n &&
       aggregation.aggregateExpressions().nonEmpty &&
       aggregation.aggregateExpressions().forall(closedForm)
 
@@ -339,18 +374,39 @@ private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
     if (!supportCompletePushDown(aggregation)) false
     else {
       val exprs = aggregation.aggregateExpressions()
-      aggValues = exprs.map {
-        case _: CountStar => conf.n: Any
-        case _: Min =>
-          if (conf.n > 0) EventsDataSource.fieldValue(conf, "event_ts", 0L) else null
-        case _: Max =>
-          if (conf.n > 0) EventsDataSource.fieldValue(conf, "event_ts", conf.n - 1) else null
-      }
-      required = StructType(exprs.zipWithIndex.map {
+      val grouped = isDayGrouping(aggregation.groupByExpressions())
+      // one closed-form id range per output row: the whole stream for
+      // the global form, [dayBoundary(d), dayBoundary(d+1)) per
+      // non-empty day for the grouped form (an empty id range is an
+      // absent group, exactly like a row-level GROUP BY)
+      val ranges: Seq[(Option[Int], Long, Long)] =
+        if (grouped)
+          (0 until conf.days).map(d =>
+            (Some(d), EventsDataSource.dayBoundary(conf, d),
+              EventsDataSource.dayBoundary(conf, d + 1)))
+            .filter { case (_, s, e) => s < e }
+        else Seq((None, 0L, conf.n))
+      aggRows = ranges.map { case (day, s, e) =>
+        val aggs = exprs.map {
+          case _: CountStar => (e - s): Any
+          case _: Min =>
+            if (e > s) EventsDataSource.fieldValue(conf, "event_ts", s) else null
+          case _: Max =>
+            if (e > s) EventsDataSource.fieldValue(conf, "event_ts", e - 1) else null
+        }
+        day.map(d => (d: Any) +: aggs).getOrElse(aggs).toArray[Any]
+      }.toArray
+      // readSchema contract for a completely pushed aggregate:
+      // grouping columns first, then the aggregates, in push order
+      val aggFields = exprs.zipWithIndex.map {
         case (_: CountStar, i) => StructField(s"count_$i", LongType, nullable = false)
         case (_: Min, i) => StructField(s"min_$i", StringType, nullable = true)
         case (_: Max, i) => StructField(s"max_$i", StringType, nullable = true)
-      })
+      }
+      val groupFields =
+        if (grouped) Seq(StructField(EventsDataSource.DayCol, IntegerType, nullable = false))
+        else Seq.empty
+      required = StructType(groupFields ++ aggFields)
       true
     }
   }
@@ -373,13 +429,16 @@ private[sources] class EventsScanBuilder(conf: EventsConf) extends ScanBuilder
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (!countStarPushed) required = requiredSchema
   override def build(): Scan =
-    if (countStarPushed) new EventsAggScan(required, aggValues)
+    if (countStarPushed) new EventsAggScan(required, aggRows)
     else new EventsScan(conf, required, pushed, idLo, idHi)
 }
 
-/** The completely-pushed aggregate scan: one partition, one row, the
-  * closed-form answers — zero rows materialized anywhere. */
-private[sources] class EventsAggScan(schema: StructType, values: Array[Any])
+/** The completely-pushed aggregate scan: one partition, one row per
+  * group (one total for the global form), the closed-form answers —
+  * zero event rows materialized anywhere. Single partition by
+  * contract: with the aggregate node gone from the plan, rows of one
+  * group must never split across partitions. */
+private[sources] class EventsAggScan(schema: StructType, rows: Array[Array[Any]])
     extends Scan with Batch {
   override def readSchema(): StructType = schema
   override def toBatch: Batch = this
@@ -388,11 +447,11 @@ private[sources] class EventsAggScan(schema: StructType, values: Array[Any])
   override def planInputPartitions(): Array[InputPartition] =
     Array(EventsPartition(0L, 1L, "", ""))
   override def createReaderFactory(): PartitionReaderFactory = {
-    val vs = values
+    val rs = rows
     (_: InputPartition) => new PartitionReader[InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = { val r = !emitted; emitted = true; r }
-      override def get(): InternalRow = new GenericInternalRow(vs.clone())
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rs.length }
+      override def get(): InternalRow = new GenericInternalRow(rs(i).clone())
       override def close(): Unit = ()
     }
   }
@@ -471,21 +530,7 @@ private[sources] class EventsScan(conf: EventsConf, required: StructType,
       java.util.OptionalLong.of(rows)
   }
 
-  /** Exact id boundary of day `d`: the smallest id whose derived
-    * micros offset reaches d whole days — binary-searched with the
-    * SAME double arithmetic the rows use, so a boundary row can never
-    * land in a pruned partition. */
-  private def dayBoundary(d: Int): Long = {
-    if (d <= 0) return 0L
-    if (d >= conf.days) return conf.n
-    val target = d.toLong * 86400000000L
-    var lo = 0L; var hi = conf.n
-    while (lo < hi) {
-      val mid = (lo + hi) >>> 1
-      if ((mid.toDouble * conf.stepMicros).toLong >= target) hi = mid else lo = mid + 1
-    }
-    lo
-  }
+  private def dayBoundary(d: Int): Long = EventsDataSource.dayBoundary(conf, d)
 
   private def fmt(offsetMicros: Long): String = {
     val micros = conf.startMicros + offsetMicros

@@ -239,10 +239,52 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"cartesian in triangle count:\n$p")
     // wedge build + closing are hash equi-joins on (src) / (v, w) —
     // the inequality v < w must ride as a post-join filter, never a
-    // nested-loop join condition over non-equi keys
-    assert(!p.contains("BroadcastNestedLoopJoin") ||
-      p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
-      s"wedge join degenerated to nested loop:\n$p")
+    // nested-loop join condition over non-equi keys. The ONLY
+    // nested-loop joins allowed are the two 1-row stat combiners at
+    // the top (edges × wedges × triangles); a third means the wedge
+    // close degenerated (the r10 tightening — the r9 form of this
+    // assertion was satisfied by ANY hash join anywhere in the plan,
+    // so it could never fail).
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnlj <= 2, s"wedge join degenerated to nested loop ($bnlj BNLJ):\n$p")
+    // and the wedge-close equi-join actually exists as a hash join
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"),
+      s"no hash equi-join in triangle plan:\n$p")
+  }
+
+  test("q_dsv2_daily: grouped aggregate completely pushed — no Aggregate, no event rows") {
+    val df = graft.operators.PipelineQueries.dsv2Daily(spark, sf)
+    val p = plan(df)
+    // complete pushdown: Spark plans NO aggregate at all — the scan
+    // emits one closed-form row per day; the only Exchange permitted
+    // is the ORDER BY's final sort over ≤ days rows
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+      !p.contains("ObjectHashAggregate"),
+      s"aggregate not pushed into the connector:\n$p")
+    assert(p.contains("PushedAggregates"), s"agg scan missing:\n$p")
+    // and the pushed answer matches the row-level computation. The
+    // control disables pushdown with a semantically-identity event_ts
+    // filter: any pushed filter makes the builder refuse aggregates
+    // (the closed forms would ignore residual filters), and the
+    // connector re-hands filters to Spark, so the Filter node keeps
+    // the Aggregate from reaching the scan.
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.format("graft-events")
+      .option("n", 50000L).option("days", 7).load()
+      .where(col("event_ts") >= "2025-01-01")
+      .select(col("_day"), col("event_ts"))
+      .groupBy(col("_day"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_ts")).as("min_ts"),
+        max(col("event_ts")).as("max_ts"))
+      .select(col("_day").cast("int").as("day"), col("n_events"),
+        col("min_ts"), col("max_ts"))
+      .orderBy(col("day"))
+    assert(plan(raw).contains("Aggregate"),
+      "control plan unexpectedly pushed — the comparison is vacuous")
+    assert(df.collect().map(_.toString).toSeq ===
+      raw.collect().map(_.toString).toSeq)
   }
 
   test("whole-stage codegen covers the q1 aggregation pipeline") {
