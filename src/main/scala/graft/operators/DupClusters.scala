@@ -171,7 +171,10 @@ object DupClusters {
     * collect (20k pairs at sf0.1); rebuilt as a LocalRelation per
     * call so no cached plan is pinned to a session. q_ngram_jaccard
     * itself still measures full detection — the consumers measure
-    * consumption. */
+    * consumption. Contract (spec-pinned in DupClustersSpec): keys on
+    * the fixture dir and assumes immutability — correct for read-only
+    * test data; a live pipeline would key on a snapshot/version id
+    * and invalidate on corpus change. */
   private val pairManifestCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Long)]]
   private[graft] def pairManifest(spark: SparkSession, dir: String): DataFrame = {
@@ -188,7 +191,8 @@ object DupClusters {
     * operators DOWNSTREAM of clustering (canonicalization, radius)
     * consume the label manifest, as a pipeline consumes its persisted
     * cluster assignment rather than re-clustering per report.
-    * Result-sized (only docs that appear in a pair). */
+    * Result-sized (only docs that appear in a pair). Same
+    * immutability contract as [[pairManifest]]. */
   private val labelCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Long)]]
   private[graft] def nearDupLabels(spark: SparkSession, dir: String): DataFrame = {

@@ -640,7 +640,9 @@ object TextQueries {
     * ground truth [[minhashDedup]]'s recall claim audits against,
     * computed once per (process, dir) via the ZERO-false-negative
     * prefix filter (the bruteTop10Ids discipline from VectorQueries:
-    * a fixed exact answer, result-sized collect). */
+    * a fixed exact answer, result-sized collect). Keys on the fixture
+    * dir and assumes immutability; a live pipeline would key on a
+    * snapshot/version id. */
   private val exactHalfPairCache =
     scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
   private def exactHalfPairKeys(spark: SparkSession, dir: String): Array[Long] =

@@ -479,7 +479,9 @@ object VectorQueries {
     * index-build discipline: training is an OFFLINE build step whose
     * product (nlist≈√n centroids, broadcast-sized by definition) is
     * reused by every query until the next index refresh; per-query
-    * cost is the probe, not the build. */
+    * cost is the probe, not the build. Keys on (dir, knobs) and
+    * assumes fixture immutability; a live index would version on its
+    * refresh id. */
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int, Int), Array[(Long, Array[Float])]]
 

@@ -200,6 +200,87 @@ class SqlInterfaceSpec extends SparkSpec {
       "SQL WOE/IV != Scala WOE/IV")
   }
 
+  // r10: the correlated-subquery family as raw SQL TEXT — the shapes
+  // TpchDeep hand-decorrelates are also expressible as genuine
+  // correlated EXISTS / scalar subqueries / double correlation, and
+  // Spark's own decorrelation (RewriteCorrelatedScalarSubquery /
+  // RewritePredicateSubquery) must land on the same answers as the
+  // hand-written plans.
+
+  test("correlated EXISTS (Q4 shape) via pure SQL text equals the Scala plan") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+        |  AND o.o_orderdate < CAST('1996-04-01' AS TIMESTAMP)
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAYS)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    assert(rowsOf(viaSql) ===
+      rowsOf(graft.operators.TpchDeep.q4PriorityExists(spark, sf)),
+      "SQL correlated EXISTS != Scala semi-join plan")
+  }
+
+  test("correlated scalar subquery (Q17 shape) via pure SQL text equals the Scala plan") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT round_bin(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+        |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#4' AND p.p_size < 15
+        |  AND l.l_quantity < (
+        |    SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+    assert(rowsOf(viaSql) ===
+      rowsOf(graft.operators.TpchDeep.q17SmallQtyRevenue(spark, sf)),
+      "SQL correlated scalar != Scala decorrelated plan")
+  }
+
+  test("double correlation EXISTS+NOT EXISTS (Q21 shape) via pure SQL text") {
+    Tables.registerViews(spark, sf)
+    // counts LATE LINES of the sole late supplier per waiting order —
+    // the same grain as the Scala plan's sum(late_items)
+    val viaSql = spark.sql(
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM lineitem l1
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        |JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+        |WHERE o.o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAYS)
+        |GROUP BY s.s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
+    assert(rowsOf(viaSql) ===
+      rowsOf(graft.operators.TpchDeep.q21WaitingSuppliers(spark, sf)),
+      "SQL double correlation != Scala single-aggregation plan")
+  }
+
+  test("catalog-qualified grouped aggregate: pure SQL through graft.events stays pushed") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.n", "50000")
+    val viaCatalog = spark.sql(
+      """SELECT CAST(_day AS INT) AS day, count(*) AS n_events,
+        |  min(event_ts) AS min_ts, max(event_ts) AS max_ts
+        |FROM graft.events GROUP BY _day ORDER BY day""".stripMargin)
+    // the closed-form grouped pushdown must survive the catalog path:
+    // no Aggregate node anywhere in the executed plan
+    val p = viaCatalog.queryExecution.executedPlan.toString
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate") &&
+      !p.contains("ObjectHashAggregate"),
+      s"grouped aggregate not pushed through the catalog:\n$p")
+    assert(p.contains("PushedAggregates"), s"agg scan missing:\n$p")
+    assert(rowsOf(viaCatalog) ===
+      rowsOf(graft.operators.PipelineQueries.dsv2Daily(spark, sf)),
+      "catalog grouped aggregate != TableProvider grouped aggregate")
+  }
+
   test("custom aggregate + scalar functions compose in SQL over a view") {
     // KMV: no name collision with Spark's datasketches builtins (the
     // builtin `hll_union` shadows graft's SQL name — install() never
