@@ -29,7 +29,10 @@ object ScalingProbe {
     "q_ngram_jaccard", "q_dup_clusters", "q_knn_batch_agg",
     "q_asof_native", "q_bpe_pairs", "q_rep_filter",
     "q_simjoin_prefix", "q_bm25", "q_sliding_distinct_hll",
-    "q_merge_upsert", "q_triangle_count", "q_cluster_radius")
+    "q_merge_upsert", "q_triangle_count", "q_cluster_radius",
+    // r10: the one undamped-fixpoint iterative flagship —
+    // round-count-dominated, like q_cluster_radius
+    "q_pagerank")
 
   // measurement plumbing shared with Bench — one implementation
   private def forceEval(df: org.apache.spark.sql.DataFrame): Unit =

@@ -261,14 +261,17 @@ class SqlInterfaceSpec extends SparkSpec {
       "SQL double correlation != Scala single-aggregation plan")
   }
 
-  test("catalog-qualified grouped aggregate: pure SQL through graft.events stays pushed") {
-    spark.conf.set("spark.sql.catalog.graft",
+  test("catalog-qualified grouped aggregate: pure SQL through the events catalog stays pushed") {
+    // own catalog name: Spark caches catalog instances per session, so
+    // reusing "graft" would inherit GraftCatalogSpec's n=4000 when the
+    // full suite shares one session
+    spark.conf.set("spark.sql.catalog.graft50k",
       classOf[graft.sources.GraftCatalog].getName)
-    spark.conf.set("spark.sql.catalog.graft.n", "50000")
+    spark.conf.set("spark.sql.catalog.graft50k.n", "50000")
     val viaCatalog = spark.sql(
       """SELECT CAST(_day AS INT) AS day, count(*) AS n_events,
         |  min(event_ts) AS min_ts, max(event_ts) AS max_ts
-        |FROM graft.events GROUP BY _day ORDER BY day""".stripMargin)
+        |FROM graft50k.events GROUP BY _day ORDER BY day""".stripMargin)
     // the closed-form grouped pushdown must survive the catalog path:
     // no Aggregate node anywhere in the executed plan
     val p = viaCatalog.queryExecution.executedPlan.toString
