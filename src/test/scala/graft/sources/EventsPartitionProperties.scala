@@ -67,4 +67,47 @@ object EventsPartitionProperties extends Properties("EventsPartitions") {
         EventsDataSource.fieldValue(conf, "event_ts", p.end - 1).toString < lo
       }
     }
+
+  property("grouped closed-form aggregate equals brute-force row-level recompute") =
+    Prop.forAll(
+      for {
+        n <- Gen.oneOf(Gen.choose(0L, 50L), Gen.choose(1L, 20000L))
+        days <- Gen.choose(1, 31)
+        seed <- Gen.oneOf("graft", "alt")
+      } yield EventsConf(n, seed, "2025-09-01", days)) { conf =>
+      import org.apache.spark.sql.connector.expressions.Expressions
+      import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+      val b = new EventsScanBuilder(conf)
+      val agg = new Aggregation(
+        Array(new CountStar(),
+          new Min(Expressions.column("event_ts")),
+          new Max(Expressions.column("event_ts"))),
+        Array(Expressions.column("_day")))
+      val pushed = b.pushAggregation(agg)
+      // read the pushed scan's actual rows through its own reader
+      val scan = b.build()
+      val got = {
+        val batch = scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        val rf = batch.createReaderFactory()
+        batch.planInputPartitions().flatMap { p =>
+          val r = rf.createReader(p)
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, String, String)]
+          while (r.next()) {
+            val row = r.get()
+            buf += ((row.getInt(0), row.getLong(1),
+              row.getUTF8String(2).toString, row.getUTF8String(3).toString))
+          }
+          buf
+        }.sortBy(_._1).toSeq
+      }
+      // brute force over every id with the same wire functions
+      val expect = (0L until conf.n).map { id =>
+        (EventsDataSource.fieldValue(conf, "_day", id).asInstanceOf[Int],
+          EventsDataSource.fieldValue(conf, "event_ts", id).toString)
+      }.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, rows) =>
+        (d, rows.size.toLong, rows.map(_._2).min, rows.map(_._2).max)
+      }
+      Prop(pushed && got == expect) :|
+        s"pushed=$pushed got=${got.take(3)}... expect=${expect.take(3)}..."
+    }
 }
