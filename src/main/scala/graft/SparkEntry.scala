@@ -277,8 +277,6 @@ object SparkEntry {
       |  CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE) >= 0.05
       |ORDER BY a_id, b_id""".stripMargin
 
-  /** Shared by q_cosine_dedup and (as the edge-list CTE) the
-    * q_vec_clusters closure oracle. */
   /** Exact brute-force top-10 cosine neighbors of the lowest-vec_id
     * query vector — q_knn_brute's oracle, and (with a TRUE recall_ok
     * claim appended) the oracle for the four accuracy-gated ANN
@@ -298,6 +296,8 @@ object SparkEntry {
       |SELECT vec_id, cos, TRUE AS recall_ok FROM brute
       |ORDER BY cos DESC, vec_id""".stripMargin
 
+  /** Shared by q_cosine_dedup and (as the edge-list CTE) the
+    * q_vec_clusters closure oracle. */
   private val CosineDedupSql: String =
     """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,

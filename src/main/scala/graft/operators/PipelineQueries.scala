@@ -840,15 +840,6 @@ object PipelineQueries {
     (table, n)
   }
 
-  /** S1 × S6 via the DataSourceV2 CONNECTOR API: KPIs over the
-    * synthetic wire stream read through `format("graft-events")` —
-    * the scan plans one InputPartition per day, the pushed event_ts
-    * filter prunes the first 3 of 7 days at PLANNING time, and
-    * column pruning reaches the reader (only the projected fields are
-    * ever materialized). No DuckDB twin exists for a virtual source,
-    * so the gate is rows-only; EventsSourceSpec pins bit-identity to
-    * the column-expression generator, the pruned partition count,
-    * and the pruned scan schema. */
   /** S13 grouped-aggregate pushdown (r10): per-day COUNT/MIN/MAX over
     * the connector, grouped by the `_day` metadata column. The stream
     * is day-monotone, so the connector answers each group in closed
@@ -873,6 +864,15 @@ object PipelineQueries {
         col("min_ts"), col("max_ts"))
       .orderBy(col("day"))
 
+  /** S1 × S6 via the DataSourceV2 CONNECTOR API: KPIs over the
+    * synthetic wire stream read through `format("graft-events")` —
+    * the scan plans one InputPartition per day, the pushed event_ts
+    * filter prunes the first 3 of 7 days at PLANNING time, and
+    * column pruning reaches the reader (only the projected fields are
+    * ever materialized). No DuckDB twin exists for a virtual source,
+    * so the gate is rows-only; EventsSourceSpec pins bit-identity to
+    * the column-expression generator, the pruned partition count,
+    * and the pruned scan schema. */
   def dsv2Scan(spark: SparkSession, dir: String): DataFrame =
     spark.read.format("graft-events")
       .option("n", 50000L).option("days", 7)

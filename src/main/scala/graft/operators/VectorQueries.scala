@@ -313,23 +313,34 @@ object VectorQueries {
   /** Memoized SAMPLED exact near-dup pair keys ((a_id << 32) | b_id),
     * built once per (process, dir) — the bruteTop10Ids discipline.
     * Corpora of < [[SampleFreeBelow]] vectors keep the exhaustive
-    * exact twin (it is cheap, and a tiny sample would make the recall
-    * estimate lumpy); above that the twin computes cosines for only
-    * 1-in-[[ClaimSampleMod]] hash-chosen pairs. Exhaustive ground
-    * truth remains oracle-checked via q_cosine_dedup. Assumes fixture
-    * immutability per dir (read-only test data); a live pipeline
-    * would key on a snapshot/version id. */
+    * exact twin (it is cheap); above that the twin computes cosines
+    * for only 1-in-[[ClaimSampleMod]] hash-chosen pairs — BUT the
+    * guard is on the resulting PAIR count, not just the vector count:
+    * if the sample lands under [[MinSamplePairs]] qualifying pairs
+    * (a big corpus with few near-dups — a tiny sample would make the
+    * recall estimate lumpy, and an EMPTY one would re-open the
+    * vacuous-pass hole the zero-pair require closes), the build falls
+    * back to the exhaustive twin. Exhaustive ground truth remains
+    * oracle-checked via q_cosine_dedup. Assumes fixture immutability
+    * per dir (read-only test data); a live pipeline would key on a
+    * snapshot/version id. */
   private val ClaimSampleMod = 4
   private val SampleFreeBelow = 1000L
+  private val MinSamplePairs = 100
   private val exactCosPairCache = scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
   private def exactCosineSamplePairKeys(spark: SparkSession, dir: String): Array[Long] =
     exactCosPairCache.getOrElseUpdate(dir, {
-      val mod = if (corpusSize(spark, dir) < SampleFreeBelow) 1 else ClaimSampleMod
-      exactPairs(spark, dir, mod).select(col("a_id"), col("b_id")).collect().map { r =>
-        val a = r.getLong(0); val b = r.getLong(1)
-        require(a >= 0 && b >= 0 && a < (1L << 31) && b < (1L << 31),
-          s"pair key packing needs ids < 2^31, got ($a, $b)")
-        (a << 32) | b
+      def keys(mod: Int): Array[Long] =
+        exactPairs(spark, dir, mod).select(col("a_id"), col("b_id")).collect().map { r =>
+          val a = r.getLong(0); val b = r.getLong(1)
+          require(a >= 0 && b >= 0 && a < (1L << 31) && b < (1L << 31),
+            s"pair key packing needs ids < 2^31, got ($a, $b)")
+          (a << 32) | b
+        }
+      if (corpusSize(spark, dir) < SampleFreeBelow) keys(1)
+      else {
+        val sampled = keys(ClaimSampleMod)
+        if (sampled.length >= MinSamplePairs) sampled else keys(1)
       }
     })
 
@@ -373,10 +384,13 @@ object VectorQueries {
     * the production posture: recall auditing samples a fixed probe
     * set against a maintained exact answer, it does not brute-force
     * per query. */
-  private val bruteCache = scala.collection.concurrent.TrieMap.empty[String, Array[Long]]
-  private def bruteTop10Ids(spark: SparkSession, dir: String): Array[Long] =
+  private val bruteCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Double)]]
+  private def bruteTop10Rows(spark: SparkSession, dir: String): Array[(Long, Double)] =
     bruteCache.getOrElseUpdate(dir,
-      knnBrute(spark, dir).select(col("vec_id")).collect().map(_.getLong(0)))
+      knnBrute(spark, dir).collect().map(r => (r.getLong(0), r.getDouble(1))))
+  private def bruteTop10Ids(spark: SparkSession, dir: String): Array[Long] =
+    bruteTop10Rows(spark, dir).map(_._1)
 
   private def withRecall(ann: DataFrame, bruteIds: Array[Long],
                          minRecall: Double = 0.8): DataFrame = {
@@ -548,15 +562,21 @@ object VectorQueries {
     * hashed output, but a recall regression flips recall_ok on every
     * row → DuckDB hash mismatch AND the Verify claim gate (exit 3).
     * The probe's ≤10-row result is collected driver-side — the same
-    * bounded-collect discipline as [[bruteTop10Ids]]. */
+    * bounded-collect discipline as [[bruteTop10Rows]] — and the exact
+    * rows replay from the per-dir memo as a LocalRelation, so the
+    * brute-force corpus scan runs once per process (q_knn_brute still
+    * measures it live), not once per ANN query. */
   private def annOracleGated(spark: SparkSession, dir: String,
                              ann: DataFrame, minRecall: Double = 0.8): DataFrame = {
-    val bruteIds = bruteTop10Ids(spark, dir)
+    import spark.implicits._
+    val brute = bruteTop10Rows(spark, dir)
     val found = ann.select(col("vec_id")).collect().map(_.getLong(0)).toSet
     val recall =
-      if (bruteIds.isEmpty) 1.0
-      else bruteIds.count(found).toDouble / bruteIds.length
-    knnBrute(spark, dir).withColumn("recall_ok", lit(recall >= minRecall))
+      if (brute.isEmpty) 1.0
+      else brute.count(r => found(r._1)).toDouble / brute.length
+    brute.toSeq.toDF("vec_id", "cos")
+      .withColumn("recall_ok", lit(recall >= minRecall))
+      .orderBy(col("cos").desc, col("vec_id"))
   }
 
   def annLshOracle(spark: SparkSession, dir: String): DataFrame =

@@ -212,6 +212,41 @@ class VectorQueriesSpec extends SparkSpec {
     }
   }
 
+  test("oracle ANN variants (the declared q_ann_* path): exact rows + TRUE claim") {
+    // the r10 graduation contract: each oracle variant runs its real
+    // probe but emits the EXACT brute-force top-10 (driver-recomputed
+    // here) with recall_ok=true — the exact shape the DuckDB oracle
+    // pins, so a drift in either the emitted rows or the claim fails
+    // the spec before it fails the gate
+    val qId = vecs.keys.min
+    val qv = vecs(qId)
+    val exactRows = vecs.toSeq.filter(_._1 != qId)
+      .map { case (id, v) => (id, math.rint(cos(qv, v) * 1e4) / 1e4) }
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+      .map { case (id, c) => s"[$id,$c,true]" }
+    val oracle = Seq(
+      "annLshOracle" -> VectorQueries.annLshOracle(spark, sf),
+      "annIvfOracle" -> VectorQueries.annIvfOracle(spark, sf),
+      "annIvfKmeansOracle" -> VectorQueries.annIvfKmeansOracle(spark, sf),
+      "annProjectedOracle" -> VectorQueries.annProjectedOracle(spark, sf))
+    oracle.foreach { case (name, df) =>
+      assert(df.columns.toSeq === Seq("vec_id", "cos", "recall_ok"), name)
+      val got = df.collect().map(_.toString).toSeq
+      assert(got === exactRows, s"$name: ${got.take(3)} vs ${exactRows.take(3)}")
+    }
+  }
+
+  test("randProjectOracle (the declared q_rand_project path): exact counts + TRUE claim") {
+    val expected = labeled.groupBy(_._1).toSeq
+      .map { case (l, vs) =>
+        val nonzero = vs.count(v => math.sqrt(v._3.map(x => x.toDouble * x).sum) > 0)
+        s"[$l,$nonzero,true]"
+      }.sorted
+    val df = VectorQueries.randProjectOracle(spark, sf)
+    assert(df.columns.toSeq === Seq("label", "n", "recall_ok"))
+    assert(df.collect().map(_.toString).toSeq.sorted === expected)
+  }
+
   private lazy val labeled: Seq[(Int, Long, Array[Float])] =
     Tables.load(spark, sf, "embeddings").select("label", "vec_id", "embedding")
       .collect().toSeq
