@@ -984,11 +984,30 @@ object TextQueries {
       // trigram-less (<3-token) docs has no similarity evidence — 0.0
       .withColumn("j", coalesce(F.jaccardGe(col("a_sh"), col("b_sh"), 0.0), lit(0.0)))
       .groupBy(col("simhash")).agg(min(col("j")).as("min_j"))
-    groups.join(minJ, Seq("simhash"))
+    val out = groups.join(minJ, Seq("simhash"))
       .select(col("simhash"), col("n"), col("keep_id"),
         F.roundBin(col("min_j"), 6).as("min_jaccard"),
         (col("min_j") >= lit(0.5)).as("dup_ok"))
       .orderBy(col("simhash"))
+      // result-sized (collision groups); materialized once so the
+      // emptiness guard below doesn't re-run the group-local joins
+      .localCheckpoint()
+    // Vacuous-pass guard (r10, the minhashDedup/cosineDedupLsh
+    // discipline): a broken fingerprint kernel that hashes every doc
+    // uniquely would dump ZERO groups — no dup_ok row for the claim
+    // gate to fail on. Identical texts tokenize identically and MUST
+    // collide, so if the fixture contains exact-duplicate documents
+    // (it does at every SF — q_dedup_exact gates on them) an empty
+    // collision set is a loud failure, not a clean dump. The
+    // duplicate probe only runs in the empty case.
+    if (out.isEmpty) {
+      val exactDups = load(spark, dir, "documents")
+        .groupBy(xxhash64(col("text"))).count().where(col("count") > 1).count()
+      require(exactDups == 0L,
+        s"simhash: $exactDups exact-duplicate text groups exist but the " +
+          "fingerprint produced zero collisions — kernel regression")
+    }
+    out
   }
 
   /** E1 incremental dedup: dedup an incoming BATCH against an already
