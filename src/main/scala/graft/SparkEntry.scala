@@ -84,6 +84,7 @@ object SparkEntry {
     "q_table_stats_approx" -> (TpchQueries.tableStatsApprox _),
     "q_sliding_distinct_hll" -> (AnalyticsExtras.slidingDistinctHll _),
     "q_simjoin_prefix" -> (TextQueries.simJoinPrefix _),
+    "q_simjoin_incremental" -> (TextQueries.simJoinIncremental _),
     "q_merge_upsert" -> (AnalyticsWave4.mergeUpsert _),
     "q_cum_distinct" -> (AnalyticsWave4.cumulativeDistinct _),
     "q_rolling_median" -> (AnalyticsWave4.rollingMedian _),
@@ -1700,6 +1701,27 @@ object SparkEntry {
         |  round(ix / CAST(na + nb - ix AS DOUBLE), 6) AS jaccard
         |FROM i WHERE 10 * ix >= 9 * (na + nb - ix)
         |ORDER BY a_id, b_id""".stripMargin,
+    // incremental near-dup: batch (odd doc_ids) similarity-joined
+    // against the corpus (even doc_ids) at exact J >= 1/2 — the
+    // engine side is the two-sided corpus-df prefix filter; the
+    // oracle is the definitional cross-parity trigram jaccard
+    "q_simjoin_incremental" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s
+        |  FROM d WHERE len(toks) >= 3),
+        |t AS (SELECT doc_id, unnest(s) AS h, len(s) AS n FROM g),
+        |i AS (SELECT a.doc_id AS corpus_id, b.doc_id AS batch_id,
+        |    a.n AS na, b.n AS nb, count(*) AS ix
+        |  FROM t a JOIN t b ON a.h = b.h
+        |    AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT corpus_id, batch_id,
+        |  round(ix / CAST(na + nb - ix AS DOUBLE), 6) AS jaccard
+        |FROM i WHERE 2 * ix >= (na + nb - ix)
+        |ORDER BY corpus_id, batch_id""".stripMargin,
     // triangle count via the definitional 3-way join over the
     // near-dup edge list (engine side is the degree-ordered
     // wedge-closing formulation — same count, O(|E|^1.5) wedges)

@@ -1025,6 +1025,62 @@ object TextQueries {
     * collapse) is the standard near-exact key. The fixture carves
     * corpus/batch from doc_id parity so both dup classes populate at
     * every scale. */
+  /** E1 × E2 incremental NEAR-dup (r10): similarity-join an incoming
+    * BATCH against an already-indexed CORPUS at exact J ≥ 1/2 — the
+    * continuous-crawl shape [[incrementalDedup]] covers for EXACT
+    * duplicates, extended to near-duplicates, which is what a crawl
+    * actually ingests (boilerplate drift, re-serialized pages).
+    * Zero-false-negative prefix filter, two-sided: each doc keeps its
+    * n − ⌈t·n⌉ + 1 rarest shingles under a total order fixed by the
+    * CORPUS document-frequency table (absent shingles order first —
+    * maximally rare; ties by hash). Any consistent total order
+    * preserves the AllPairs pigeonhole across the two sides, and
+    * anchoring rarity on the corpus side matches the production
+    * posture: the df table and the corpus prefix index are MAINTAINED
+    * artifacts of the index build — a batch arrives, computes ONLY
+    * its own prefixes, probes the index, and exact-verifies the
+    * candidates; nothing corpus-sized is recomputed per ingest (here
+    * the fixture rebuilds both for determinism, but every stage is
+    * the incremental one at scale). Candidates are bare id pairs;
+    * shingle arrays ship only for candidate docs; the J ≥ 1/2 cut is
+    * integer math (2·|∩| ≥ |∪|) so no float boundary can disagree
+    * with the oracle. Corpus/batch carved from doc_id parity like
+    * incrementalDedup, so both sides populate at every scale. */
+  def simJoinIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val t = 0.5
+    val sets = simJoinSets(spark, dir)
+    val corpus = sets.where(pmod(col("doc_id"), lit(2)) === 0)
+    val batch = sets.where(pmod(col("doc_id"), lit(2)) === 1)
+    // corpus-side df: the index-build statistic (shingle-vocab grain)
+    val dfTab = corpus.select(explode(col("s")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    def prefixes(side: DataFrame, idc: String): DataFrame =
+      side.select(col("doc_id"), explode(col("s")).as("h"))
+        .join(dfTab, Seq("h"), "left")
+        .select(col("doc_id"), col("h"), coalesce(col("df"), lit(0L)).as("df0"))
+        .groupBy(col("doc_id"))
+        .agg(expr("transform(array_sort(collect_list(struct(df0, h))), x -> x.h)")
+          .as("sh"))
+        .select(col("doc_id").as(idc),
+          explode(slice(col("sh"), lit(1),
+            (size(col("sh")) - ceil(size(col("sh")) * lit(t)) + 1).cast("int")))
+            .as("h"))
+    val cand = prefixes(corpus, "corpus_id")
+      .join(prefixes(batch, "batch_id"), Seq("h"))
+      .select(col("corpus_id"), col("batch_id")).distinct()
+    cand
+      .join(corpus.select(col("doc_id").as("corpus_id"), col("s").as("sa")),
+        Seq("corpus_id"))
+      .join(batch.select(col("doc_id").as("batch_id"), col("s").as("sb")),
+        Seq("batch_id"))
+      .withColumn("n_i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("n_u", size(array_union(col("sa"), col("sb"))))
+      .where(col("n_i") * 2 >= col("n_u")) // J >= 1/2 exactly
+      .select(col("corpus_id"), col("batch_id"),
+        F.roundBin(col("n_i") / col("n_u").cast("double"), 6).as("jaccard"))
+      .orderBy(col("corpus_id"), col("batch_id"))
+  }
+
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     val keyed = load(spark, dir, "documents")

@@ -231,6 +231,37 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("simJoinIncremental: equals brute-force cross-parity pairs at J >= 1/2 (r10)") {
+    // the incremental near-dup join must keep the two-sided prefix
+    // pigeonhole (corpus-df total order, batch-unseen shingles order
+    // first) zero-false-negative — proven against an exhaustive
+    // corpus×batch brute force, values exact
+    def shingles(t: String): Set[String] =
+      t.split("\\s+", -1).toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = docs.collect { case (id, t) if t.split("\\s+", -1).length >= 3 =>
+      (id, shingles(t))
+    }
+    val corpus = sets.filter(_._1 % 2 == 0)
+    val batch = sets.filter(_._1 % 2 == 1)
+    val expected = (for {
+      (a, sa) <- corpus; (b, sb) <- batch
+      i = (sa & sb).size; u = (sa | sb).size
+      if i * 2 >= u
+    } yield (a, b)).toSet
+    val rows = TextQueries.simJoinIncremental(spark, sf).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected,
+      s"incremental pairs != brute force: missing ${expected -- got}, extra ${got -- expected}")
+    val byId = sets.toMap
+    rows.foreach { r =>
+      val (sa, sb) = (byId(r.getLong(0)), byId(r.getLong(1)))
+      val exp = (sa & sb).size.toDouble / (sa | sb).size
+      assert(math.abs(r.getDouble(2) - exp) < 1e-6,
+        s"jaccard(${r.getLong(0)},${r.getLong(1)})")
+    }
+  }
+
   test("minhashDedup: pairs have high exact shingle-jaccard (LSH recall property)") {
     val raw = TextQueries.minhashDedup(spark, sf).collect()
     // r9 recall claim vs the exact prefix-filter ground truth rides
