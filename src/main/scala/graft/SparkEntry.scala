@@ -85,6 +85,7 @@ object SparkEntry {
     "q_sliding_distinct_hll" -> (AnalyticsExtras.slidingDistinctHll _),
     "q_simjoin_prefix" -> (TextQueries.simJoinPrefix _),
     "q_simjoin_incremental" -> (TextQueries.simJoinIncremental _),
+    "q_containment_join" -> ((s, d) => TextQueries.containmentJoin(s, d)),
     "q_merge_upsert" -> (AnalyticsWave4.mergeUpsert _),
     "q_cum_distinct" -> (AnalyticsWave4.cumulativeDistinct _),
     "q_rolling_median" -> (AnalyticsWave4.rollingMedian _),
@@ -1700,6 +1701,24 @@ object SparkEntry {
         |SELECT a_id, b_id,
         |  round(ix / CAST(na + nb - ix AS DOUBLE), 6) AS jaccard
         |FROM i WHERE 10 * ix >= 9 * (na + nb - ix)
+        |ORDER BY a_id, b_id""".stripMargin,
+    // directed shingle-containment at C >= 9/10 — the sub-document
+    // duplication primitive; oracle is the definitional directed
+    // intersection-over-|a| over distinct trigram shingles
+    "q_containment_join" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s
+        |  FROM d WHERE len(toks) >= 3),
+        |t AS (SELECT doc_id, unnest(s) AS h, len(s) AS n FROM g),
+        |i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.n AS na, count(*) AS ix
+        |  FROM t a JOIN t b ON a.h = b.h AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2, 3)
+        |SELECT a_id, b_id, round(ix / CAST(na AS DOUBLE), 6) AS containment
+        |FROM i WHERE 10 * ix >= 9 * na
         |ORDER BY a_id, b_id""".stripMargin,
     // incremental near-dup: batch (odd doc_ids) similarity-joined
     // against the corpus (even doc_ids) at exact J >= 1/2 — the

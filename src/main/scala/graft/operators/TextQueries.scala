@@ -1081,6 +1081,51 @@ object TextQueries {
       .orderBy(col("corpus_id"), col("batch_id"))
   }
 
+  /** E2 containment join (r10): directed pairs where ≥ 9/10 of doc
+    * a's trigram shingles also appear in doc b — the SUB-DOCUMENT
+    * duplication primitive (quoted articles, boilerplate wrappers,
+    * chunk-of-a-bigger-page) that symmetric jaccard misses: a 50-word
+    * page embedded verbatim in a 5000-word page has jaccard ≈ 0.01
+    * but containment 1.0, and a training pipeline wants the small one
+    * dropped. Asymmetric prefix filter (the JOSIE/AllPairs containment
+    * shape): containment bounds only the CONTAINED side's non-shared
+    * shingles (≤ na − ⌈t·na⌉), so only a's na − ⌈t·na⌉ + 1 rarest
+    * shingles are prefixed, while the b side probes as the FULL
+    * inverted shingle index — at 100 TB that index is the maintained
+    * artifact ([[invertedIndex]] machinery at shingle grain) and the
+    * prefix stream is (1−t)·corpus, rarity-steered so candidate
+    * volume is Σ_prefix df(h), not Σ df². Zero false negatives by the
+    * same pigeonhole as [[simJoinPrefix]]; the cut is integer math
+    * (den·|∩| ≥ num·na). */
+  def containmentJoin(spark: SparkSession, dir: String,
+                      num: Int = 9, den: Int = 10): DataFrame = {
+    val t = num.toDouble / den
+    val sets = simJoinSets(spark, dir)
+    val shingles = sets.select(col("doc_id"), explode(col("s")).as("h"))
+    val dfTab = shingles.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val prefixes = shingles.join(dfTab, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(expr("transform(array_sort(collect_list(struct(df, h))), x -> x.h)")
+        .as("sh"))
+      .select(col("doc_id").as("a_id"),
+        explode(slice(col("sh"), lit(1),
+          (size(col("sh")) - ceil(size(col("sh")) * lit(t)) + 1).cast("int")))
+          .as("h"))
+    val cand = prefixes
+      .join(shingles.select(col("doc_id").as("b_id"), col("h")), Seq("h"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id")).distinct()
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("s").as("sa")), Seq("a_id"))
+      .join(sets.select(col("doc_id").as("b_id"), col("s").as("sb")), Seq("b_id"))
+      .withColumn("n_i", size(array_intersect(col("sa"), col("sb"))))
+      .withColumn("na", size(col("sa")))
+      .where(col("n_i") * den >= col("na") * num) // C(a→b) >= num/den exactly
+      .select(col("a_id"), col("b_id"),
+        F.roundBin(col("n_i") / col("na").cast("double"), 6).as("containment"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
     val keyed = load(spark, dir, "documents")

@@ -262,6 +262,37 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("containmentJoin: equals brute-force directed containment; asymmetric pairs found (r10)") {
+    def shingles(t: String): Set[String] =
+      t.split("\\s+", -1).toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val sets = docs.collect { case (id, t) if t.split("\\s+", -1).length >= 3 =>
+      (id, shingles(t))
+    }
+    val expected = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      i = (sa & sb).size
+      if i * 10 >= sa.size * 9
+    } yield (a, b)).toSet
+    val rows = TextQueries.containmentJoin(spark, sf).collect()
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected,
+      s"containment pairs != brute force: missing ${expected -- got}, extra ${got -- expected}")
+    val byId = sets.toMap
+    rows.foreach { r =>
+      val (sa, sb) = (byId(r.getLong(0)), byId(r.getLong(1)))
+      val exp = (sa & sb).size.toDouble / sa.size
+      assert(math.abs(r.getDouble(2) - exp) < 1e-6,
+        s"containment(${r.getLong(0)},${r.getLong(1)})")
+    }
+    // the point of DIRECTED containment: at least one qualifying pair
+    // must not qualify in reverse (a true sub-document, not a mutual
+    // near-equal) — otherwise the fixture only exercises the
+    // symmetric case jaccard already covers
+    val asym = got.exists { case (a, b) => !got.contains((b, a)) }
+    assert(asym, "no asymmetric containment pair in the fixture result")
+  }
+
   test("minhashDedup: pairs have high exact shingle-jaccard (LSH recall property)") {
     val raw = TextQueries.minhashDedup(spark, sf).collect()
     // r9 recall claim vs the exact prefix-filter ground truth rides
