@@ -86,6 +86,7 @@ object SparkEntry {
     "q_simjoin_prefix" -> (TextQueries.simJoinPrefix _),
     "q_simjoin_incremental" -> (TextQueries.simJoinIncremental _),
     "q_containment_join" -> ((s, d) => TextQueries.containmentJoin(s, d)),
+    "q_stream_neardup" -> (PipelineQueries.streamNearDup _),
     "q_merge_upsert" -> (AnalyticsWave4.mergeUpsert _),
     "q_cum_distinct" -> (AnalyticsWave4.cumulativeDistinct _),
     "q_rolling_median" -> (AnalyticsWave4.rollingMedian _),
@@ -1701,6 +1702,26 @@ object SparkEntry {
         |SELECT a_id, b_id,
         |  round(ix / CAST(na + nb - ix AS DOUBLE), 6) AS jaccard
         |FROM i WHERE 10 * ix >= 9 * (na + nb - ix)
+        |ORDER BY a_id, b_id""".stripMargin,
+    // streaming incremental near-dup: the accumulated batch-by-batch
+    // manifest must equal the all-pairs J >= 1/2 join — each pair is
+    // found exactly once, in the later doc's batch, so streaming
+    // maintenance provably loses nothing vs a full re-dedup
+    "q_stream_neardup" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |g AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s
+        |  FROM d WHERE len(toks) >= 3),
+        |t AS (SELECT doc_id, unnest(s) AS h, len(s) AS n FROM g),
+        |i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.n AS na, b.n AS nb, count(*) AS ix
+        |  FROM t a JOIN t b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT a_id, b_id,
+        |  round(ix / CAST(na + nb - ix AS DOUBLE), 6) AS jaccard
+        |FROM i WHERE 2 * ix >= (na + nb - ix)
         |ORDER BY a_id, b_id""".stripMargin,
     // directed shingle-containment at C >= 9/10 — the sub-document
     // duplication primitive; oracle is the definitional directed

@@ -899,6 +899,117 @@ object PipelineQueries {
   def streamDriftPsi(spark: SparkSession, dir: String): DataFrame =
     streamDriftPsiCounted(spark, dir)._1
 
+  /** Documents wire zone for the streaming near-dup gate: three JSONL
+    * files (doc_id mod-3 split, coalesced to one file each) so
+    * maxFilesPerTrigger=1 yields three micro-batches whose union is
+    * the whole corpus. */
+  private def docsZone(spark: SparkSession, dir: String): String =
+    zoneCache.getOrElseUpdate(("graft-docs-zone", dir, None), {
+      val out = Files.createTempDirectory("graft-docs-zone")
+      out.toFile.deleteOnExit()
+      val docs = load(spark, dir, "documents").select(col("doc_id"), col("text"))
+      (0 until 3).foreach { k =>
+        docs.where(pmod(col("doc_id"), lit(3)) === k)
+          .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+          .coalesce(1).write.mode("append").text(out.toString)
+      }
+      out.toString
+    })
+
+  /** ST × E2 streaming incremental NEAR-dup (r10): documents arrive
+    * in micro-batches; each batch is trigram-fingerprinted, probed
+    * against the PERSISTED fingerprint index of all previously
+    * arrived docs (plus its own within-batch self-join), verified
+    * pairs (exact jaccard ≥ 1/2, integer-free jaccard_ge kernel) are
+    * APPENDED to the dup manifest, and the batch's fingerprints are
+    * appended to the index. Every qualifying pair is detected exactly
+    * once — in the LATER doc's batch — so the accumulated manifest is
+    * order-independent and provably equals the all-pairs batch
+    * answer: that equality IS the oracle (DuckDB recomputes the full
+    * J ≥ 1/2 join) and the continuous-crawl guarantee (streaming
+    * maintenance loses nothing vs periodic full re-dedup), and
+    * StreamingDedupSpec additionally pins manifest ==
+    * exactSimJoin(1/2) and that cross-batch pairs were really found
+    * across batches. Candidates resolve at shingle-posting grain; at
+    * gate scale the index fingerprints are re-exploded per batch, at
+    * 100 TB the postings are the maintained table, bucketed by
+    * shingle hash, so the probe is a co-partitioned join touching
+    * only matching buckets and per-ingest cost is
+    * O(batch + candidates) — [[TextQueries.simJoinIncremental]]'s
+    * posture run continuously. */
+  def streamNearDup(spark: SparkSession, dir: String): DataFrame =
+    streamNearDupCounted(spark, dir)._1
+
+  private[graft] def streamNearDupCounted(
+      spark: SparkSession, dir: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.types._
+    graft.functions.GraftFunctions.install(spark)
+    val in = docsZone(spark, dir)
+    val outP = Files.createTempDirectory("graft-neardup-out")
+    val idxP = Files.createTempDirectory("graft-neardup-idx")
+    val ckP = Files.createTempDirectory("graft-neardup-ck")
+    Seq(outP, idxP, ckP).foreach(_.toFile.deleteOnExit())
+    val out = outP.toString; val idx = idxP.toString
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val fpSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sh", ArrayType(LongType, containsNull = false))))
+    val wire = spark.readStream.schema(docSchema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    withShufflePartitions(spark, 8) {
+      val q = wire.writeStream
+        .option("checkpointLocation", ckP.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          nBatches.incrementAndGet()
+          val fp = TextQueries.docFingerprints(batch).localCheckpoint()
+          val posts = fp.select(col("doc_id"), explode(col("sh")).as("h"))
+          val idxDir = new java.io.File(idx)
+          val hasIdx = Option(idxDir.listFiles())
+            .exists(_.exists(_.getName.endsWith(".parquet")))
+          val idxFp =
+            if (hasIdx) spark.read.schema(fpSchema).parquet(idx)
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fpSchema)
+          val idxPosts = idxFp.select(col("doc_id").as("x"), explode(col("sh")).as("h"))
+          val cross = idxPosts
+            .join(posts.select(col("doc_id").as("y"), col("h")), Seq("h"))
+            .select(least(col("x"), col("y")).as("a_id"),
+              greatest(col("x"), col("y")).as("b_id"))
+          val self = posts.select(col("h"), col("doc_id").as("x"))
+            .join(posts.select(col("h"), col("doc_id").as("y")), Seq("h"))
+            .where(col("x") < col("y"))
+            .select(col("x").as("a_id"), col("y").as("b_id"))
+          val all = fp.unionByName(idxFp)
+          val pairs = cross.unionByName(self).distinct()
+            .join(all.select(col("doc_id").as("a_id"), col("sh").as("a_sh")),
+              Seq("a_id"))
+            .join(all.select(col("doc_id").as("b_id"), col("sh").as("b_sh")),
+              Seq("b_id"))
+            .withColumn("j",
+              graft.functions.F.jaccardGe(col("a_sh"), col("b_sh"), 0.5))
+            .where(col("j").isNotNull)
+            .select(col("a_id"), col("b_id"),
+              graft.functions.F.roundBin(col("j"), 6).as("jaccard"))
+          // ORDER MATTERS: the manifest append executes (and therefore
+          // resolves the index scan's file listing) BEFORE this
+          // batch's fingerprints land in the index — appending first
+          // would double the batch docs in `all` and duplicate rows
+          pairs.write.mode("append").parquet(out)
+          fp.write.mode("append").parquet(idx)
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val res = spark.read.schema(StructType(Seq(
+        StructField("a_id", LongType), StructField("b_id", LongType),
+        StructField("jaccard", DoubleType))))
+      .parquet(out)
+      .orderBy(col("a_id"), col("b_id"))
+    (res, nBatches.get())
+  }
+
   private[graft] def streamDriftPsiCounted(
       spark: SparkSession, dir: String): (DataFrame, Long) = {
     val in = writeJsonl(spark, dir, "graft-drift-in", cutoffDate = Some(StreamCutoff))

@@ -658,10 +658,17 @@ object TextQueries {
   /** Per-doc distinct trigram-shingle hash sets. */
   private[graft] def simJoinSets(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.install(spark)
-    withTokens(load(spark, dir, "documents"))
-      .where(size(col("toks")) >= 3)
-      .select(col("doc_id"), F.ngramHashes(col("toks"), 3).as("s"))
+    docFingerprints(load(spark, dir, "documents"))
+      .withColumnRenamed("sh", "s")
   }
+
+  /** Trigram fingerprints of an ARBITRARY (doc_id, text) frame — the
+    * batch-side kernel the streaming near-dup gate shares with the
+    * batch similarity joins, so both sides shingle identically. */
+  private[graft] def docFingerprints(docs: DataFrame): DataFrame =
+    withTokens(docs)
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"), F.ngramHashes(col("toks"), 3).as("sh"))
 
   /** Distinct candidate (a_id, b_id) pairs from the prefix filter —
     * exposed so TextQueriesSpec can assert the prune factor against

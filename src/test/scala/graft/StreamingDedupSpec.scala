@@ -59,4 +59,24 @@ class StreamingDedupSpec extends SparkSpec {
     assert(ids.sorted === Seq("adv", "e1", "e2", "e3"),
       s"duplicate re-emitted or event lost: $ids")
   }
+
+  test("streaming near-dup manifest equals the batch answer; pairs really cross batches (r10)") {
+    val (res, nBatches) =
+      graft.operators.PipelineQueries.streamNearDupCounted(spark, sf)
+    assert(nBatches >= 3, s"expected >= 3 micro-batches, got $nBatches")
+    val got = res.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the continuous-crawl guarantee: batch-by-batch maintenance must
+    // lose NOTHING vs the full-corpus exact similarity join
+    val expected = graft.operators.TextQueries.exactSimJoin(spark, sf, 1, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === expected,
+      s"stream manifest != batch: missing ${expected -- got}, extra ${got -- expected}")
+    // batches are the doc_id mod-3 split, so an unequal-mod pair was
+    // detected ACROSS batches (index probe) and an equal-mod pair
+    // within one (self-join) — both detection paths really ran
+    assert(got.exists { case (a, b) => a % 3 != b % 3 },
+      "no cross-batch pair: the index-probe path was never exercised")
+    assert(got.exists { case (a, b) => a % 3 == b % 3 },
+      "no within-batch pair: the self-join path was never exercised")
+  }
 }
