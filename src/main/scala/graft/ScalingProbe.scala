@@ -31,8 +31,10 @@ object ScalingProbe {
     "q_simjoin_prefix", "q_bm25", "q_sliding_distinct_hll",
     "q_merge_upsert", "q_triangle_count", "q_cluster_radius",
     // r10: the one undamped-fixpoint iterative flagship —
-    // round-count-dominated, like q_cluster_radius
-    "q_pagerank")
+    // round-count-dominated, like q_cluster_radius — and the
+    // asymmetric containment funnel (prefix on the contained side
+    // only, candidate volume Σ_prefix df(h))
+    "q_pagerank", "q_containment_join")
 
   // measurement plumbing shared with Bench — one implementation
   private def forceEval(df: org.apache.spark.sql.DataFrame): Unit =
