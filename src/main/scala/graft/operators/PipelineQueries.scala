@@ -942,14 +942,35 @@ object PipelineQueries {
 
   private[graft] def streamNearDupCounted(
       spark: SparkSession, dir: String): (DataFrame, Long) = {
-    import org.apache.spark.sql.types._
-    graft.functions.GraftFunctions.install(spark)
     val in = docsZone(spark, dir)
     val outP = Files.createTempDirectory("graft-neardup-out")
     val idxP = Files.createTempDirectory("graft-neardup-idx")
     val ckP = Files.createTempDirectory("graft-neardup-ck")
     Seq(outP, idxP, ckP).foreach(_.toFile.deleteOnExit())
-    val out = outP.toString; val idx = idxP.toString
+    val n = nearDupDrain(spark, in, outP.toString, idxP.toString, ckP.toString)
+    (nearDupManifest(spark, outP.toString), n)
+  }
+
+  private[graft] def nearDupManifest(spark: SparkSession, outDir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.read.schema(StructType(Seq(
+        StructField("a_id", LongType), StructField("b_id", LongType),
+        StructField("jaccard", DoubleType))))
+      .parquet(outDir)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  /** One AvailableNow drain of the near-dup maintenance pipeline —
+    * extracted (like [[sketchMaintenanceDrain]]) so StreamingDedupSpec
+    * can run SUCCESSIVE drains against one checkpoint/index and assert
+    * the incrementality contract mechanically: a later drain probes
+    * ONLY its new docs against the persisted index, appends exactly
+    * the new docs' pairs, and never rewrites prior manifest files.
+    * Returns the number of foreachBatch batches this drain ran. */
+  private[graft] def nearDupDrain(spark: SparkSession, in: String,
+      out: String, idx: String, ck: String): Long = {
+    import org.apache.spark.sql.types._
+    graft.functions.GraftFunctions.install(spark)
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val docSchema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType)))
@@ -960,7 +981,7 @@ object PipelineQueries {
       .option("maxFilesPerTrigger", 1).json(in)
     withShufflePartitions(spark, 8) {
       val q = wire.writeStream
-        .option("checkpointLocation", ckP.toString)
+        .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           nBatches.incrementAndGet()
           val fp = TextQueries.docFingerprints(batch).localCheckpoint()
@@ -1002,12 +1023,7 @@ object PipelineQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    val res = spark.read.schema(StructType(Seq(
-        StructField("a_id", LongType), StructField("b_id", LongType),
-        StructField("jaccard", DoubleType))))
-      .parquet(out)
-      .orderBy(col("a_id"), col("b_id"))
-    (res, nBatches.get())
+    nBatches.get()
   }
 
   private[graft] def streamDriftPsiCounted(

@@ -79,4 +79,58 @@ class StreamingDedupSpec extends SparkSpec {
     assert(got.exists { case (a, b) => a % 3 == b % 3 },
       "no within-batch pair: the self-join path was never exercised")
   }
+
+  test("near-dup drain is incremental: a second drain probes only new docs, appends only their pairs (r10)") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{PipelineQueries, TextQueries}
+    val in = Files.createTempDirectory("ndup2-in")
+    val out = Files.createTempDirectory("ndup2-out")
+    val idx = Files.createTempDirectory("ndup2-idx")
+    val ck = Files.createTempDirectory("ndup2-ck")
+    Seq(in, out, idx, ck).foreach(_.toFile.deleteOnExit())
+    // drain 1: the full corpus in 3 files (the gate's split)
+    val docs = Tables.load(spark, sf, "documents").select(col("doc_id"), col("text"))
+    (0 until 3).foreach { k =>
+      docs.where(pmod(col("doc_id"), lit(3)) === k)
+        .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+        .coalesce(1).write.mode("append").text(in.toString)
+    }
+    PipelineQueries.nearDupDrain(spark, in.toString, out.toString, idx.toString, ck.toString)
+    val before = PipelineQueries.nearDupManifest(spark, out.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val filesBefore = new java.io.File(out.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.length)).toSet
+    // drain 2: ONE new doc — an exact copy of an existing doc's text
+    // under a fresh id, so its shingle set (hence every jaccard) is
+    // identical to the source doc's and the expected pair delta is
+    // computable from the first manifest alone
+    val srcId = before.head._1
+    val srcText = docs.where(col("doc_id") === srcId).collect()(0).getString(1)
+    val newId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1
+    import spark.implicits._
+    Seq((newId, srcText)).toDF("doc_id", "text")
+      .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+      .coalesce(1).write.mode("append").text(in.toString)
+    val n2 = PipelineQueries.nearDupDrain(
+      spark, in.toString, out.toString, idx.toString, ck.toString)
+    assert(n2 >= 1L, "second drain processed no batch")
+    val after = PipelineQueries.nearDupManifest(spark, out.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the clone pairs with its source (J=1.0) and with EXACTLY the
+    // source's neighbors (identical shingle set => identical jaccards)
+    val neighbors = before.collect {
+      case (a, b) if a == srcId => b
+      case (a, b) if b == srcId => a
+    }
+    val expectedDelta = (neighbors + srcId).map(y =>
+      (math.min(y, newId), math.max(y, newId)))
+    assert(after === before ++ expectedDelta,
+      s"incremental delta wrong: missing ${(before ++ expectedDelta) -- after}, " +
+        s"extra ${after -- (before ++ expectedDelta)}")
+    // prior manifest files are append-only: byte-identical after drain 2
+    val survivors = new java.io.File(out.toString).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.length)).toSet
+    assert(filesBefore.subsetOf(survivors),
+      "a prior manifest file was rewritten — the drain is not append-only")
+  }
 }
