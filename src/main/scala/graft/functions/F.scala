@@ -140,6 +140,12 @@ object F {
   def jaccardGe(a: Column, b: Column, t: Double): Column =
     column(JaccardGe(expr(a), expr(b), t))
 
+  /** Thresholded directed containment |a∩b|/|a| over sorted distinct
+    * long arrays (see [[ContainmentGe]]): the value when ≥ t, else
+    * null. */
+  def containmentGe(a: Column, b: Column, t: Double): Column =
+    column(ContainmentGe(expr(a), expr(b), t))
+
   /** Sorted distinct n-gram xxhash64 fingerprints of a token array
     * (see [[NgramHashes]]). */
   def ngramHashes(toks: Column, n: Int): Column =

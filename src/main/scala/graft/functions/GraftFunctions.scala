@@ -54,6 +54,8 @@ object GraftFunctions {
     "nearest_centroid" -> (args => NearestCentroid(args.head, args(1))),
     "jaccard_ge" -> (args =>
       JaccardGe(args.head, args(1), doubleArg("jaccard_ge", args(2)))),
+    "containment_ge" -> (args =>
+      ContainmentGe(args.head, args(1), doubleArg("containment_ge", args(2)))),
     "ngram_hashes" -> (args =>
       NgramHashes(args.head, intArg("ngram_hashes", args(1)))),
     "minhash_union" -> (args =>

@@ -442,6 +442,43 @@ case class JaccardGe(left: Expression, right: Expression, threshold: Double)
     copy(left = newLeft, right = newRight)
 }
 
+/** Thresholded directed CONTAINMENT |a ∩ b| / |a| over two sorted
+  * distinct long arrays — [[JaccardGe]]'s sibling for the
+  * sub-document-duplication verify (containmentJoin): one fused
+  * merge-walk, early exit once the remaining elements cannot reach
+  * the threshold, returns the exact containment when ≥ t, else null.
+  * Boundary exactness at rational t: IEEE division is correctly
+  * rounded, so a pair sitting exactly AT num/den produces the same
+  * double as the t literal, and the next ratio below differs by
+  * ≥ 1/|a| ≫ ulp. */
+case class ContainmentGe(left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint>, got $other")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "containment_ge"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sketches.containmentGeLong(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""java.lang.Double r = graft.functions.Sketches.containmentGeLong($a, $b, $threshold);
+         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): ContainmentGe =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static kernels shared by interpreted eval and generated code. */
 object Sketches {
   private final val XxSeed = 42L
@@ -536,6 +573,28 @@ object Sketches {
     }
     val jac = inter.toDouble / (na + nb - inter)
     if (jac >= t) jac else null
+  }
+
+  /** Merge-walk thresholded directed containment |a∩b|/|a| (see
+    * [[ContainmentGe]]). Inputs MUST be sorted distinct long arrays. */
+  def containmentGeLong(a: ArrayData, b: ArrayData, t: Double): java.lang.Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0) return null // empty contained set: containment undefined
+    val need = math.ceil(t * na - 1e-9).toInt
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      if (inter + math.min(na - i, nb - j) < need) return null // early exit
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val c = inter.toDouble / na
+    if (c >= t) c else null
   }
 
   /** Merge-walk thresholded Jaccard (see [[JaccardGe]]). Inputs MUST
