@@ -280,6 +280,27 @@ object SparkEntry {
       |  CAST(len(list_distinct(a.bg || b.bg)) AS DOUBLE) >= 0.05
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Definitional all-pairs trigram-shingle jaccard at J >= 1/2 —
+    * shared by q_stream_neardup (the accumulated streaming manifest
+    * must equal it) and, with a TRUE recall_ok appended, by the
+    * accuracy-gated q_minhash_dedup (r11). */
+  private val ExactHalfJaccardSql: String =
+    """WITH d AS (SELECT doc_id,
+      |    regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(toks) - 1),
+      |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s
+      |  FROM d WHERE len(toks) >= 3),
+      |t AS (SELECT doc_id, unnest(s) AS h, len(s) AS n FROM g),
+      |i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    a.n AS na, b.n AS nb, count(*) AS ix
+      |  FROM t a JOIN t b ON a.h = b.h AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT a_id, b_id,
+      |  round(ix / CAST(na + nb - ix AS DOUBLE), 6) AS jaccard
+      |FROM i WHERE 2 * ix >= (na + nb - ix)
+      |ORDER BY a_id, b_id""".stripMargin
+
   /** Exact brute-force top-10 cosine neighbors of the lowest-vec_id
     * query vector — q_knn_brute's oracle, and (with a TRUE recall_ok
     * claim appended) the oracle for the four accuracy-gated ANN
@@ -1707,22 +1728,34 @@ object SparkEntry {
     // manifest must equal the all-pairs J >= 1/2 join — each pair is
     // found exactly once, in the later doc's batch, so streaming
     // maintenance provably loses nothing vs a full re-dedup
-    "q_stream_neardup" ->
-      """WITH d AS (SELECT doc_id,
-        |    regexp_split_to_array(text, '\s+') AS toks FROM documents),
-        |g AS (SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(toks) - 1),
-        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s
-        |  FROM d WHERE len(toks) >= 3),
-        |t AS (SELECT doc_id, unnest(s) AS h, len(s) AS n FROM g),
-        |i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |    a.n AS na, b.n AS nb, count(*) AS ix
-        |  FROM t a JOIN t b ON a.h = b.h AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4)
-        |SELECT a_id, b_id,
-        |  round(ix / CAST(na + nb - ix AS DOUBLE), 6) AS jaccard
-        |FROM i WHERE 2 * ix >= (na + nb - ix)
+    "q_stream_neardup" -> ExactHalfJaccardSql,
+    // accuracy-gated MinHash+LSH dedup (r11, formerly rows-only +
+    // claim): the engine runs the real 16-perm/4-band funnel, measures
+    // its recall vs the exact J >= 1/2 ground truth, and emits the
+    // exact pairs + recall_ok, which the oracle fixes at TRUE — a
+    // banding regression hash-mismatches AND trips the Verify claim
+    // gate (precision needs no claim: candidates are exact-verified,
+    // so found ⊆ exact by construction)
+    "q_minhash_dedup" ->
+      s"""WITH x AS ($ExactHalfJaccardSql)
+        |SELECT a_id, b_id, jaccard, TRUE AS recall_ok FROM x
         |ORDER BY a_id, b_id""".stripMargin,
+    // accuracy-gated SimHash dedup (r11, formerly rows-only + claim),
+    // at per-source grain so the gate is non-empty at every SF (exact
+    // text dups exist only at sf0.1): DuckDB pins the per-source text
+    // statistics; collide_ok (every same-(source,text) dup group
+    // fingerprints to ONE simhash — kernel determinism) and
+    // precision_ok (every hamming-0 collision group has min pairwise
+    // exact trigram jaccard >= 0.5, measured >= 0.954 and ACTIVE at
+    // all SFs) are oracle-fixed TRUE
+    "q_simhash" ->
+      """WITH g AS (SELECT source, text, count(*) AS c
+        |  FROM documents GROUP BY source, text)
+        |SELECT source, count(*) AS n_texts,
+        |  CAST(sum(c) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+        |  TRUE AS collide_ok, TRUE AS precision_ok
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     // directed shingle-containment at C >= 9/10 — the sub-document
     // duplication primitive; oracle is the definitional directed
     // intersection-over-|a| over distinct trigram shingles
@@ -1919,6 +1952,21 @@ object SparkEntry {
         |SELECT CAST(day AS INT) AS day, count(*) AS n_events,
         |  min(ts) AS min_ts, max(ts) AS max_ts
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    // oracle-gated DSv2 row scan (r11, the last formerly-no_oracle
+    // row): per-day rollup of the FILTERED connector read, recomputed
+    // by DuckDB in closed form through the pushed event_ts filter;
+    // bits_ok (oracle-fixed TRUE) carries the engine-side full-width
+    // row comparison against the independent column-expression twin
+    "q_dsv2_scan" ->
+      """WITH ids AS (SELECT unnest(range(0, 50000)) AS id),
+        |e AS (SELECT CAST(trunc(id * (7.0 * 86400 * 1000000.0 / 50000)) AS BIGINT) AS us
+        |  FROM ids),
+        |d AS (SELECT us // 86400000000 AS day,
+        |  strftime(make_timestamp(1756684800000000 + (us // 1000000) * 1000000),
+        |    '%Y-%m-%dT%H:%M:%S') || 'Z' AS ts FROM e)
+        |SELECT CAST(day AS INT) AS day, count(*) AS n_events,
+        |  min(ts) AS min_ts, max(ts) AS max_ts, TRUE AS bits_ok
+        |FROM d WHERE ts >= '2025-09-04' GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_knn_brute" -> KnnBruteSql,
     // accuracy-gated ANN family (r10, formerly rows-only): each query
     // runs its real probe (LSH / IVF / IVF-kmeans / JL projection),
@@ -1973,6 +2021,14 @@ object SparkEntry {
         |  round(avg(pr), 4) AS avg_pr, round(avg(cd), 4) AS avg_cd
         |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_cosine_dedup" -> CosineDedupSql,
+    // accuracy-gated LSH near-dup (r11, formerly rows-only + claim):
+    // the engine runs the real multi-table hyperplane funnel, measures
+    // recall vs the exact label-blocked pair set, and emits the exact
+    // pairs + recall_ok, which the oracle fixes at TRUE
+    "q_cosine_dedup_lsh" ->
+      s"""WITH x AS ($CosineDedupSql)
+        |SELECT a_id, b_id, cos, TRUE AS recall_ok FROM x
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_vec_clusters" ->
       s"""WITH RECURSIVE pairs AS MATERIALIZED ($CosineDedupSql),
         |ed AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM pairs

@@ -28,6 +28,20 @@ object Verify {
       cols.filter(c => c == "recall_ok" || c.startsWith("within_") ||
         c.endsWith("_ok")).toSeq
     var recallFailures = List.empty[String]
+    // Queries that THREW (r11, advisor finding): previously only logged
+    // to stderr, so a total dump failure still exited 0 and the
+    // regression surfaced only as a pass-count drop a human had to
+    // notice. Thrown queries now (a) join the hard-failure list that
+    // forces exit 3 and (b) have their dump directory deleted — a
+    // partial overwrite would otherwise leave a STALE parquet from a
+    // prior attempt that check_oracle.py could compare and "pass".
+    var hardFailures = List.empty[String]
+    def deleteRecursively(p: java.nio.file.Path): Unit =
+      if (Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(f => Files.deleteIfExists(f))
+      }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -50,6 +64,8 @@ object Verify {
         }
         System.err.println(f"[verify] $name ok in ${(System.nanoTime() - t0) / 1e9}%.1fs")
       } catch { case e: Throwable =>
+        hardFailures ::= name
+        deleteRecursively(Paths.get(s"$outDir/$name"))
         System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
     }
@@ -69,8 +85,11 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
-    if (recallFailures.nonEmpty) {
-      System.err.println(s"[verify] CLAIM GATE FAILED: ${recallFailures.mkString(", ")}")
+    if (recallFailures.nonEmpty || hardFailures.nonEmpty) {
+      if (recallFailures.nonEmpty)
+        System.err.println(s"[verify] CLAIM GATE FAILED: ${recallFailures.mkString(", ")}")
+      if (hardFailures.nonEmpty)
+        System.err.println(s"[verify] DUMP FAILED: ${hardFailures.mkString(", ")}")
       sys.exit(3)
     }
   }

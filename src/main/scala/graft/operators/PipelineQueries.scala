@@ -864,29 +864,45 @@ object PipelineQueries {
         col("min_ts"), col("max_ts"))
       .orderBy(col("day"))
 
-  /** S1 × S6 via the DataSourceV2 CONNECTOR API: KPIs over the
-    * synthetic wire stream read through `format("graft-events")` —
-    * the scan plans one InputPartition per day, the pushed event_ts
-    * filter prunes the first 3 of 7 days at PLANNING time, and
-    * column pruning reaches the reader (only the projected fields are
-    * ever materialized). No DuckDB twin exists for a virtual source,
-    * so the gate is rows-only; EventsSourceSpec pins bit-identity to
-    * the column-expression generator, the pruned partition count,
-    * and the pruned scan schema. */
-  def dsv2Scan(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format("graft-events")
+  /** S1 × S6 via the DataSourceV2 CONNECTOR API: the filtered ROW
+    * scan through `format("graft-events")` — the scan plans one
+    * InputPartition per day, the pushed event_ts filter prunes the
+    * first 3 of 7 days at PLANNING time, and column pruning reaches
+    * the reader. ORACLE-GATED since r11 (formerly rows-only, the last
+    * no_oracle row): the hashed output is the per-day count/min/max
+    * rollup of the FILTERED scan, which DuckDB recomputes in closed
+    * form from the published generator arithmetic (the q_dsv2_daily
+    * trick applied through the pushed filter), plus a `bits_ok` claim
+    * the oracle fixes at TRUE: the filtered connector read —
+    * full-width, every derived column (user_id, event_type, price,
+    * session_id, …) — is compared row-for-row (two-sided exceptAll)
+    * against the INDEPENDENT column-expression twin
+    * [[graft.gen.EventGenerator.events]], so a derivation drift in any
+    * column the day-rollup doesn't touch still hash-mismatches.
+    * EventsSourceSpec keeps pinning the pruned partition count and
+    * the pruned scan schema; fixed generator knobs (n=50000) make the
+    * answer sf-independent like q_dsv2_daily. */
+  def dsv2Scan(spark: SparkSession, dir: String): DataFrame = {
+    val cut = "2025-09-04"
+    def src = spark.read.format("graft-events")
       .option("n", 50000L).option("days", 7)
       .load()
-      .where(col("event_ts") >= "2025-09-04")
-      .groupBy(col("event_type"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        countDistinct(col("user_id")).as("n_users"),
-        min(col("event_ts")).as("first_ts"),
-        max(col("event_ts")).as("last_ts"),
-        graft.functions.F.roundBin(
-          sum(coalesce(col("price"), lit(0.0))), 2).as("revenue"))
-      .orderBy(col("event_type"))
+    // full-width bit-identity claim vs the column-expression twin
+    val gen = graft.gen.EventGenerator.events(spark, 50000L)
+      .where(col("event_ts") >= cut)
+    val viaConn = src.where(col("event_ts") >= cut)
+      .select(gen.columns.map(col).toIndexedSeq: _*)
+    val bitsOk = viaConn.exceptAll(gen).isEmpty && gen.exceptAll(viaConn).isEmpty
+    src.where(col("event_ts") >= cut)
+      .select(col("_day"), col("event_ts"))
+      .groupBy(col("_day"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("event_ts")).as("min_ts"),
+        max(col("event_ts")).as("max_ts"))
+      .select(col("_day").cast("int").as("day"), col("n_events"),
+        col("min_ts"), col("max_ts"), lit(bitsOk).as("bits_ok"))
+      .orderBy(col("day"))
+  }
 
   /** ST12 × E7: CONTINUOUS drift monitoring — PSI recomputed from an
     * incrementally maintained day × event_type count table rather

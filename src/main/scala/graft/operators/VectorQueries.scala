@@ -222,11 +222,19 @@ object VectorQueries {
     * 100 TB operating point; the fixture threshold exists to exercise
     * the hard end.
     *
-    * Rows-only under the gate (hash-derived buckets) but CLAIM-GATED
-    * (r9): every row carries `recall_vs_exact` against the memoized
-    * exact label-blocked pair set ([[cosineDedup]]) and `recall_ok`,
-    * which Verify enforces — a recall regression fails the dump. */
-  def cosineDedupLsh(spark: SparkSession, dir: String): DataFrame = {
+    * ACCURACY-GATED ORACLE since r11 (the r10 ANN graduation pattern,
+    * formerly rows-only + claim): [[cosineDedupLsh]] runs this real
+    * LSH funnel, measures its recall against the exact pair set, and
+    * emits the EXACT label-blocked pairs — which DuckDB pins
+    * independently with the q_cosine_dedup SQL — plus a `recall_ok`
+    * claim the oracle fixes at TRUE. The engine-defined part of the
+    * answer (hyperplane buckets) never reaches the hashed output, but
+    * a recall regression flips recall_ok on every row → DuckDB hash
+    * mismatch AND the Verify claim gate (exit 3). The probe itself
+    * stays exposed as [[cosineDedupLshFound]] for the spec's
+    * true-score / subset assertions. */
+  private[graft] def cosineDedupLshFound(
+      spark: SparkSession, dir: String): (DataFrame, Double) = {
     val bits = sigBitsFor(corpusSize(spark, dir))
     val nTables = lshTablesFor(bits, 0.3, 0.9)
     val base = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
@@ -272,7 +280,13 @@ object VectorQueries {
     // key arrays — no 10³-element IN list, no one-partition window.
     val exact = exactCosineSamplePairKeys(spark, dir)
     val found = pairs.select(col("a_id"), col("b_id")).collect().map { r =>
-      (r.getLong(0) << 32) | r.getLong(1)
+      val a = r.getLong(0); val b = r.getLong(1)
+      // same packing guard as the exact-side keys builder (advisor
+      // r10): an oversized id appearing only in LSH-found pairs would
+      // silently corrupt the packed key set and the recall estimate
+      require(a >= 0 && b >= 0 && a < (1L << 31) && b < (1L << 31),
+        s"pair key packing needs ids < 2^31, got ($a, $b)")
+      (a << 32) | b
     }.toSet
     // a catastrophic banding regression yielding ZERO pairs would
     // otherwise dump an empty result with no recall_ok=false row —
@@ -283,8 +297,27 @@ object VectorQueries {
     val recall =
       if (exact.isEmpty) 1.0
       else exact.count(found).toDouble / exact.length
-    pairs
-      .withColumn("recall_vs_exact", lit(math.rint(recall * 10000) / 10000))
+    (pairs.orderBy(col("a_id"), col("b_id")), recall)
+  }
+
+  /** Memoized EXHAUSTIVE exact near-dup pair rows — the ground truth
+    * the graduated [[cosineDedupLsh]] emits (and q_cosine_dedup
+    * oracle-checks live). Result-sized collect (~10⁴ pairs at sf0.1),
+    * once per (process, dir); same immutability contract as the key
+    * caches. */
+  private val exactCosRowsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Long, Double)]]
+  private def exactCosineRows(spark: SparkSession, dir: String): Array[(Long, Long, Double)] =
+    exactCosRowsCache.getOrElseUpdate(dir,
+      exactPairs(spark, dir, 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+
+  /** Oracle-gated LSH near-dup (r11 graduation — see
+    * [[cosineDedupLshFound]] for the probe and the full story). */
+  def cosineDedupLsh(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (_, recall) = cosineDedupLshFound(spark, dir)
+    exactCosineRows(spark, dir).toSeq.toDF("a_id", "b_id", "cos")
       .withColumn("recall_ok", lit(recall >= MinDedupRecall))
       .orderBy(col("a_id"), col("b_id"))
   }

@@ -293,13 +293,12 @@ class TextQueriesSpec extends SparkSpec {
     assert(asym, "no asymmetric containment pair in the fixture result")
   }
 
-  test("minhashDedup: pairs have high exact shingle-jaccard (LSH recall property)") {
-    val raw = TextQueries.minhashDedup(spark, sf).collect()
-    // r9 recall claim vs the exact prefix-filter ground truth rides
-    // every row and must hold at spec scale too
-    raw.foreach(r => assert(r.getAs[Boolean]("recall_ok"),
-      s"recall_vs_exact = ${r.getAs[Double]("recall_vs_exact")} below floor"))
-    val rows = raw.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+  test("minhashDedup: probe pairs are true near-dups; gated output = exact pairs + recall_ok") {
+    // the PROBE (the real LSH funnel): exact-verified pairs, measured
+    // recall vs the exact J >= 1/2 ground truth above the claim floor
+    val (probeDf, recall) = TextQueries.minhashDedupFound(spark, sf)
+    assert(recall >= 0.8, s"probe recall $recall below floor")
+    val rows = probeDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     rows.foreach { case (a, b, j) =>
       assert(a < b && j >= 0.5 && j <= 1.0)
     }
@@ -312,6 +311,17 @@ class TextQueriesSpec extends SparkSpec {
         if (docs.find(_._1 == a).get._2.trim.split("\\s+").length >= 3)
           assert(pairSet.contains((a, b)), s"identical docs ($a,$b) missed by LSH")
       }
+    }
+    // the GATED oracle form (r11): a SUPERSET of the probe's pairs
+    // (exact ground truth), every row claiming recall_ok
+    val gated = TextQueries.minhashDedup(spark, sf).collect()
+    gated.foreach(r => assert(r.getAs[Boolean]("recall_ok")))
+    val gatedPairs = gated.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet.subsetOf(gatedPairs),
+      "LSH-found pairs must be a subset of the exact ground truth")
+    gated.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.5 && j <= 1.0)
     }
   }
 
@@ -355,7 +365,7 @@ class TextQueriesSpec extends SparkSpec {
   }
 
   test("simhash: duplicate texts share a bucket; group sizes > 1") {
-    val rows = TextQueries.simhash(spark, sf).collect()
+    val rows = TextQueries.simhashGroups(spark, sf).collect()
     rows.foreach { r =>
       assert(r.getAs[Long]("n") > 1)
       // r9 precision claim: a collision group must be genuine near-dups
@@ -366,6 +376,18 @@ class TextQueriesSpec extends SparkSpec {
     val dupGroups = docs.groupBy(_._2).values.count(_.size > 1)
     assert(rows.map(_.getAs[Long]("n") - 1).sum >=
       docs.size - docs.map(_._2).distinct.size - dupGroups)
+    // the GATED oracle form (r11): per-source grain, non-empty at
+    // every SF, with the determinism + precision claims riding every
+    // row (collide_ok active wherever the fixture has exact dups)
+    val gated = TextQueries.simhash(spark, sf).collect()
+    assert(gated.nonEmpty)
+    assert(gated.map(_.getAs[Long]("n_docs")).sum === docs.size.toLong)
+    gated.foreach { r =>
+      assert(r.getAs[Boolean]("collide_ok"),
+        s"source ${r.getAs[String]("source")}: an exact-dup text group " +
+          "fingerprints to >1 simhash")
+      assert(r.getAs[Boolean]("precision_ok"))
+    }
   }
 
   test("ngramNovelty matches a driver-side recompute on trigram strings") {

@@ -49,24 +49,30 @@ class VectorQueriesSpec extends SparkSpec {
     }
   }
 
-  test("cosineDedupLsh: true scores; subset of all-pairs >= 0.3; recall claim holds") {
+  test("cosineDedupLsh: probe finds true pairs; gated output = exact pairs + recall_ok") {
     val allPairs = vecs.toSeq.combinations(2).collect {
       case Seq((a, va), (b, vb)) if cos(va, vb) >= 0.3 =>
         (math.min(a, b), math.max(a, b))
     }.toSet
-    val raw = VectorQueries.cosineDedupLsh(spark, sf).collect()
-    // r9 multi-table claim: recall vs the exact label-blocked twin
-    // rides every row (the r8 single-table variant measured 0.15 and
-    // would fail here)
-    raw.foreach(r => assert(r.getAs[Boolean]("recall_ok"),
-      s"recall_vs_exact = ${r.getAs[Double]("recall_vs_exact")} below floor"))
-    val got = raw.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the PROBE (the real LSH funnel): true scores, subset of the
+    // all-pairs >= 0.3 set, measured recall above the claim floor (the
+    // r8 single-table variant measured 0.15 and would fail here)
+    val (probeDf, recall) = VectorQueries.cosineDedupLshFound(spark, sf)
+    assert(recall >= 0.8, s"probe recall $recall below floor")
+    val got = probeDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.nonEmpty)
     got.foreach { case (a, b, c) =>
       assert(a < b && allPairs.contains((a, b)), s"($a,$b) not a true near-dup")
       val expected = math.rint(cos(vecs(a), vecs(b)) * 1e4) / 1e4
       assert(math.abs(c - expected) < 1e-9)
     }
+    // the GATED oracle form (r11): emits exactly the exact
+    // label-blocked pair set (the q_cosine_dedup twin) + recall_ok
+    val gated = VectorQueries.cosineDedupLsh(spark, sf).collect()
+    gated.foreach(r => assert(r.getAs[Boolean]("recall_ok")))
+    val exact = VectorQueries.cosineDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(gated.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq === exact)
   }
 
   test("annIvf: true scores, sorted, and decent recall vs brute force") {
