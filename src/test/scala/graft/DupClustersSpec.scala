@@ -127,26 +127,46 @@ class DupClustersSpec extends SparkSpec {
       s"missing ${expected -- got}, extra ${got -- expected}")
   }
 
-  test("manifest memoization contract: repeat calls replay a LocalRelation, no re-detection") {
-    // the documented contract (r10): manifests key on the fixture dir
-    // and assume immutability — a second call must hand back the SAME
-    // detected pairs as a driver-local relation whose plan contains NO
-    // file scan (mechanical proof that detection did not re-run; a
-    // re-run would need the documents parquet in the plan). A live
-    // pipeline would key these caches on a snapshot/version id.
-    def localOnly(df: org.apache.spark.sql.DataFrame): Unit = {
-      val p = df.queryExecution.optimizedPlan.toString
-      assert(p.contains("LocalRelation"), s"not a local replay:\n$p")
-      assert(!p.toLowerCase.contains("parquet") && !p.contains("Relation["),
-        s"manifest replay re-scans the corpus:\n$p")
+  test("manifest store contract: build-once parquet tables, corpus never re-enters consumer plans, version change invalidates") {
+    // the r11 contract (replacing the r10 driver-TrieMap memo): the
+    // pair/label manifests are write-once VERSIONED parquet tables —
+    // a consumer's plan scans the manifest path, never the documents
+    // corpus; repeat calls hit the stored table (no rebuild); a new
+    // snapshot version is a new path and triggers exactly one rebuild.
+    val base = java.nio.file.Files.createTempDirectory("graft-manifest-spec")
+    base.toFile.deleteOnExit()
+    def scansManifestOnly(df: org.apache.spark.sql.DataFrame): Unit = {
+      val files = df.inputFiles
+      assert(files.nonEmpty, "no input files — not a stored-table read")
+      files.foreach { f =>
+        assert(f.contains(base.toString), s"reads outside the manifest store: $f")
+        assert(!f.contains("documents"), s"manifest consumer re-scans the corpus: $f")
+      }
     }
-    val pairs1 = DupClusters.pairManifest(spark, sf).collect().map(_.toString).sorted
-    val pairs2df = DupClusters.pairManifest(spark, sf)
-    localOnly(pairs2df)
+    val b0 = DupClusters.manifestBuilds.get()
+    val pairs1 = DupClusters.pairManifestAt(spark, base.toString, sf, "snapA")
+      .collect().map(_.toString).sorted
+    assert(DupClusters.manifestBuilds.get() === b0 + 1)
+    // repeat call: same snapshot → served from the stored table
+    val pairs2df = DupClusters.pairManifestAt(spark, base.toString, sf, "snapA")
+    scansManifestOnly(pairs2df)
     assert(pairs2df.collect().map(_.toString).sorted === pairs1)
-    val labels1 = DupClusters.nearDupLabels(spark, sf).collect().map(_.toString).sorted
-    val labels2df = DupClusters.nearDupLabels(spark, sf)
-    localOnly(labels2df)
+    assert(DupClusters.manifestBuilds.get() === b0 + 1)
+    // labels build reads the stored pair manifest (one more build)
+    val labels1 = DupClusters.nearDupLabelsAt(spark, base.toString, sf, "snapA")
+      .collect().map(_.toString).sorted
+    assert(DupClusters.manifestBuilds.get() === b0 + 2)
+    val labels2df = DupClusters.nearDupLabelsAt(spark, base.toString, sf, "snapA")
+    scansManifestOnly(labels2df)
     assert(labels2df.collect().map(_.toString).sorted === labels1)
+    assert(DupClusters.manifestBuilds.get() === b0 + 2)
+    // corpus snapshot change → new path → exactly one fresh build
+    val pairsB = DupClusters.pairManifestAt(spark, base.toString, sf, "snapB")
+      .collect().map(_.toString).sorted
+    assert(pairsB === pairs1)
+    assert(DupClusters.manifestBuilds.get() === b0 + 3)
+    // the default store derives the snapshot from the corpus file
+    // listing — stable for a read-only fixture
+    assert(DupClusters.corpusVersion(sf) === DupClusters.corpusVersion(sf))
   }
 }
