@@ -967,11 +967,23 @@ object PipelineQueries {
     (nearDupManifest(spark, outP.toString), n)
   }
 
+  /** The drains' per-batch subdirs under `root` written BEFORE
+    * `batchId` — the replay-safe index listing (see the foreachBatch
+    * note in [[nearDupDrain]]). */
+  private def priorBatchDirs(root: String, batchId: Long): Seq[String] =
+    Option(new java.io.File(root).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-") &&
+        f.getName != s"batch-$batchId")
+      .map(_.getAbsolutePath).sorted.toSeq
+
   private[graft] def nearDupManifest(spark: SparkSession, outDir: String): DataFrame = {
     import org.apache.spark.sql.types._
+    // batchId-subpathed layout since r11 — recursive lookup, no
+    // partition inference (the subdir name is a replay key, not data)
     spark.read.schema(StructType(Seq(
         StructField("a_id", LongType), StructField("b_id", LongType),
         StructField("jaccard", DoubleType))))
+      .option("recursiveFileLookup", "true")
       .parquet(outDir)
       .orderBy(col("a_id"), col("b_id"))
   }
@@ -998,17 +1010,21 @@ object PipelineQueries {
     withShufflePartitions(spark, 8) {
       val q = wire.writeStream
         .option("checkpointLocation", ck)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           nBatches.incrementAndGet()
           val fp = TextQueries.docFingerprints(batch).localCheckpoint()
           val posts = fp.select(col("doc_id"), explode(col("sh")).as("h"))
-          val idxDir = new java.io.File(idx)
-          val hasIdx = Option(idxDir.listFiles())
-            .exists(_.exists(_.getName.endsWith(".parquet")))
-          val idxFp =
-            if (hasIdx) spark.read.schema(fpSchema).parquet(idx)
-            else spark.createDataFrame(
+          // Index = every PRIOR batch's fingerprint subdir. Excluding
+          // this batch's own subdir BY NAME (not by write ordering)
+          // makes a RETRIED batch idempotent even after its index
+          // write already landed — the r10 form would have re-probed
+          // its own fingerprints and double-counted the batch docs in
+          // the verify join-back on replay (advisor r10).
+          val idxFp = priorBatchDirs(idx, batchId) match {
+            case Seq() => spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fpSchema)
+            case dirs => spark.read.schema(fpSchema).parquet(dirs: _*)
+          }
           val idxPosts = idxFp.select(col("doc_id").as("x"), explode(col("sh")).as("h"))
           val cross = idxPosts
             .join(posts.select(col("doc_id").as("y"), col("h")), Seq("h"))
@@ -1029,12 +1045,16 @@ object PipelineQueries {
             .where(col("j").isNotNull)
             .select(col("a_id"), col("b_id"),
               graft.functions.F.roundBin(col("j"), 6).as("jaccard"))
-          // ORDER MATTERS: the manifest append executes (and therefore
-          // resolves the index scan's file listing) BEFORE this
-          // batch's fingerprints land in the index — appending first
-          // would double the batch docs in `all` and duplicate rows
-          pairs.write.mode("append").parquet(out)
-          fp.write.mode("append").parquet(idx)
+          // Idempotent under micro-batch replay (r11, advisor r10):
+          // both sinks write under a batchId-derived subpath in
+          // OVERWRITE mode, so a crash between the two writes — or a
+          // whole-batch retry after both landed — rewrites the same
+          // subdirs instead of double-appending manifest rows. The
+          // batchId is Structured Streaming's stable replay key; the
+          // index read above excludes this batch's subdir by name, so
+          // write order no longer matters either.
+          pairs.write.mode("overwrite").parquet(s"$out/batch-$batchId")
+          fp.write.mode("overwrite").parquet(s"$idx/batch-$batchId")
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()

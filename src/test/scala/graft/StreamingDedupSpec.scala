@@ -98,8 +98,15 @@ class StreamingDedupSpec extends SparkSpec {
     PipelineQueries.nearDupDrain(spark, in.toString, out.toString, idx.toString, ck.toString)
     val before = PipelineQueries.nearDupManifest(spark, out.toString)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val filesBefore = new java.io.File(out.toString).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.length)).toSet
+    // batchId-subpathed manifest layout (r11): list recursively
+    def parquetFiles(dir: java.nio.file.Path): Set[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(dir)
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => (dir.relativize(p).toString, java.nio.file.Files.size(p))).toSet
+      finally s.close()
+    }
+    val filesBefore = parquetFiles(out)
     // drain 2: ONE new doc — an exact copy of an existing doc's text
     // under a fresh id, so its shingle set (hence every jaccard) is
     // identical to the source doc's and the expected pair delta is
@@ -128,9 +135,12 @@ class StreamingDedupSpec extends SparkSpec {
       s"incremental delta wrong: missing ${(before ++ expectedDelta) -- after}, " +
         s"extra ${after -- (before ++ expectedDelta)}")
     // prior manifest files are append-only: byte-identical after drain 2
-    val survivors = new java.io.File(out.toString).listFiles()
-      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.length)).toSet
+    val survivors = parquetFiles(out)
     assert(filesBefore.subsetOf(survivors),
       "a prior manifest file was rewritten — the drain is not append-only")
+    // and the new pairs landed under a NEW batch subdir (the replay
+    // key that makes retried batches overwrite instead of append)
+    assert((survivors -- filesBefore).forall(_._1.startsWith("batch-")),
+      s"unexpected layout: ${survivors -- filesBefore}")
   }
 }
