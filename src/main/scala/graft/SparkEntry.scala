@@ -180,6 +180,7 @@ object SparkEntry {
     "q_ann_lsh" -> (VectorQueries.annLshOracle _),
     "q_ann_ivf" -> (VectorQueries.annIvfOracle _),
     "q_ann_ivf_kmeans" -> (VectorQueries.annIvfKmeansOracle _),
+    "q_stream_ann" -> (VectorQueries.streamAnn _),
     "q_knn_batch" -> ((s, d) => VectorQueries.knnBatch(s, d)),
     "q_knn_batch_agg" -> ((s, d) => VectorQueries.knnBatchAgg(s, d)),
     // §2.11 E7 second-wave analytics + training-pipeline extras
@@ -1977,6 +1978,11 @@ object SparkEntry {
     "q_ann_ivf" -> AnnOracleSql,
     "q_ann_ivf_kmeans" -> AnnOracleSql,
     "q_ann_projected" -> AnnOracleSql,
+    // streaming ANN index maintenance (r11): the probe runs against
+    // the incrementally MAINTAINED bucket index (built by AvailableNow
+    // micro-batches, O(new vectors) per trigger — StreamAnnSpec pins
+    // the incrementality), then emits the exact rows + recall_ok
+    "q_stream_ann" -> AnnOracleSql,
     "q_vec_norms" ->
       """SELECT label, count(*) AS n,
         |  round(avg(sqrt(list_sum(list_transform(

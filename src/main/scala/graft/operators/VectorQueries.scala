@@ -680,6 +680,13 @@ object VectorQueries {
     * tables amplifies to 1-(1-p)^L (L=8, p=0.4 ⇒ ~0.98) while
     * per-query work stays L × probes × targetBucket candidates —
     * CONSTANT in corpus size, vs brute force's O(n). */
+  /** Multi-probe signature set: the identity bucket plus every
+    * Hamming-distance-1 and -2 neighbor — 1 + bits + C(bits,2) masks. */
+  private def hamming2Masks(bits: Int): Seq[Long] =
+    0L +: ((0 until bits).map(i => 1L << i) ++
+      (for { i <- 0 until bits; j <- i + 1 until bits }
+        yield (1L << i) | (1L << j)))
+
   def annLsh(spark: SparkSession, dir: String,
              targetBucket: Int = 64, tables: Int = 8): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
@@ -697,9 +704,7 @@ object VectorQueries {
     // clamp with L=8, of L·2^24 (table, bucket) partitions: a
     // vanishing fraction of the corpus. The probe list is query-side
     // and broadcast; the corpus stays put.
-    val masks = 0L +: ((0 until bits).map(i => 1L << i) ++
-      (for { i <- 0 until bits; j <- i + 1 until bits }
-        yield (1L << i) | (1L << j)))
+    val masks = hamming2Masks(bits)
     val probeStructs = for { t <- 0 until tables; m <- masks }
       yield struct(lit(t).as("table"),
         col(s"b$t").bitwiseXOR(lit(m)).as("bucket"))
@@ -724,6 +729,140 @@ object VectorQueries {
         F.roundBin(expr("cosine_sim(v, qv)"), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
+  }
+
+  // ───────────────────────────────────────────────────────────────────
+  // ST × E3: streaming ANN index maintenance (r11) — the
+  // q_stream_neardup pattern applied to vectors: embeddings arrive in
+  // micro-batches, each batch is hyperplane-bucketed under the same L
+  // seeded tables as the batch [[annLsh]] index and APPENDED to the
+  // persisted (t, bucket) index under a batchId subpath (overwrite —
+  // idempotent under replay, the r11 drain discipline). Per-trigger
+  // work is O(new vectors · L): nothing corpus-sized is recomputed,
+  // bucketing needs no history, and the index is the SAME layout the
+  // batch probe reads — so a query probes the maintained index
+  // identically to the batch-built one. StreamAnnSpec proves the
+  // incrementality mechanically (second drain = 1 batch, prior index
+  // files byte-identical, stream index == batch-computed signatures);
+  // the gate query emits the exact brute-force rows + recall_ok vs
+  // the maintained-index probe (the annOracleGated graduation shape).
+  // At 100 TB the index is a bucketed table partitioned by (t,
+  // bucket); each trigger writes only its own vectors' bucket rows
+  // and queries prune to their probe partitions.
+  // ───────────────────────────────────────────────────────────────────
+
+  private val annIdxSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("t",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("bucket",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("vec_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("v",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, containsNull = false))))
+
+  /** Embeddings wire zone: three JSONL files (vec_id mod-3 split) so
+    * maxFilesPerTrigger=1 yields three micro-batches whose union is
+    * the corpus — the docsZone discipline for vectors. Built once per
+    * dir. */
+  private val annZoneCache =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def vecZone(spark: SparkSession, dir: String): String =
+    annZoneCache.getOrElseUpdate(dir, {
+      val out = java.nio.file.Files.createTempDirectory("graft-vec-zone")
+      out.toFile.deleteOnExit()
+      val e = emb(spark, dir).select(col("vec_id"), col("embedding"))
+      (0 until 3).foreach { k =>
+        e.where(pmod(col("vec_id"), lit(3)) === k)
+          .select(to_json(struct(col("vec_id"), col("embedding"))).as("value"))
+          .coalesce(1).write.mode("append").text(out.toString)
+      }
+      out.toString
+    })
+
+  /** One AvailableNow drain of the ANN index maintenance stream —
+    * extracted so StreamAnnSpec can run SUCCESSIVE drains against one
+    * checkpoint/index and assert the O(new data) contract. Returns
+    * the number of foreachBatch batches this drain ran. */
+  private[graft] def streamAnnDrain(spark: SparkSession, in: String,
+      idx: String, ck: String, bits: Int, tables: Int): Long = {
+    graft.functions.GraftFunctions.install(spark)
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val wireSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.FloatType, containsNull = false))))
+    val wire = spark.readStream.schema(wireSchema)
+      .option("maxFilesPerTrigger", 1).json(in)
+    graft.Tables.withConfs(spark, "spark.sql.shuffle.partitions" -> "8") {
+      val q = wire.writeStream
+        .option("checkpointLocation", ck)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          nBatches.incrementAndGet()
+          val tb = array((0 until tables).map(t =>
+            struct(lit(t).as("t"),
+              F.hyperplaneBucket(col("v"), bits, t.toLong).as("bucket"))): _*)
+          batch.select(col("vec_id"), col("embedding").as("v"))
+            .select(col("vec_id"), col("v"), explode(tb).as("tb"))
+            .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"),
+              col("vec_id"), col("v"))
+            .write.mode("overwrite").parquet(s"$idx/batch-$batchId")
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    nBatches.get()
+  }
+
+  /** The maintained bucket index (batchId-subpathed parquet). */
+  private[graft] def streamAnnIndex(spark: SparkSession, idx: String): DataFrame =
+    spark.read.schema(annIdxSchema)
+      .option("recursiveFileLookup", "true").parquet(idx)
+
+  /** Probe a (t, bucket, vec_id, v) index exactly like [[annLsh]]
+    * probes its inline one: query = lowest vec_id, Hamming ≤ 2
+    * multi-probe per table, candidates resolve inside the bucket join
+    * (the index carries the vectors), exact cosine re-rank top-10. */
+  private[graft] def lshIndexProbe(spark: SparkSession, index: DataFrame,
+      bits: Int, tables: Int): DataFrame = {
+    val q = index.where(col("t") === 0).orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val probeStructs = for { t <- 0 until tables; m <- hamming2Masks(bits) }
+      yield struct(lit(t).as("t"),
+        F.hyperplaneBucket(col("qv"), bits, t.toLong).bitwiseXOR(lit(m)).as("bucket"))
+    val probes = q.select(col("q_id"), col("qv"),
+        explode(array(probeStructs: _*)).as("p"))
+      .select(col("q_id"), col("qv"), col("p.t").as("t"), col("p.bucket").as("bucket"))
+    index.join(broadcast(probes), Seq("t", "bucket"))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id"),
+        F.roundBin(F.cosineSim(col("v"), col("qv")), 4).as("cos"))
+      // a vec_id can surface from several probe buckets; its cos is a
+      // pure function of (v, qv), so the pair dedups exactly
+      .distinct()
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  /** Gate query: drain the corpus through the maintenance stream,
+    * probe the MAINTAINED index, and emit the exact brute rows + the
+    * oracle-fixed recall claim (the annOracleGated shape — a
+    * maintenance or probe regression flips recall_ok on every row). */
+  def streamAnn(spark: SparkSession, dir: String): DataFrame =
+    annOracleGated(spark, dir, streamAnnCounted(spark, dir)._1)
+
+  private[graft] def streamAnnCounted(
+      spark: SparkSession, dir: String): (DataFrame, Long) = {
+    val in = vecZone(spark, dir)
+    val idx = java.nio.file.Files.createTempDirectory("graft-ann-idx")
+    val ck = java.nio.file.Files.createTempDirectory("graft-ann-ck")
+    Seq(idx, ck).foreach(_.toFile.deleteOnExit())
+    val bits = sigBitsFor(corpusSize(spark, dir))
+    val n = streamAnnDrain(spark, in, idx.toString, ck.toString, bits, 8)
+    (lshIndexProbe(spark, streamAnnIndex(spark, idx.toString), bits, 8), n)
   }
 
   /** E3 hard-negative mining for contrastive training — for each
