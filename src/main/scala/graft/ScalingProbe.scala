@@ -72,6 +72,60 @@ object ScalingProbe {
       }.mkString(" "))
     }
 
+    // Streaming flagship (r11, verdict item): the near-dup maintenance
+    // pipeline timed PER-DRAIN across the 100× span — the O(new data)
+    // claim as a measured curve, not only a two-drain spec. Per SF:
+    // one full-corpus build drain (cost grows with corpus), then 3
+    // incremental drains of a FIXED 32-doc batch each (fresh ids per
+    // batch; median reported). At gate scale the incremental drain
+    // still re-explodes the stored fingerprint index into postings for
+    // the probe join — so the honest expectation is a SLOWLY growing
+    // incremental curve (index-probe term), far below the build
+    // drain's corpus growth; at 100 TB the postings are the maintained
+    // bucketed table and the probe prunes to matching buckets
+    // (SCALE.md §streaming).
+    {
+      import org.apache.spark.sql.functions._
+      import graft.operators.PipelineQueries
+      val build = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val incr = scala.collection.mutable.LinkedHashMap[String, Double]()
+      for (sf <- sfs) {
+        val dir = s"$root/$sf"
+        val in = java.nio.file.Files.createTempDirectory("scal-ndup-in")
+        val out = java.nio.file.Files.createTempDirectory("scal-ndup-out")
+        val idx = java.nio.file.Files.createTempDirectory("scal-ndup-idx")
+        val ck = java.nio.file.Files.createTempDirectory("scal-ndup-ck")
+        Seq(in, out, idx, ck).foreach(_.toFile.deleteOnExit())
+        val docs = Tables.load(spark, dir, "documents")
+          .select(col("doc_id"), col("text"))
+        (0 until 3).foreach { k =>
+          docs.where(pmod(col("doc_id"), lit(3)) === k)
+            .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+            .coalesce(1).write.mode("append").text(in.toString)
+        }
+        val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+        val t0 = System.nanoTime()
+        PipelineQueries.nearDupDrain(
+          spark, in.toString, out.toString, idx.toString, ck.toString)
+        build(sf) = (System.nanoTime() - t0) / 1e9
+        val samples = (1 to 3).map { i =>
+          docs.orderBy(col("doc_id")).limit(32)
+            .select((col("doc_id") + lit(maxId * i + 1)).as("doc_id"), col("text"))
+            .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+            .coalesce(1).write.mode("append").text(in.toString)
+          val t1 = System.nanoTime()
+          PipelineQueries.nearDupDrain(
+            spark, in.toString, out.toString, idx.toString, ck.toString)
+          (System.nanoTime() - t1) / 1e9
+        }.sorted
+        incr(sf) = samples(1)
+        System.err.println(f"[scaling] q_stream_neardup $sf build=${build(sf)}%.2fs " +
+          f"incr(32 docs)=${incr(sf)}%.2fs")
+      }
+      times("q_stream_neardup_build") = build.toMap
+      times("q_stream_neardup_incr") = incr.toMap
+    }
+
     // Locale.ROOT: a comma-decimal default locale would break the JSON
     // (same hardening as Bench's ms())
     def j(d: Double): String =
