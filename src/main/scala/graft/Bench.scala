@@ -30,7 +30,7 @@ object Bench {
       "q_pruned_kpis", "q_stream_enrich", "q_stream_dedup", "q_stream_dedup_wm",
       "q_stream_join", "q_stream_outer_join", "q_stream_upsert",
       "q_stream_sketch", "q_stream_drift", "q_stream_neardup",
-      "q_compact_kpis")
+      "q_stream_ann", "q_compact_kpis")
 
   /** Fully evaluates every row and column of the plan. `count()` would
     * let Catalyst prune projections and eliminate sorts under the

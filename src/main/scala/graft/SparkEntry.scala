@@ -6,12 +6,16 @@ import graft.operators._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every implemented operator from SURVEY.md §2 has an entry in
-  * `queries`; SQL-expressible ones also have a DuckDB oracle in
+  * `queries`, and since r11 EVERY entry also has a DuckDB oracle in
   * `oracleSql` (column names aliased identically on both sides — the
   * driver sorts columns by name before hashing). Queries whose
   * semantics depend on engine-specific hash functions (minhash /
-  * simhash / LSH / HLL / generator) are rows-only checked and verified
-  * by ScalaTest specs instead.
+  * simhash / LSH / HLL / generator / ANN buckets) are ACCURACY-GATED:
+  * the engine runs its real probe/funnel, measures the accuracy claim
+  * (recall / precision / bit-identity / tolerance), and emits a
+  * DuckDB-pinnable ground truth plus claim columns the oracle fixes
+  * at TRUE — a regression hash-mismatches AND trips graft.Verify's
+  * claim gate (exit 3).
   */
 object SparkEntry {
 

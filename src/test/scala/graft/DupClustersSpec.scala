@@ -166,7 +166,19 @@ class DupClustersSpec extends SparkSpec {
     assert(pairsB === pairs1)
     assert(DupClusters.manifestBuilds.get() === b0 + 3)
     // the default store derives the snapshot from the corpus file
-    // listing — stable for a read-only fixture
+    // listing — stable for a read-only fixture, CHANGED by any data
+    // file change (here: a copied corpus whose mtime moves)
     assert(DupClusters.corpusVersion(sf) === DupClusters.corpusVersion(sf))
+    val corpusCopy = java.nio.file.Files.createTempDirectory("graft-ver-spec")
+    corpusCopy.toFile.deleteOnExit()
+    val copied = corpusCopy.resolve("documents.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(sf, "documents.parquet"), copied)
+    val v1 = DupClusters.corpusVersion(corpusCopy.toString)
+    java.nio.file.Files.setLastModifiedTime(copied,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(copied).toMillis + 60000))
+    assert(DupClusters.corpusVersion(corpusCopy.toString) !== v1,
+      "a corpus file change must produce a new snapshot id")
   }
 }
