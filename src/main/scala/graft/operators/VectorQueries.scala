@@ -540,7 +540,17 @@ object VectorQueries {
     val keepPerMille = math.min(1000L, trainPerList.toLong * nlist * 1000 / math.max(1L, n))
     val train = if (keepPerMille >= 1000L) e
       else e.where(pmod(xxhash64(col("vec_id")), lit(1000L)) < lit(keepPerMille))
-    var cents: Array[(Long, Array[Float])] = e.orderBy(col("vec_id")).limit(nlist)
+    // init = the nlist lowest-id vectors of the TRAIN subset (r11):
+    // previously this ranked the FULL corpus, so at real scale the init
+    // TakeOrdered scanned 100 TB for nlist seed rows; ranking the
+    // already-hash-sampled training set bounds the init scan by the
+    // training sample (trainPerList·nlist rows) while staying
+    // deterministic. On corpora small enough that train == e (every
+    // fixture SF) the seeds — and therefore the trained quantizer and
+    // its spec-pinned recall — are bit-identical to the corpus-ranked
+    // form. Collect is nlist rows, broadcast-sized by definition.
+    var cents: Array[(Long, Array[Float])] = train
+      .orderBy(col("vec_id")).limit(nlist)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
     for (_ <- 1 to iters) {
