@@ -34,7 +34,11 @@ object ScalingProbe {
     // round-count-dominated, like q_cluster_radius — and the
     // asymmetric containment funnel (prefix on the contained side
     // only, candidate volume Σ_prefix df(h))
-    "q_pagerank", "q_containment_join")
+    "q_pagerank", "q_containment_join",
+    // r11: cluster-blocked semantic near-dup — candidate volume
+    // ~n²·probes²/nlist with nlist ≈ √n, so the curve should bend
+    // sub-quadratic as nlist grows with the corpus
+    "q_semdedup")
 
   // measurement plumbing shared with Bench — one implementation
   private def forceEval(df: org.apache.spark.sql.DataFrame): Unit =

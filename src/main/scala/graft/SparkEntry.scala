@@ -181,6 +181,7 @@ object SparkEntry {
     "q_cosine_dedup" -> (VectorQueries.cosineDedup _),
     "q_vec_clusters" -> (DupClusters.cosineClusters _),
     "q_cosine_dedup_lsh" -> (VectorQueries.cosineDedupLsh _),
+    "q_semdedup" -> (VectorQueries.semDedup _),
     "q_ann_lsh" -> (VectorQueries.annLshOracle _),
     "q_ann_ivf" -> (VectorQueries.annIvfOracle _),
     "q_ann_ivf_kmeans" -> (VectorQueries.annIvfKmeansOracle _),
@@ -2036,6 +2037,14 @@ object SparkEntry {
     // recall vs the exact label-blocked pair set, and emits the exact
     // pairs + recall_ok, which the oracle fixes at TRUE
     "q_cosine_dedup_lsh" ->
+      s"""WITH x AS ($CosineDedupSql)
+        |SELECT a_id, b_id, cos, TRUE AS recall_ok FROM x
+        |ORDER BY a_id, b_id""".stripMargin,
+    // SemDeDup (r11): k-means-cluster-blocked semantic near-dup — the
+    // engine soft-assigns the corpus to its top-2 trained centroids,
+    // searches within lists, measures recall vs the exact pair set,
+    // and emits the same exact ground truth + oracle-fixed recall_ok
+    "q_semdedup" ->
       s"""WITH x AS ($CosineDedupSql)
         |SELECT a_id, b_id, cos, TRUE AS recall_ok FROM x
         |ORDER BY a_id, b_id""".stripMargin,

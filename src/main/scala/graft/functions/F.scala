@@ -162,6 +162,11 @@ object F {
   def nearestCentroid(v: Column, cents: Column): Column =
     column(NearestCentroid(expr(v), expr(cents)))
 
+  /** Soft assignment: top-k nearest centroid ids by cosine, descending
+    * (see [[NearestCentroids]]) — the SemDeDup / multi-probe primitive. */
+  def nearestCentroids(v: Column, cents: Column, k: Int): Column =
+    column(NearestCentroids(expr(v), expr(cents), k))
+
   /** Packed sign-bit LSH bucket id (see [[HyperplaneBucket]]); `seed`
     * selects an independent hyperplane family per LSH table. */
   def hyperplaneBucket(c: Column, bits: Int, seed: Long = 0L): Column =

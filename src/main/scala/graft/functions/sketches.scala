@@ -303,6 +303,48 @@ case class NearestCentroid(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Top-`k` nearest centroids by cosine (r11): the soft-assignment
+  * variant of [[NearestCentroid]] — one fused loop keeps a k-slot
+  * insertion buffer instead of a scalar argmax, emitting the list ids
+  * in descending-similarity order. This is the SemDeDup / multi-probe
+  * IVF primitive: assigning each vector to its top-k lists makes a
+  * pair's "shares a cluster" probability the OR over k² list
+  * combinations, recovering the near-boundary pairs a hard
+  * single-assignment partitioning drops. Same map-side contract as
+  * the argmax form (broadcast centroid list, no corpus shuffle); ties
+  * break to the earliest list entry (keep the list sorted by c_id).
+  * Null if either side is null; entries with undefined cosine are
+  * skipped, so the result can be shorter than k. */
+case class NearestCentroids(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _),
+            ArrayType(StructType(Array(f0, f1)), _))
+          if f0.dataType == LongType &&
+             f1.dataType.isInstanceOf[ArrayType] &&
+             f1.dataType.asInstanceOf[ArrayType].elementType == FloatType =>
+        if (k >= 1) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(s"$prettyName requires k >= 1, got $k")
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<float>, array<struct<long, array<float>>>), got $other")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "nearest_centroids"
+
+  override def nullSafeEval(v: Any, cents: Any): Any =
+    Sketches.nearestCentroids(v.asInstanceOf[ArrayData], cents.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      s"${ev.value} = graft.functions.Sketches.nearestCentroids($v, $c, $k);"
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): NearestCentroids =
+    copy(left = newLeft, right = newRight)
+}
+
 /** round-half-away-from-zero on the BINARY double value — the
   * C/DuckDB/Postgres `round(double, n)` convention: scale by 10^n
   * (IEEE multiply), round the resulting binary value half away from
@@ -778,6 +820,43 @@ object Sketches {
       i += 1
     }
     bestId
+  }
+
+  /** See [[NearestCentroids]]: k-slot insertion top-k over the same
+    * single fused loop. k is a literal knob (2–4 in practice), so the
+    * per-candidate insertion shift is O(k) with tiny constants —
+    * cheaper than a heap at these sizes. Descending-similarity order;
+    * first-seen (lowest list index) wins ties. */
+  def nearestCentroids(v: ArrayData, cents: ArrayData, k: Int): ArrayData = {
+    val n = cents.numElements()
+    val ids = new Array[Long](k)
+    val sims = new Array[Double](k)
+    var filled = 0
+    var i = 0
+    while (i < n) {
+      if (!cents.isNullAt(i)) {
+        val row = cents.getStruct(i, 2)
+        if (!row.isNullAt(0) && !row.isNullAt(1)) {
+          val c = cosineSim(v, row.getArray(1))
+          if (c != null) {
+            val s = c.doubleValue()
+            if (filled < k || s > sims(filled - 1)) {
+              // insertion position: strictly-greater keeps first-seen
+              // order among equals (list is sorted by c_id)
+              var p = math.min(filled, k - 1)
+              while (p > 0 && sims(p - 1) < s) {
+                ids(p) = ids(p - 1); sims(p) = sims(p - 1); p -= 1
+              }
+              ids(p) = row.getLong(0); sims(p) = s
+              if (filled < k) filled += 1
+            }
+          }
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(
+      if (filled == k) ids else java.util.Arrays.copyOf(ids, filled))
   }
 
   /** See [[QuantErr]]. Double math over the float values — identical

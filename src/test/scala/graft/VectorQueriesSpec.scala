@@ -75,6 +75,65 @@ class VectorQueriesSpec extends SparkSpec {
     assert(gated.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq === exact)
   }
 
+  test("semDedup: cluster-blocked probe finds true pairs; soft top-2 beats hard argmax; gated output = exact pairs + recall_ok") {
+    val allPairs = vecs.toSeq.combinations(2).collect {
+      case Seq((a, va), (b, vb)) if cos(va, vb) >= 0.3 =>
+        (math.min(a, b), math.max(a, b))
+    }.toSet
+    // the PROBE (k-means cluster blocking, top-2 soft assignment):
+    // true scores, subset of the all-pairs >= 0.3 set, measured recall
+    // above the claim floor
+    val (probeDf, recall) = VectorQueries.semDedupFound(spark, sf)
+    assert(recall >= 0.45, s"probe recall $recall below floor")
+    val got = probeDf.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    got.foreach { case (a, b, c) =>
+      assert(a < b && allPairs.contains((a, b)), s"($a,$b) not a true near-dup")
+      val expected = math.rint(cos(vecs(a), vecs(b)) * 1e4) / 1e4
+      assert(math.abs(c - expected) < 1e-9)
+    }
+    // soft assignment is the point: hard argmax (probes=1) drops the
+    // cluster-boundary pairs, so its recall must not exceed top-3's
+    val (_, hardRecall) = VectorQueries.semDedupFound(spark, sf, probes = 1)
+    assert(hardRecall <= recall,
+      s"hard-argmax recall $hardRecall above soft top-2 recall $recall")
+    // the GATED oracle form: emits exactly the exact label-blocked
+    // pair set (the q_cosine_dedup twin) + recall_ok
+    val gated = VectorQueries.semDedup(spark, sf).collect()
+    gated.foreach(r => assert(r.getAs[Boolean]("recall_ok")))
+    val exact = VectorQueries.cosineDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(gated.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq === exact)
+  }
+
+  test("nearestCentroids kernel: descending top-k by cosine, first-seen ties, head = nearestCentroid") {
+    import org.apache.spark.sql.functions.{broadcast, col, collect_list, sort_array, struct}
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val centIds = vecs.keys.toSeq.sorted.take(5)
+    val cents = centIds.map(id => (id, vecs(id)))
+    val centDf = {
+      import spark.implicits._
+      cents.map { case (id, v) => (id, v.map(_.toFloat)) }.toDF("c_id", "cv")
+        .agg(sort_array(collect_list(struct(col("c_id"), col("cv")))).as("cents"))
+    }
+    val got = e.join(broadcast(centDf))
+      .select(col("vec_id"),
+        graft.functions.F.nearestCentroids(col("embedding"), col("cents"), 3).as("top3"),
+        graft.functions.F.nearestCentroid(col("embedding"), col("cents")).as("top1"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2)))
+    assert(got.length === vecs.size)
+    got.foreach { case (id, top3, top1) =>
+      // stable sort on -cos keeps c_id order among exact ties =
+      // the kernel's first-seen-wins convention over the sorted list
+      val exp = cents.map { case (cid, cv) => (cid, cos(vecs(id), cv)) }
+        .sortBy(-_._2).take(3).map(_._1)
+      assert(top3 === exp, s"vec $id: $top3 vs $exp")
+      assert(top3.head === top1, s"vec $id: head ${top3.head} != argmax $top1")
+    }
+  }
+
   test("annIvf: true scores, sorted, and decent recall vs brute force") {
     val qId = vecs.keys.min
     val qv = vecs(qId)
