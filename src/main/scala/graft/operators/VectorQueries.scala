@@ -376,8 +376,8 @@ object VectorQueries {
     * DuckDB pins with the q_cosine_dedup SQL plus a `recall_ok` claim
     * fixed TRUE — a clustering regression flips every row and fails
     * both the DuckDB hash and the Verify claim gate. */
-  private[graft] def semDedupFound(spark: SparkSession, dir: String,
-                                   probes: Int = 3): (DataFrame, Double) = {
+  private[graft] def semDedupCandidates(spark: SparkSession, dir: String,
+                                        probes: Int): DataFrame = {
     import spark.implicits._
     val e = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
     val n = corpusSize(spark, dir)
@@ -391,10 +391,16 @@ object VectorQueries {
         explode(F.nearestCentroids(col("v"), col("cents"), probes)).as("list_id"))
     // within-list self-join: the list id is the block key, so the
     // shuffle is corpus×probes rows wide and the quadratic work is
-    // confined to each list. A pair found in both shared lists
-    // collides twice → distinct on the survivor set (result-sized,
-    // same argument as the LSH funnel's).
-    val pairs = assigned
+    // confined to each list. The vectors DO ride this one exchange —
+    // deliberately, the LSH-funnel index layout argument: this IS the
+    // index build (at 100 TB the assigned corpus is written once,
+    // partitioned by list_id, and the self-join is its co-partitioned
+    // self-probe), and collisions cosine-verify map-side inside the
+    // join so only the ≥-threshold survivor set shuffles again. A
+    // pair found in both shared lists collides twice → distinct on
+    // the survivor set (result-sized, same argument as the LSH
+    // funnel's).
+    assigned
       .select(col("list_id"), col("vec_id").as("a_id"), col("v").as("av"))
       .join(assigned.select(col("list_id"), col("vec_id").as("b_id"), col("v").as("bv")),
         Seq("list_id"))
@@ -403,7 +409,11 @@ object VectorQueries {
       .where(col("cos") >= 0.3)
       .select(col("a_id"), col("b_id"), F.roundBin(col("cos"), 4).as("cos"))
       .distinct()
-      .localCheckpoint()
+  }
+
+  private[graft] def semDedupFound(spark: SparkSession, dir: String,
+                                   probes: Int = 3): (DataFrame, Double) = {
+    val pairs = semDedupCandidates(spark, dir, probes).localCheckpoint()
     val exact = exactCosineSamplePairKeys(spark, dir)
     val found = pairs.select(col("a_id"), col("b_id")).collect().map { r =>
       val a = r.getLong(0); val b = r.getLong(1)

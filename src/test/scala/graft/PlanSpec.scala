@@ -67,6 +67,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("semDedup candidates: map-side soft assignment; the only shuffles are the list self-join and survivor distinct") {
+    val p = plan(VectorQueries.semDedupCandidates(spark, sf, 3))
+    // assignment is broadcast + fused top-k kernel — no corpus
+    // shuffle before the list_id block join
+    assert(p.contains("nearest_centroids"), s"native top-k assignment kernel missing:\n$p")
+    // every hashpartitioning exchange is either the within-list block
+    // join (key list_id — the index-build shuffle that deliberately
+    // carries vectors, see the in-body layout note) or the
+    // result-sized survivor distinct (a_id, b_id, cos — no vectors)
+    val exchanges = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    assert(exchanges.nonEmpty, s"expected the block-join exchange:\n$p")
+    val stray = exchanges.filterNot(l =>
+      l.contains("list_id#") || (l.contains("a_id#") && !l.contains("av#")))
+    assert(stray.isEmpty, s"unexpected exchange:\n${stray.mkString("\n")}")
+  }
+
   test("annLsh: vectors never ride an exchange; candidate fetch is broadcast") {
     val p = plan(VectorQueries.annLsh(spark, sf))
     // every join must be broadcast — a sort-merge/shuffled-hash join
