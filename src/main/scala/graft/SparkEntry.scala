@@ -143,6 +143,7 @@ object SparkEntry {
     "q_quality_prune" -> (TrainingQueries.qualityPrune _),
     "q_mixture_sample" -> (TrainingQueries.mixtureSample _),
     "q_decontaminate" -> ((s, d) => TrainingQueries.decontaminate(s, d)),
+    "q_decontam_bloom" -> ((s, d) => TrainingQueries.decontaminateBloom(s, d)),
     "q_epoch_shuffle" -> ((s, d) => TrainingQueries.epochShuffle(s, d)),
     // §2.11 E5 multimodal binary columns
     "q_media_stats" -> (MultimodalQueries.mediaStats _),
@@ -328,6 +329,19 @@ object SparkEntry {
 
   /** Shared by q_cosine_dedup and (as the edge-list CTE) the
     * q_vec_clusters closure oracle. */
+  private val DecontamSql: String =
+    """WITH t AS (SELECT doc_id, source,
+      |  regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      |g AS (SELECT doc_id, source,
+      |  array_to_string(toks[i.g : i.g + 7], ' ') AS gram
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+      |    greatest(0, len(toks) - 7))) AS g) i),
+      |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 25),
+      |bad AS (SELECT DISTINCT g.doc_id, g.source FROM g
+      |  JOIN bench USING (gram) WHERE g.doc_id >= 25)
+      |SELECT source, count(*) AS n_contaminated, min(doc_id) AS first_bad
+      |FROM bad GROUP BY 1 ORDER BY 1""".stripMargin
+
   private val CosineDedupSql: String =
     """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -1640,18 +1654,10 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5('1:' || CAST(doc_id AS VARCHAR)) AS skey
         |FROM documents ORDER BY skey""".stripMargin,
-    "q_decontaminate" ->
-      """WITH t AS (SELECT doc_id, source,
-        |  regexp_split_to_array(text, '\s+') AS toks FROM documents),
-        |g AS (SELECT doc_id, source,
-        |  array_to_string(toks[i.g : i.g + 7], ' ') AS gram
-        |  FROM t, LATERAL (SELECT unnest(generate_series(1,
-        |    greatest(0, len(toks) - 7))) AS g) i),
-        |bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 25),
-        |bad AS (SELECT DISTINCT g.doc_id, g.source FROM g
-        |  JOIN bench USING (gram) WHERE g.doc_id >= 25)
-        |SELECT source, count(*) AS n_contaminated, min(doc_id) AS first_bad
-        |FROM bad GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_decontaminate" -> DecontamSql,
+    // bloom-pruned decontamination is EXACT (no false negatives +
+    // exact confirm) — it must hash-match the same oracle
+    "q_decontam_bloom" -> DecontamSql,
     "q_rep_signals" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),

@@ -167,6 +167,12 @@ object F {
   def nearestCentroids(v: Column, cents: Column, k: Int): Column =
     column(NearestCentroids(expr(v), expr(cents), k))
 
+  /** True iff ANY element of a long-array column might be in the
+    * bloom sketch (see [[BloomAnyLong]]) — the map-side candidate
+    * filter of bloom-pruned decontamination. */
+  def bloomAny(grams: Column, sketch: Array[Byte]): Column =
+    column(BloomAnyLong(expr(grams), sketch))
+
   /** Packed sign-bit LSH bucket id (see [[HyperplaneBucket]]); `seed`
     * selects an independent hyperplane family per LSH table. */
   def hyperplaneBucket(c: Column, bits: Int, seed: Long = 0L): Column =

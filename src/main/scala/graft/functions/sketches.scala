@@ -345,6 +345,46 @@ case class NearestCentroids(left: Expression, right: Expression, k: Int)
     copy(left = newLeft, right = newRight)
 }
 
+/** ANY-gram bloom membership (r11): true iff any element of a
+  * long-array column MIGHT be in the bloom sketch — the map-side
+  * candidate filter of bloom-pruned decontamination (one fused loop
+  * with early exit, vs an interpreted `exists` HOF lambda wrapping
+  * might_contain per element). Hashing matches the build side
+  * exactly: the sketch is built over xxhash64(gram) (seed 42, the
+  * XxHash64 expression default wrapped by BloomJoin.buildSketch), so
+  * the probe hashes each gram with XXH64.hashLong(g, 42) before the
+  * filter's own internal hash. The sketch rides as a constructor
+  * constant (a broadcast-sized literal, the InjectRuntimeFilter
+  * discipline) and deserializes ONCE per executor via a transient
+  * lazy val / codegen reference object — never per row. */
+case class BloomAnyLong(child: Expression, sketch: Array[Byte])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<long>, got $other")
+  }
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_any"
+
+  @transient private lazy val bf =
+    org.apache.spark.util.sketch.BloomFilter.readFrom(sketch)
+
+  override def nullSafeEval(input: Any): Any =
+    Sketches.bloomAny(input.asInstanceOf[ArrayData], bf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bfRef = ctx.addReferenceObj("bloomFilter", bf,
+      classOf[org.apache.spark.util.sketch.BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"${ev.value} = graft.functions.Sketches.bloomAny($a, $bfRef);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomAnyLong =
+    copy(child = newChild)
+}
+
 /** round-half-away-from-zero on the BINARY double value — the
   * C/DuckDB/Postgres `round(double, n)` convention: scale by 10^n
   * (IEEE multiply), round the resulting binary value half away from
@@ -857,6 +897,21 @@ object Sketches {
     }
     new GenericArrayData(
       if (filled == k) ids else java.util.Arrays.copyOf(ids, filled))
+  }
+
+  /** See [[BloomAnyLong]]: early-exit any-membership over the gram
+    * array; hashes each element with XXH64(seed 42) to match the
+    * xxhash64-wrapped build side. */
+  def bloomAny(a: ArrayData,
+               bf: org.apache.spark.util.sketch.BloomFilter): Boolean = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) &&
+          bf.mightContainLong(XXH64.hashLong(a.getLong(i), 42L))) return true
+      i += 1
+    }
+    false
   }
 
   /** See [[QuantErr]]. Double math over the float values — identical

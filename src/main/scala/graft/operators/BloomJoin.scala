@@ -46,6 +46,21 @@ object BloomJoin {
         new XxHash64(Seq(toExpr(key))), estimatedItems)))
       .head().getAs[Array[Byte]](0)
 
+  /** Sketch build with an EXPLICIT bit budget (r11): the default ~3%
+    * FPP is right for row-grain semi joins, but an ANY-of-k probe
+    * (does any of a document's k grams hit?) compounds it to
+    * 1−(1−fpp)^k per document — useless pruning at k ≈ 150. Pick
+    * numBits ≈ 1.44·items·log2(1/fpp) for the per-PROBE-UNIT rate the
+    * consumer needs (decontamination uses ~3e-4 per gram ⇒ ~2.1
+    * bytes/item — still 4× smaller than broadcasting the exact sorted
+    * gram array, with O(k) probe instead of O(k log n)). */
+  def buildSketchBits(build: DataFrame, key: Column,
+                      estimatedItems: Long, numBits: Long): Array[Byte] =
+    build.agg(aggColumn(new BloomFilterAggregate(
+        new XxHash64(Seq(toExpr(key))),
+        Literal(estimatedItems), Literal(numBits))))
+      .head().getAs[Array[Byte]](0)
+
   /** Probe-side predicate: true iff `key` MIGHT be in the sketch. */
   def mightContain(sketch: Array[Byte], key: Column): Column =
     column(BloomFilterMightContain(

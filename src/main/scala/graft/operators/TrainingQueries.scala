@@ -139,6 +139,50 @@ object TrainingQueries {
       .orderBy(col("source"))
   }
 
+  /** BLOOM-pruned decontamination (r11) — the path for when the
+    * benchmark gram set outgrows the exact broadcast that
+    * [[decontaminate]] ships (a full eval-suite union can reach 10⁹
+    * distinct 8-grams ≈ 8 GB as sorted longs): the benchmark grams
+    * fold into ONE bloom sketch (a regular two-phase aggregate —
+    * partials OR-merge, no row shuffle), every training document is
+    * screened MAP-SIDE by the fused [[graft.functions.BloomAnyLong]]
+    * kernel (early-exit loop, codegen, sketch deserialized once per
+    * executor — not an interpreted per-gram HOF), and only the
+    * surviving candidates explode to gram grain for the EXACT
+    * confirm semi-join. Bloom filters have no false negatives, so
+    * the output is bit-identical to the exact formulation — q_decontam_bloom
+    * shares q_decontaminate's DuckDB oracle and must hash-match it.
+    *
+    * FPP discipline (the part a row-grain default gets wrong): an
+    * ANY-of-k document probe compounds per-gram fpp to 1−(1−p)^k, so
+    * the sketch is sized for p ≈ 3e-4 (≈2.1 bytes/gram — still 4×
+    * smaller than the exact array, O(k) probe instead of O(k·log n))
+    * keeping the expected false-candidate rate ~5% per ~150-gram
+    * document; the exact confirm then touches ~|true hits| + 5% of
+    * the corpus at gram grain instead of 100% of it. */
+  def decontaminateBloom(spark: SparkSession, dir: String,
+                         benchBelow: Long = 25L): DataFrame = {
+    val grams = withToks(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("source"),
+        F.ngramHashes(col("toks"), 8).as("grams"))
+    val benchGrams = grams.where(col("doc_id") < benchBelow)
+      .select(explode(col("grams")).as("g")).distinct()
+    // sketch sized for ~3e-4 per-gram FPP: bits ≈ 1.44·n·log2(1/p)
+    val nBench = math.max(1L, benchGrams.count())
+    val numBits = math.max(64L, (1.44 * nBench * (math.log(1.0 / 3e-4) / math.log(2.0))).toLong)
+    val sketch = BloomJoin.buildSketchBits(benchGrams, col("g"), nBench, numBits)
+    val candidates = grams.where(col("doc_id") >= benchBelow)
+      .where(F.bloomAny(col("grams"), sketch))
+    candidates
+      .select(col("doc_id"), col("source"), explode(col("grams")).as("g"))
+      .join(benchGrams, Seq("g"), "left_semi")
+      .select(col("doc_id"), col("source")).distinct()
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_contaminated"),
+        min(col("doc_id")).as("first_bad"))
+      .orderBy(col("source"))
+  }
+
   /** Deterministic per-epoch global shuffle — the data-loader
     * primitive: every training epoch must visit the corpus in a
     * different but REPRODUCIBLE pseudo-random order (restarts resume

@@ -87,6 +87,41 @@ class TrainingQueriesSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"no unbroadcast cross join:\n$p")
   }
 
+  test("decontaminateBloom: bit-identical to the exact formulation (no false negatives survive)") {
+    val exact = TrainingQueries.decontaminate(spark, sf).collect().map(_.toString).toSeq
+    val bloom = TrainingQueries.decontaminateBloom(spark, sf).collect().map(_.toString).toSeq
+    assert(bloom === exact)
+  }
+
+  test("bloomAny kernel: agrees with a driver-side probe of the same sketch; no false negatives") {
+    import spark.implicits._
+    import graft.operators.BloomJoin
+    val inserted = (1L to 200L).map(_ * 7919L)
+    val build = inserted.toDF("g")
+    val numBits = 8192L
+    val sketch = BloomJoin.buildSketchBits(build, col("g"), inserted.length.toLong, numBits)
+    // rows: arrays that do / don't contain inserted values
+    val rows = Seq(
+      (1L, Array(7919L, 5L)),             // contains an inserted value
+      (2L, Array(5L, 11L, 13L)),          // (probably) none
+      (3L, Array(200L * 7919L)),          // contains the last inserted
+      (4L, Array.empty[Long]),            // empty → false
+      (5L, (1000L to 1050L).toArray))     // none inserted
+    val got = rows.toDF("id", "grams")
+      .select(col("id"), graft.functions.F.bloomAny(col("grams"), sketch).as("hit"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // driver recompute with the identical sketch bytes + hashing
+    val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(sketch)
+    def drv(a: Array[Long]): Boolean = a.exists(g =>
+      bf.mightContainLong(org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(g, 42L)))
+    rows.foreach { case (id, a) =>
+      assert(got(id) === drv(a), s"row $id: engine ${got(id)} != driver ${drv(a)}")
+    }
+    // bloom guarantee: every row holding an inserted value MUST hit
+    assert(got(1L) && got(3L), "false negative — bloom guarantee broken")
+    assert(!got(4L), "empty array must not hit")
+  }
+
   test("epochShuffle: reproducible permutation per epoch, different across epochs") {
     def order(epoch: Int): Seq[Long] =
       TrainingQueries.epochShuffle(spark, sf, epoch)
