@@ -145,6 +145,7 @@ object SparkEntry {
     "q_decontaminate" -> ((s, d) => TrainingQueries.decontaminate(s, d)),
     "q_decontam_bloom" -> ((s, d) => TrainingQueries.decontaminateBloom(s, d)),
     "q_epoch_shuffle" -> ((s, d) => TrainingQueries.epochShuffle(s, d)),
+    "q_token_budget" -> ((s, d) => TrainingQueries.tokenBudget(s, d)),
     // §2.11 E5 multimodal binary columns
     "q_media_stats" -> (MultimodalQueries.mediaStats _),
     "q_frame_sample" -> (MultimodalQueries.frameSample _),
@@ -1654,6 +1655,20 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5('1:' || CAST(doc_id AS VARCHAR)) AS skey
         |FROM documents ORDER BY skey""".stripMargin,
+    // exact global token-budget prefix cut in epoch-1 shuffle order;
+    // the engine's two-pass distributed prefix scan must reproduce
+    // the window-cumsum answer exactly (same md5 order, same
+    // floor(total·0.4) budget)
+    "q_token_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |  len(regexp_split_to_array(text, '\s+')) AS n,
+        |  md5('1:' || CAST(doc_id AS VARCHAR)) AS skey FROM documents),
+        |b AS (SELECT CAST(floor(sum(n) * 0.4) AS BIGINT) AS budget FROM t),
+        |c AS (SELECT doc_id, source, n, sum(n) OVER (
+        |  ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT source, count(*) AS n_docs_kept,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens_kept
+        |FROM c, b WHERE cum <= budget GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_decontaminate" -> DecontamSql,
     // bloom-pruned decontamination is EXACT (no false negatives +
     // exact confirm) — it must hash-match the same oracle

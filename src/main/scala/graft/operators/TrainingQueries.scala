@@ -209,4 +209,70 @@ object TrainingQueries {
       .repartitionByRange(col("skey"))
       .sortWithinPartitions(col("skey"))
   }
+
+  /** Exact global TOKEN-BUDGET cut (r11) — "take the first B tokens
+    * of the shuffled corpus": visit documents in the deterministic
+    * [[epochShuffle]] order and keep each doc while the inclusive
+    * global running token total stays ≤ B (here B = ⌊0.4 · corpus
+    * tokens⌋). This is the loader-facing mix-assembly primitive —
+    * prefix-cut semantics, NOT bin-packing: the first overflowing doc
+    * and everything after it are dropped, so the kept set is a pure
+    * function of (order key, budget) that any engine reproduces.
+    *
+    * Scale shape — a GLOBAL running sum with no global window: the
+    * naive `sum(n) OVER (ORDER BY skey)` plans a single-partition
+    * window (the 100 TB trap [[epochShuffle]]'s scaladoc names). Here
+    * it is the classic two-pass distributed prefix scan instead:
+    * (1) range-partition by the order key (boundaries globally
+    * ordered, each shard internally sorted — pinned once via
+    * localCheckpoint so both passes read the same layout);
+    * (2) per-PARTITION token subtotals collect to the driver —
+    * O(#partitions), not O(rows) — and a driver-side scan hands each
+    * partition its global starting offset; (3) a map-side
+    * per-partition sequential fold adds the offset and applies the
+    * cut. mapPartitions is the sanctioned tool for exactly this
+    * per-partition-ordered fold (SURVEY §2 last-resort rule); rows
+    * carry (id, source, n_toks, key) — never text. At 100 TB the
+    * offsets map also tells the planner which partitions lie wholly
+    * past the cut — those tasks drain trivially here and would be
+    * pruned outright in a production run. */
+  def tokenBudget(spark: SparkSession, dir: String,
+                  frac: Double = 0.4, epoch: Int = 1): DataFrame = {
+    import spark.implicits._
+    val docs = load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), "\\s+")).cast("long").as("n_toks"),
+        md5(concat_ws(":", lit(epoch).cast("string"),
+          col("doc_id").cast("string"))).as("skey"))
+    val total = docs.agg(sum(col("n_toks"))).head().getLong(0)
+    // IEEE double multiply of an exact-integer total — bit-identical
+    // to the oracle's floor(sum(n) * frac)
+    val budget = math.floor(total * frac).toLong
+    val ranged = docs
+      .repartitionByRange(col("skey"), col("doc_id"))
+      .sortWithinPartitions(col("skey"), col("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("skey"))
+      .localCheckpoint()
+    val ds = ranged.as[(Long, String, Long, String)]
+    val subtotals = ds.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var s = 0L
+      it.foreach(s += _._3)
+      Iterator((pid, s))
+    }.collect().sortBy(_._1)
+    val offsets = subtotals
+      .scanLeft((-1, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
+      .sliding(2).map { case Array((_, off), (pid, _)) => pid -> off }
+      .toMap
+    val offB = spark.sparkContext.broadcast(offsets)
+    ds.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cum = offB.value.getOrElse(pid, 0L)
+      it.takeWhile { case (_, _, n, _) => cum += n; cum <= budget }
+    }.toDF("doc_id", "source", "n_toks", "skey")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum(col("n_toks")).as("n_tokens_kept"))
+      .orderBy(col("source"))
+  }
 }

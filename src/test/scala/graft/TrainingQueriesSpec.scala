@@ -122,6 +122,39 @@ class TrainingQueriesSpec extends SparkSpec {
     assert(!got(4L), "empty array must not hit")
   }
 
+  test("tokenBudget: two-pass prefix scan reproduces the driver-side global cumsum cut") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split("\\s+").length.toLong))
+    val total = docs.map(_._3).sum
+    val budget = math.floor(total * 0.4).toLong
+    val ordered = docs.sortBy { case (id, _, _) => (md5hex(s"1:$id"), id) }
+    var cum = 0L
+    val kept = ordered.takeWhile { case (_, _, n) => cum += n; cum <= budget }
+    val expected = kept.groupBy(_._2).view
+      .mapValues(ds => (ds.length.toLong, ds.map(_._3).sum)).toMap
+    val got = TrainingQueries.tokenBudget(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_docs_kept"), r.getAs[Long]("n_tokens_kept")))).toMap
+    assert(got === expected)
+    // tight prefix-cut invariants: under budget, and the next doc in
+    // order would overflow (unless the whole corpus fits)
+    val keptTotal = kept.map(_._3).sum
+    assert(keptTotal <= budget)
+    if (kept.length < ordered.length)
+      assert(keptTotal + ordered(kept.length)._3 > budget, "cut not tight")
+  }
+
+  test("tokenBudget plan: range-partitioned prefix scan — no global window, no single-partition stage") {
+    val p = TrainingQueries.tokenBudget(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"global-window cumsum trap:\n$p")
+  }
+
   test("epochShuffle: reproducible permutation per epoch, different across epochs") {
     def order(epoch: Int): Seq[Long] =
       TrainingQueries.epochShuffle(spark, sf, epoch)
