@@ -38,7 +38,11 @@ object ScalingProbe {
     // r11: cluster-blocked semantic near-dup — candidate volume
     // ~n²·probes²/nlist with nlist ≈ √n, so the curve should bend
     // sub-quadratic as nlist grows with the corpus
-    "q_semdedup")
+    "q_semdedup",
+    // r11: bloom-screened decontamination (map-side scan + survivor
+    // confirm — should track corpus size linearly) and the two-pass
+    // global prefix cut (one range shuffle of id/count rows)
+    "q_decontam_bloom", "q_token_budget")
 
   // measurement plumbing shared with Bench — one implementation
   private def forceEval(df: org.apache.spark.sql.DataFrame): Unit =
