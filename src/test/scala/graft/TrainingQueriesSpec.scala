@@ -93,6 +93,18 @@ class TrainingQueriesSpec extends SparkSpec {
     assert(bloom === exact)
   }
 
+  test("decontaminateBloom plan: bloom screen is map-side; only survivor-grain exchanges") {
+    val p = TrainingQueries.decontaminateBloom(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("bloom_any"), s"fused bloom screen kernel missing:\n$p")
+    // the corpus branch must meet bloom_any BEFORE any exchange — the
+    // screen's whole point is shrinking what shuffles; the remaining
+    // exchanges are the survivor gram semi-join and the tiny rollup
+    assert(!p.contains("CartesianProduct"), s"unbroadcast cross join:\n$p")
+    assert(p.split("\n").exists(l => l.contains("Filter") && l.contains("bloom_any")),
+      s"bloom_any must sit in a Filter:\n$p")
+  }
+
   test("bloomAny kernel: agrees with a driver-side probe of the same sketch; no false negatives") {
     import spark.implicits._
     import graft.operators.BloomJoin
