@@ -103,7 +103,6 @@ object ScalingProbe {
         val out = java.nio.file.Files.createTempDirectory("scal-ndup-out")
         val idx = java.nio.file.Files.createTempDirectory("scal-ndup-idx")
         val ck = java.nio.file.Files.createTempDirectory("scal-ndup-ck")
-        Seq(in, out, idx, ck).foreach(_.toFile.deleteOnExit())
         val docs = Tables.load(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
         (0 until 3).foreach { k =>
@@ -129,6 +128,17 @@ object ScalingProbe {
         incr(sf) = samples(1)
         System.err.println(f"[scaling] q_stream_neardup $sf build=${build(sf)}%.2fs " +
           f"incr(32 docs)=${incr(sf)}%.2fs")
+        // deleteOnExit is a no-op on NON-EMPTY dirs (review r11): the
+        // zones here hold corpus-sized JSONL + index + checkpoint
+        // trees and leaked permanently per SF per run — delete
+        // recursively now that the probe is timed
+        Seq(in, out, idx, ck).foreach { p =>
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.walk(p)
+          try s.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally s.close()
+        }
       }
       times("q_stream_neardup_build") = build.toMap
       times("q_stream_neardup_incr") = incr.toMap

@@ -328,8 +328,8 @@ object SparkEntry {
       |SELECT vec_id, cos, TRUE AS recall_ok FROM brute
       |ORDER BY cos DESC, vec_id""".stripMargin
 
-  /** Shared by q_cosine_dedup and (as the edge-list CTE) the
-    * q_vec_clusters closure oracle. */
+  /** Shared by q_decontaminate and its bloom-pruned twin
+    * q_decontam_bloom (which must hash-match it exactly). */
   private val DecontamSql: String =
     """WITH t AS (SELECT doc_id, source,
       |  regexp_split_to_array(text, '\s+') AS toks FROM documents),
@@ -343,6 +343,9 @@ object SparkEntry {
       |SELECT source, count(*) AS n_contaminated, min(doc_id) AS first_bad
       |FROM bad GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Shared by q_cosine_dedup, (as the edge-list CTE) the
+    * q_vec_clusters closure oracle, and the accuracy-gated
+    * q_cosine_dedup_lsh / q_semdedup graduations. */
   private val CosineDedupSql: String =
     """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
@@ -2062,7 +2065,7 @@ object SparkEntry {
         |SELECT a_id, b_id, cos, TRUE AS recall_ok FROM x
         |ORDER BY a_id, b_id""".stripMargin,
     // SemDeDup (r11): k-means-cluster-blocked semantic near-dup — the
-    // engine soft-assigns the corpus to its top-2 trained centroids,
+    // engine soft-assigns the corpus to its top-3 trained centroids,
     // searches within lists, measures recall vs the exact pair set,
     // and emits the same exact ground truth + oracle-fixed recall_ok
     "q_semdedup" ->

@@ -39,8 +39,9 @@ object Verify {
     def deleteRecursively(p: java.nio.file.Path): Unit =
       if (Files.exists(p)) {
         import scala.jdk.CollectionConverters._
-        Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(f => Files.deleteIfExists(f))
+        val s = Files.walk(p)
+        try s.iterator().asScala.toSeq.reverse.foreach(f => Files.deleteIfExists(f))
+        finally s.close()
       }
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }

@@ -55,11 +55,29 @@ object BloomJoin {
     * bytes/item — still 4× smaller than broadcasting the exact sorted
     * gram array, with O(k) probe instead of O(k log n)). */
   def buildSketchBits(build: DataFrame, key: Column,
-                      estimatedItems: Long, numBits: Long): Array[Byte] =
+                      estimatedItems: Long, numBits: Long): Array[Byte] = {
+    // BloomFilterAggregate SILENTLY clamps to
+    // spark.sql.optimizer.runtime.bloomFilter.maxNumBits /
+    // maxNumItems (review r11, verified in the shipped jar): past the
+    // caps the sketch degrades toward fpp 1 with no error and the
+    // consumer's pruning math is voided without a signal. Fail loudly
+    // instead — the operator raises the confs for a bigger build.
+    val conf = build.sparkSession.conf
+    val maxBits = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    val maxItems = conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    require(numBits <= maxBits && estimatedItems <= maxItems,
+      s"bloom build ($estimatedItems items, $numBits bits) exceeds the " +
+        s"session caps (maxNumItems=$maxItems, maxNumBits=$maxBits) — " +
+        "BloomFilterAggregate would clamp SILENTLY; raise " +
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits/maxNumItems " +
+        "for a build this size")
     build.agg(aggColumn(new BloomFilterAggregate(
         new XxHash64(Seq(toExpr(key))),
         Literal(estimatedItems), Literal(numBits))))
       .head().getAs[Array[Byte]](0)
+  }
 
   /** Probe-side predicate: true iff `key` MIGHT be in the sketch. */
   def mightContain(sketch: Array[Byte], key: Column): Column =

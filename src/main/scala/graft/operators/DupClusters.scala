@@ -197,20 +197,25 @@ object DupClusters {
   /** Corpus snapshot id: 128-bit digest of the documents table's file
     * listing — (path, size, mtime) per data file. Listing-only (no
     * data read); at production scale this would be the snapshot id of
-    * the table format. */
+    * the table format. Resolved through the Hadoop FileSystem API
+    * (r11, review finding): the first cut used java.nio directly,
+    * which silently narrowed every manifest consumer to raw local
+    * paths — a `file:` URI, hdfs:// or s3a:// dir Spark reads fine
+    * would have thrown before detection started. */
   private[graft] def corpusVersion(dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
-    val root = Paths.get(dir, "documents.parquet")
-    require(Files.exists(root), s"no documents table under $dir")
-    val files =
-      if (Files.isDirectory(root)) {
-        val s = Files.walk(root)
-        try s.iterator().asScala.filter(Files.isRegularFile(_)).toVector
-        finally s.close()
-      } else Vector(root)
-    val sig = files.sortBy(_.toString).map(f =>
-      s"$f|${Files.size(f)}|${Files.getLastModifiedTime(f).toMillis}")
+    import org.apache.hadoop.fs.Path
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
+    val root = new Path(dir, "documents.parquet")
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"no documents table under $dir")
+    def walk(p: Path): Vector[org.apache.hadoop.fs.FileStatus] = {
+      val st = fs.getFileStatus(p)
+      if (st.isDirectory) fs.listStatus(p).toVector.flatMap(c => walk(c.getPath))
+      else Vector(st)
+    }
+    val sig = walk(root).sortBy(_.getPath.toString).map(st =>
+      s"${st.getPath}|${st.getLen}|${st.getModificationTime}")
       .mkString("\n")
     java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString

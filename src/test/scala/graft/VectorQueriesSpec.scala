@@ -75,12 +75,12 @@ class VectorQueriesSpec extends SparkSpec {
     assert(gated.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq === exact)
   }
 
-  test("semDedup: cluster-blocked probe finds true pairs; soft top-2 beats hard argmax; gated output = exact pairs + recall_ok") {
+  test("semDedup: cluster-blocked probe finds true pairs; soft top-3 beats hard argmax; gated output = exact pairs + recall_ok") {
     val allPairs = vecs.toSeq.combinations(2).collect {
       case Seq((a, va), (b, vb)) if cos(va, vb) >= 0.3 =>
         (math.min(a, b), math.max(a, b))
     }.toSet
-    // the PROBE (k-means cluster blocking, top-2 soft assignment):
+    // the PROBE (k-means cluster blocking, top-3 soft assignment):
     // true scores, subset of the all-pairs >= 0.3 set, measured recall
     // above the claim floor
     val (probeDf, recall) = VectorQueries.semDedupFound(spark, sf)
@@ -96,7 +96,7 @@ class VectorQueriesSpec extends SparkSpec {
     // cluster-boundary pairs, so its recall must not exceed top-3's
     val (_, hardRecall) = VectorQueries.semDedupFound(spark, sf, probes = 1)
     assert(hardRecall <= recall,
-      s"hard-argmax recall $hardRecall above soft top-2 recall $recall")
+      s"hard-argmax recall $hardRecall above soft top-3 recall $recall")
     // the GATED oracle form: emits exactly the exact label-blocked
     // pair set (the q_cosine_dedup twin) + recall_ok
     val gated = VectorQueries.semDedup(spark, sf).collect()
