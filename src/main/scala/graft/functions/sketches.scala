@@ -381,6 +381,20 @@ case class BloomAnyLong(child: Expression, sketch: Array[Byte])
     })
   }
 
+  // Value equality over the sketch BYTES (r12, advisor): the synthetic
+  // case-class equals compares Array[Byte] by reference, so two
+  // semantically identical bloom_any expressions never compared equal
+  // and plan canonicalization / subexpression elimination treated them
+  // as distinct. Child + content equality restores reuse if the
+  // expression ever appears in multiple plan branches.
+  override def equals(other: Any): Boolean = other match {
+    case b: BloomAnyLong =>
+      child == b.child && java.util.Arrays.equals(sketch, b.sketch)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() + java.util.Arrays.hashCode(sketch)
+
   override protected def withNewChildInternal(newChild: Expression): BloomAnyLong =
     copy(child = newChild)
 }

@@ -214,8 +214,17 @@ object DupClusters {
       if (st.isDirectory) fs.listStatus(p).toVector.flatMap(c => walk(c.getPath))
       else Vector(st)
     }
-    val sig = walk(root).sortBy(_.getPath.toString).map(st =>
-      s"${st.getPath}|${st.getLen}|${st.getModificationTime}")
+    // Paths are digested RELATIVE to the table root (r12, advisor):
+    // fully-qualified strings made the id depend on how the directory
+    // was addressed ('/data/x' vs 'file:/data/x' vs an NN-qualified
+    // hdfs URI), so the same corpus produced different snapshot ids
+    // per access path. The qualified root URI comes from the same
+    // FileSystem as the children, so relativize is exact.
+    val rootUri = fs.getFileStatus(root).getPath.toUri
+    val sig = walk(root)
+      .map(st => (rootUri.relativize(st.getPath.toUri).toString, st))
+      .sortBy(_._1)
+      .map { case (rel, st) => s"$rel|${st.getLen}|${st.getModificationTime}" }
       .mkString("\n")
     java.security.MessageDigest.getInstance("MD5")
       .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString

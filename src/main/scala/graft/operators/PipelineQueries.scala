@@ -900,7 +900,15 @@ object PipelineQueries {
     val gen = graft.gen.EventGenerator.events(spark, 50000L)
       .where(col("event_ts") >= cut)
     def digest(df: DataFrame): (Long, BigDecimal, Long) = {
-      val h = xxhash64(gen.columns.map(col).toIndexedSeq: _*)
+      // xxhash64 SKIPS null children (a null passes the seed through
+      // unchanged), so hashing bare columns would let a drift that
+      // moves a value between two columns (nulling the other) produce
+      // an identical row hash. Interleaving each column with its
+      // never-null isnull flag restores full-width sensitivity: the
+      // flag always advances the seed chain, so null placement is
+      // position-encoded and the digest is genuinely full-width again.
+      val h = xxhash64(gen.columns.flatMap(c =>
+        Seq(isnull(col(c)).cast("int"), col(c))).toIndexedSeq: _*)
       // sum rides DECIMAL(38,0): a long sum of ~28k 64-bit hashes
       // overflows, which under ANSI mode is a runtime error
       val r = df.agg(count(lit(1)), sum(h.cast("decimal(38,0)")), bit_xor(h)).head()

@@ -272,7 +272,13 @@ object TrainingQueries {
     val offB = spark.sparkContext.broadcast(offsets)
     ds.mapPartitions { it =>
       val pid = org.apache.spark.TaskContext.getPartitionId()
-      var cum = offB.value.getOrElse(pid, 0L)
+      // a pid absent from the offsets map means the partition layout
+      // changed between the two passes (e.g. a shuffle/coalesce crept
+      // in after the localCheckpoint) — a silent 0 offset here would
+      // yield a plausible-but-wrong cut, so fail loudly instead
+      var cum = offB.value.getOrElse(pid, sys.error(
+        s"tokenBudget: no subtotal for partition $pid — " +
+          "partition layout changed between the two passes"))
       it.takeWhile { case (_, _, n, _) => cum += n; cum <= budget }
     }.toDF("doc_id", "source", "n_toks", "skey")
       .groupBy(col("source"))
