@@ -1764,11 +1764,13 @@ object SparkEntry {
     // its recall vs the exact J >= 1/2 ground truth, and emits the
     // exact pairs + recall_ok, which the oracle fixes at TRUE — a
     // banding regression hash-mismatches AND trips the Verify claim
-    // gate (precision needs no claim: candidates are exact-verified,
-    // so found ⊆ exact by construction)
+    // gate. precision_ok (r12) pins found ⊆ exact: structural today
+    // (candidates are exact-verified before emission), claimed so a
+    // verifier/threshold drift fails loudly instead of silently.
     "q_minhash_dedup" ->
       s"""WITH x AS ($ExactHalfJaccardSql)
-        |SELECT a_id, b_id, jaccard, TRUE AS recall_ok FROM x
+        |SELECT a_id, b_id, jaccard, TRUE AS recall_ok,
+        |  TRUE AS precision_ok FROM x
         |ORDER BY a_id, b_id""".stripMargin,
     // accuracy-gated SimHash dedup (r11, formerly rows-only + claim),
     // at per-source grain so the gate is non-empty at every SF (exact
@@ -2059,18 +2061,23 @@ object SparkEntry {
     // accuracy-gated LSH near-dup (r11, formerly rows-only + claim):
     // the engine runs the real multi-table hyperplane funnel, measures
     // recall vs the exact label-blocked pair set, and emits the exact
-    // pairs + recall_ok, which the oracle fixes at TRUE
+    // pairs + recall_ok, which the oracle fixes at TRUE; precision_ok
+    // (r12) pins same-label found ⊆ exact (the cross-label found pairs
+    // lie outside the blocked twin's domain by construction)
     "q_cosine_dedup_lsh" ->
       s"""WITH x AS ($CosineDedupSql)
-        |SELECT a_id, b_id, cos, TRUE AS recall_ok FROM x
+        |SELECT a_id, b_id, cos, TRUE AS recall_ok,
+        |  TRUE AS precision_ok FROM x
         |ORDER BY a_id, b_id""".stripMargin,
     // SemDeDup (r11): k-means-cluster-blocked semantic near-dup — the
     // engine soft-assigns the corpus to its top-3 trained centroids,
     // searches within lists, measures recall vs the exact pair set,
-    // and emits the same exact ground truth + oracle-fixed recall_ok
+    // and emits the same exact ground truth + oracle-fixed recall_ok;
+    // precision_ok (r12) pins same-label found ⊆ exact
     "q_semdedup" ->
       s"""WITH x AS ($CosineDedupSql)
-        |SELECT a_id, b_id, cos, TRUE AS recall_ok FROM x
+        |SELECT a_id, b_id, cos, TRUE AS recall_ok,
+        |  TRUE AS precision_ok FROM x
         |ORDER BY a_id, b_id""".stripMargin,
     "q_vec_clusters" ->
       s"""WITH RECURSIVE pairs AS MATERIALIZED ($CosineDedupSql),

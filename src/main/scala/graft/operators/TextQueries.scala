@@ -798,9 +798,20 @@ object TextQueries {
     * / 0.992 at sf0.001/0.01/0.1; floor 0.8 for regeneration margin. */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (_, recall) = minhashDedupFound(spark, dir)
+    val (found, recall) = minhashDedupFound(spark, dir)
+    // r12 (verdict item 2): found ⊆ exact pinned as a claim. Unlike the
+    // label-blocked cosine twins this holds GLOBALLY — the prefix-filter
+    // ground truth enumerates every J ≥ 1/2 pair — so the claim domain
+    // is the whole found set; it guards the jaccard_ge verifier and the
+    // threshold wiring against drifting from the oracle's definitional
+    // jaccard (structural today, pinned so tomorrow's edit can't bend it
+    // silently).
+    val exactSet = exactHalfPairKeys(spark, dir).toSet
+    val precision = found.select(col("a_id"), col("b_id")).collect()
+      .forall(r => exactSet.contains((r.getLong(0) << 32) | r.getLong(1)))
     exactHalfPairRows(spark, dir).toSeq.toDF("a_id", "b_id", "jaccard")
       .withColumn("recall_ok", lit(recall >= 0.8))
+      .withColumn("precision_ok", lit(precision))
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -233,6 +233,44 @@ object VectorQueries {
     * mismatch AND the Verify claim gate (exit 3). The probe itself
     * stays exposed as [[cosineDedupLshFound]] for the spec's
     * true-score / subset assertions. */
+  /** Pack one found pair into the (a_id << 32) | b_id key space the
+    * exact twins use, with the shared oversized-id guard. */
+  private def packPairKey(a: Long, b: Long): Long = {
+    require(a >= 0 && b >= 0 && a < (1L << 31) && b < (1L << 31),
+      s"pair key packing needs ids < 2^31, got ($a, $b)")
+    (a << 32) | b
+  }
+
+  /** SAME-LABEL subset of a funnel's found pairs, as packed keys — the
+    * precision-claim domain (r12, verdict item 2). The exact ground
+    * truth is LABEL-BLOCKED ([[exactPairs]] joins on label), so a
+    * funnel legitimately finds extra CROSS-label pairs the blocked twin
+    * never enumerates; but every same-label pair it emits must appear
+    * in the exhaustive exact set — map-side cosine verification makes
+    * that structural, and the claim pins it so a verifier/threshold
+    * regression that starts emitting junk pairs fails even while
+    * recall holds. Pairs are result-sized: they broadcast into two
+    * label lookups, nothing corpus-sized moves. */
+  private def sameLabelFoundKeys(
+      spark: SparkSession, dir: String, pairs: DataFrame): Array[Long] = {
+    val lab = emb(spark, dir).select(col("vec_id"), col("label"))
+    val withLa = broadcast(pairs.select(col("a_id"), col("b_id")))
+      .join(lab.select(col("vec_id").as("a_id"), col("label").as("la")), Seq("a_id"))
+    broadcast(withLa)
+      .join(lab.select(col("vec_id").as("b_id"), col("label").as("lb")), Seq("b_id"))
+      .where(col("la") === col("lb"))
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => packPairKey(r.getLong(0), r.getLong(1)))
+  }
+
+  /** found-⊆-exact precision over the same-label claim domain. */
+  private def sameLabelPrecisionOk(
+      spark: SparkSession, dir: String, pairs: DataFrame): Boolean = {
+    val exact = exactCosineRows(spark, dir)
+      .map { case (a, b, _) => packPairKey(a, b) }.toSet
+    sameLabelFoundKeys(spark, dir, pairs).forall(exact.contains)
+  }
+
   private[graft] def cosineDedupLshFound(
       spark: SparkSession, dir: String): (DataFrame, Double) = {
     val bits = sigBitsFor(corpusSize(spark, dir))
@@ -258,15 +296,11 @@ object VectorQueries {
       .select(col("vec_id"), col("v"), explode(tables).as("tb"))
       .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"),
         col("vec_id"), col("v"))
-    val pairs = banded
-      .select(col("t"), col("bucket"), col("vec_id").as("a_id"), col("v").as("av"))
-      .join(banded.select(col("t"), col("bucket"),
-        col("vec_id").as("b_id"), col("v").as("bv")), Seq("t", "bucket"))
-      .where(col("a_id") < col("b_id"))
-      .withColumn("cos", F.cosineSim(col("av"), col("bv")))
-      .where(col("cos") >= 0.3)
-      .select(col("a_id"), col("b_id"), F.roundBin(col("cos"), 4).as("cos"))
-      .distinct()
+    // capped grid-salted self-probe (r12): identical pair set to the
+    // bare (t, bucket) self-join — HotBucketCapSpec pins the equality —
+    // but a degenerate bucket (mass duplicates) can no longer produce
+    // one m² task (see [[cappedCosinePairs]])
+    val pairs = cappedCosinePairs(banded, Seq("t", "bucket"), 0.3)
       // result-sized; materialized ONCE — both the recall audit below
       // and the final dump read these blocks (ContextCleaner-managed,
       // unlike a CacheManager persist)
@@ -316,9 +350,15 @@ object VectorQueries {
     * [[cosineDedupLshFound]] for the probe and the full story). */
   def cosineDedupLsh(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (_, recall) = cosineDedupLshFound(spark, dir)
+    val (found, recall) = cosineDedupLshFound(spark, dir)
+    // r12 (verdict item 2): the funnel's found-pair SET now reaches the
+    // claim gate too — precision_ok pins same-label found ⊆ exact, so a
+    // funnel that starts emitting junk pairs fails even while its
+    // sampled recall holds
+    val precision = sameLabelPrecisionOk(spark, dir, found)
     exactCosineRows(spark, dir).toSeq.toDF("a_id", "b_id", "cos")
       .withColumn("recall_ok", lit(recall >= MinDedupRecall))
+      .withColumn("precision_ok", lit(precision))
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -376,6 +416,79 @@ object VectorQueries {
     * DuckDB pins with the q_cosine_dedup SQL plus a `recall_ok` claim
     * fixed TRUE — a clustering regression flips every row and fails
     * both the DuckDB hash and the Verify claim gate. */
+  /** HOT-BUCKET CAP for the blocked self-join funnels (r12, closing
+    * the verdict's last un-handled scale hazard): bucket-size knob
+    * math ([[sigBitsFor]], [[nlistFor]]) bounds the AVERAGE bucket,
+    * and AQE skew-splitting splits partitions — but neither can split
+    * the m² candidate OUTPUT of one degenerate key (a mass-duplicate
+    * corpus, a zero-vector pile: m vectors in one (t, bucket) or
+    * list_id is one quadratic task no config reaches). Buckets over
+    * the cap are GRID-SPLIT into g = ⌈m/cap⌉ salt groups per side:
+    * each row carries its own salt s = xxhash64(id) mod g and is
+    * replicated across the OTHER side's g coordinates, the join key
+    * grows to (key, sa, sb), and pair (x, y) meets exactly once, in
+    * cell (sa(x), sb(y)). Per-task candidate count drops from m² to
+    * ~(m/g)² ≤ cap² (hash-uniform salts), at a replication cost of g
+    * rows per hot-bucket row — the same m·g ≈ m²/cap shuffle volume
+    * the one-sided salt-and-replicate variant pays for a far weaker
+    * cap·m per-task bound. Healthy buckets (the common case — the
+    * knob math keeps averages ~64) take the g = 1 degenerate grid:
+    * salt 0 on both sides, no replication, byte-identical join
+    * behavior. The detection pass is one column-pruned count over the
+    * bucket keys (never the vectors) broadcast back as the sparse hot
+    * map; HotBucketCapSpec pins pair-set equality with the uncapped
+    * join, the per-cell bound, and g = 1 transparency on a
+    * 30%-mass-duplicate corpus. */
+  private[graft] val HotBucketCap = 256
+
+  /** Oversized-bucket manifest: (keys..., g) for buckets holding more
+    * than `cap` rows — result-sized by construction (≤ |banded|/cap
+    * rows, and in a healthy corpus empty). */
+  private[graft] def hotBucketGroups(
+      banded: DataFrame, keys: Seq[String], cap: Int): DataFrame =
+    banded.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > cap)
+      .select(keys.map(col) :+
+        ceil(col("n") / lit(cap.toDouble)).cast("int").as("g"): _*)
+
+  /** The two salted sides of a capped within-bucket self-join over a
+    * `banded` frame with columns keys ++ (vec_id, v): left side
+    * (keys, sa, sb, a_id, av), right side (keys, sa, sb, b_id, bv).
+    * Exposed separately so HotBucketCapSpec can pin the per-cell
+    * bound on the sides themselves. */
+  private[graft] def cappedSelfJoinSides(
+      banded: DataFrame, keys: Seq[String],
+      cap: Int): (DataFrame, DataFrame) = {
+    val kc = keys.map(col)
+    val hot = hotBucketGroups(banded, keys, cap)
+    val aug = banded.join(broadcast(hot), keys, "left")
+    def ownSalt = when(col("g").isNull, lit(0))
+      .otherwise(pmod(xxhash64(col("vec_id")), col("g")).cast("int"))
+    def allSalts = explode(when(col("g").isNull, array(lit(0)))
+      .otherwise(sequence(lit(0), col("g") - 1)))
+    val a = aug.select(kc ++ Seq(ownSalt.as("sa"), allSalts.as("sb"),
+      col("vec_id").as("a_id"), col("v").as("av")): _*)
+    val b = aug.select(kc ++ Seq(allSalts.as("sa"), ownSalt.as("sb"),
+      col("vec_id").as("b_id"), col("v").as("bv")): _*)
+    (a, b)
+  }
+
+  /** Capped within-bucket cosine pair funnel shared by the LSH and
+    * SemDeDup candidate generators: grid-salted self-join, map-side
+    * exact-cosine verification, survivor-set distinct. */
+  private[graft] def cappedCosinePairs(
+      banded: DataFrame, keys: Seq[String], threshold: Double,
+      cap: Int = HotBucketCap): DataFrame = {
+    val (a, b) = cappedSelfJoinSides(banded, keys, cap)
+    a.join(b, keys ++ Seq("sa", "sb"))
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cos", F.cosineSim(col("av"), col("bv")))
+      .where(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), F.roundBin(col("cos"), 4).as("cos"))
+      .distinct()
+  }
+
   private[graft] def semDedupCandidates(spark: SparkSession, dir: String,
                                         probes: Int): DataFrame = {
     import spark.implicits._
@@ -400,15 +513,11 @@ object VectorQueries {
     // pair found in both shared lists collides twice → distinct on
     // the survivor set (result-sized, same argument as the LSH
     // funnel's).
-    assigned
-      .select(col("list_id"), col("vec_id").as("a_id"), col("v").as("av"))
-      .join(assigned.select(col("list_id"), col("vec_id").as("b_id"), col("v").as("bv")),
-        Seq("list_id"))
-      .where(col("a_id") < col("b_id"))
-      .withColumn("cos", F.cosineSim(col("av"), col("bv")))
-      .where(col("cos") >= 0.3)
-      .select(col("a_id"), col("b_id"), F.roundBin(col("cos"), 4).as("cos"))
-      .distinct()
+    // capped grid-salted self-probe (r12): same pair set as the bare
+    // list_id self-join, without the one-degenerate-list m² task
+    // hazard (see [[cappedCosinePairs]])
+    cappedCosinePairs(assigned.select(col("list_id"), col("vec_id"), col("v")),
+      Seq("list_id"), 0.3)
   }
 
   private[graft] def semDedupFound(spark: SparkSession, dir: String,
@@ -433,9 +542,12 @@ object VectorQueries {
   /** Oracle-gated SemDeDup (see [[semDedupFound]]). */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (_, recall) = semDedupFound(spark, dir)
+    val (found, recall) = semDedupFound(spark, dir)
+    // same found-⊆-exact precision claim as [[cosineDedupLsh]] (r12)
+    val precision = sameLabelPrecisionOk(spark, dir, found)
     exactCosineRows(spark, dir).toSeq.toDF("a_id", "b_id", "cos")
       .withColumn("recall_ok", lit(recall >= MinSemDedupRecall))
+      .withColumn("precision_ok", lit(precision))
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.F
+import graft.operators.VectorQueries
+
+/** The r11 verdict's one un-handled scale hazard, now spec-pinned: a
+  * degenerate bucket key (mass-duplicate vectors) used to hand the
+  * LSH / SemDeDup self-join funnels one m² task that neither AQE nor
+  * the average-bucket knob math could split. The grid-salted cap
+  * ([[VectorQueries.cappedCosinePairs]]) must (a) detect the hot
+  * bucket, (b) bound per-cell candidate membership, (c) produce the
+  * IDENTICAL pair set as the uncapped join, and (d) leave the real
+  * funnels' accuracy claims green on a 33%-mass-duplicate corpus.
+  */
+class HotBucketCapSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 1200-vector corpus: 400 copies of ONE unit vector (one shared
+    * label — the exact label-blocked twin must contain the clique) +
+    * 800 random unit vectors across 7 labels. Deterministic seed. */
+  private lazy val skewDir: String = {
+    val dim = 16
+    val rnd = new scala.util.Random(42)
+    def unit(): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(x => x / n)
+    }
+    val dup = unit()
+    val rows = (0L until 1200L).map { i =>
+      if (i < 400) (i, dup, 0) else (i, unit(), 1 + (i % 7).toInt)
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-hotbucket")
+    out.toFile.deleteOnExit()
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite")
+      .parquet(out.resolve("embeddings.parquet").toString)
+    out.toString
+  }
+
+  private def banded = {
+    graft.functions.GraftFunctions.install(spark)
+    Tables.load(spark, skewDir, "embeddings")
+      .select(F.hyperplaneBucket(col("embedding"), 5, 0L).as("bucket"),
+        col("vec_id"), col("embedding").as("v"))
+  }
+
+  test("mass-dup corpus: hot bucket detected; grid cap bounds per-cell size") {
+    // the 400 identical vectors share one 5-bit bucket in every table —
+    // the quadratic-task hazard is real on this corpus
+    val hot = VectorQueries.hotBucketGroups(banded, Seq("bucket"), 256).collect()
+    assert(hot.nonEmpty, "expected at least one bucket over the cap")
+    val maxRaw = banded.groupBy(col("bucket")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(maxRaw >= 400, s"degenerate bucket should hold the clique, got $maxRaw")
+
+    // per-cell bound: with cap 64 the hot bucket splits into a
+    // g = ceil(m/64) grid; each (bucket, sa, sb) cell holds ~m/g ≤ cap
+    // rows per side (hash-uniform salts — assert 2× statistical slack)
+    val (a, b) = VectorQueries.cappedSelfJoinSides(banded, Seq("bucket"), 64)
+    for (side <- Seq(a, b)) {
+      val maxCell = side.groupBy(col("bucket"), col("sa"), col("sb"))
+        .count().agg(max(col("count"))).head().getLong(0)
+      assert(maxCell <= 128,
+        s"per-cell membership $maxCell exceeds 2x cap — grid split not bounding tasks")
+    }
+  }
+
+  test("capped pair set is identical to the uncapped self-join's") {
+    val capped = VectorQueries.cappedCosinePairs(banded, Seq("bucket"), 0.3, 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val plain = VectorQueries
+      .cappedCosinePairs(banded, Seq("bucket"), 0.3, Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === plain, "grid salting changed the found-pair set")
+    // the clique alone is C(400,2) pairs — the quadratic OUTPUT is
+    // genuine; only the per-task grouping of the work is capped
+    assert(capped.size >= 400 * 399 / 2)
+  }
+
+  test("real funnels stay claim-green on the mass-duplicate corpus") {
+    // default cap (256) engages on this corpus (bucket m >= 400): the
+    // production path, not a spec-only configuration
+    val (foundLsh, recallLsh) = VectorQueries.cosineDedupLshFound(spark, skewDir)
+    assert(recallLsh >= 0.8, s"LSH recall $recallLsh under the floor on skew corpus")
+    val cliqueFound = foundLsh.where(col("a_id") < 400 && col("b_id") < 400).count()
+    assert(cliqueFound == 400L * 399 / 2,
+      "identical-vector clique must be fully recovered by the capped LSH funnel")
+
+    val gatedSem = VectorQueries.semDedup(spark, skewDir)
+      .select(col("recall_ok"), col("precision_ok")).head()
+    assert(gatedSem.getBoolean(0) && gatedSem.getBoolean(1),
+      "semDedup claims must stay green on the skew corpus")
+  }
+}

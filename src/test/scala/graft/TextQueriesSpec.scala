@@ -316,6 +316,7 @@ class TextQueriesSpec extends SparkSpec {
     // (exact ground truth), every row claiming recall_ok
     val gated = TextQueries.minhashDedup(spark, sf).collect()
     gated.foreach(r => assert(r.getAs[Boolean]("recall_ok")))
+    gated.foreach(r => assert(r.getAs[Boolean]("precision_ok")))
     val gatedPairs = gated.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairSet.subsetOf(gatedPairs),
       "LSH-found pairs must be a subset of the exact ground truth")

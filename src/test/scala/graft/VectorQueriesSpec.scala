@@ -70,6 +70,7 @@ class VectorQueriesSpec extends SparkSpec {
     // label-blocked pair set (the q_cosine_dedup twin) + recall_ok
     val gated = VectorQueries.cosineDedupLsh(spark, sf).collect()
     gated.foreach(r => assert(r.getAs[Boolean]("recall_ok")))
+    gated.foreach(r => assert(r.getAs[Boolean]("precision_ok")))
     val exact = VectorQueries.cosineDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(gated.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq === exact)
@@ -101,6 +102,7 @@ class VectorQueriesSpec extends SparkSpec {
     // pair set (the q_cosine_dedup twin) + recall_ok
     val gated = VectorQueries.semDedup(spark, sf).collect()
     gated.foreach(r => assert(r.getAs[Boolean]("recall_ok")))
+    gated.foreach(r => assert(r.getAs[Boolean]("precision_ok")))
     val exact = VectorQueries.cosineDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(gated.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq === exact)
