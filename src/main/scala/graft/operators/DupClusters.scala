@@ -188,7 +188,9 @@ object DupClusters {
     * invalidate-on-version-change pinned via [[manifestBuilds]]). */
   private[graft] val manifestBuilds = new java.util.concurrent.atomic.AtomicLong(0L)
   private val ensured = scala.collection.concurrent.TrieMap.empty[String, Unit]
-  private val ManifestFormat = 1
+  // v2 (r12): labels carry n_chars (consumers go corpus-free) and both
+  // tables are range-clustered + sorted on their consumer keys
+  private val ManifestFormat = 2
 
   private def defaultManifestBase: String =
     sys.props.getOrElse("graft.manifest.dir",
@@ -238,9 +240,27 @@ object DupClusters {
     * concurrent builders; the JVM-local `ensured` map just skips the
     * filesystem probe on repeat calls). Returns a plain parquet scan
     * with an explicit schema — no footer job, no driver copy. */
+  /** Range-clustered write layout (r12, verdict item 6): the manifest
+    * is materialized once (localCheckpoint — the build must not re-run
+    * for the sizing count), split into ≤128 MB range partitions on the
+    * consumer key and sorted within files, so (a) a consumer filtering
+    * on the lead key prunes files/row groups via parquet min/max stats
+    * instead of scanning the table, and (b) files don't multiply with
+    * the session's shuffle width. Flat unordered parquet — the r11
+    * layout — made every selective consumer a full-manifest scan. */
+  private[graft] def rangeLayout(df: DataFrame, bytesPerRow: Int,
+                                 cols: String*): DataFrame = {
+    val snap = df.localCheckpoint()
+    val parts = math.min(1 << 12, math.max(1,
+      math.ceil(snap.count().toDouble * bytesPerRow / (128L << 20)).toInt))
+    snap.repartitionByRange(parts, cols.map(col): _*)
+      .sortWithinPartitions(cols.map(col): _*)
+  }
+
   private[graft] def manifestTable(
       spark: SparkSession, base: String, corpusDir: String, version: String,
-      name: String, schema: org.apache.spark.sql.types.StructType)(
+      name: String, schema: org.apache.spark.sql.types.StructType,
+      layoutCols: Seq[String], bytesPerRow: Int = 24)(
       build: => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
@@ -252,7 +272,8 @@ object DupClusters {
         Files.createDirectories(path.getParent)
         val tmp = path.resolveSibling(
           s"$name.tmp-${java.util.UUID.randomUUID()}")
-        build.write.mode("overwrite").parquet(tmp.toString)
+        rangeLayout(build, bytesPerRow, layoutCols: _*)
+          .write.mode("overwrite").parquet(tmp.toString)
         try Files.move(tmp, path, StandardCopyOption.ATOMIC_MOVE)
         catch { case _: java.nio.file.FileSystemException =>
           // another writer promoted first — keep theirs, drop ours
@@ -274,6 +295,8 @@ object DupClusters {
     org.apache.spark.sql.types.StructField("id",
       org.apache.spark.sql.types.LongType),
     org.apache.spark.sql.types.StructField("comp",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("n_chars",
       org.apache.spark.sql.types.LongType)))
 
   /** The persisted near-dup pair manifest for `dir`'s current corpus
@@ -282,20 +305,30 @@ object DupClusters {
     pairManifestAt(spark, defaultManifestBase, dir, corpusVersion(dir))
   private[graft] def pairManifestAt(spark: SparkSession, base: String,
       dir: String, version: String): DataFrame =
-    manifestTable(spark, base, dir, version, "pairs", pairSchema)(
+    manifestTable(spark, base, dir, version, "pairs", pairSchema,
+      layoutCols = Seq("a_id", "b_id"), bytesPerRow = 16)(
       TextQueries.ngramJaccard(spark, dir).select(col("a_id"), col("b_id")))
 
   /** The persisted component-label manifest of the near-dup pair
     * graph — consumed by canonicalization and the radius audit, as a
     * pipeline consumes its persisted cluster assignment rather than
     * re-clustering per report. Bounded by the edge set (only docs
-    * that appear in a pair). */
+    * that appear in a pair). Since v2 (r12) each label row also
+    * carries the member's n_chars, resolved ONCE at build time from
+    * the documents table — so the canonicalization consumer plans a
+    * bounded manifest scan with no corpus join at query time — and
+    * rows are range-clustered + sorted by (comp, id) for
+    * per-component pruning (DupClustersSpec pins both). */
   private[graft] def nearDupLabels(spark: SparkSession, dir: String): DataFrame =
     nearDupLabelsAt(spark, defaultManifestBase, dir, corpusVersion(dir))
   private[graft] def nearDupLabelsAt(spark: SparkSession, base: String,
       dir: String, version: String): DataFrame =
-    manifestTable(spark, base, dir, version, "labels", labelSchema)(
-      components(pairManifestAt(spark, base, dir, version), "a_id", "b_id"))
+    manifestTable(spark, base, dir, version, "labels", labelSchema,
+      layoutCols = Seq("comp", "id"), bytesPerRow = 24)(
+      components(pairManifestAt(spark, base, dir, version), "a_id", "b_id")
+        .join(graft.Tables.load(spark, dir, "documents")
+          .select(col("doc_id").as("id"), col("n_chars")), Seq("id"))
+        .select(col("id"), col("comp"), col("n_chars")))
 
   private def clusterManifest(pairs: DataFrame): DataFrame =
     components(pairs, "a_id", "b_id")
@@ -392,16 +425,18 @@ object DupClusters {
 
   def canonicalReps(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // v2 manifest (r12): n_chars rides the label row, so this is ONE
+    // bounded manifest scan + per-cluster window — the corpus never
+    // enters the plan (the doc-metadata join happened once, at
+    // manifest build; DupClustersSpec pins the corpus-free plan).
     val labels = nearDupLabels(spark, dir)
-    val docs = graft.Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), col("n_chars"))
     val w = Window.partitionBy(col("comp"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    labels.join(docs, col("id") === col("doc_id"))
+      .orderBy(col("n_chars").desc, col("id"))
+    labels
       .withColumn("rn", row_number().over(w))
       .groupBy(col("comp").as("cluster"))
       .agg(
-        max(when(col("rn") === 1, col("doc_id"))).as("rep_id"),
+        max(when(col("rn") === 1, col("id"))).as("rep_id"),
         max(when(col("rn") === 1, col("n_chars"))).as("rep_chars"),
         count(lit(1)).as("n_members"))
       .orderBy(col("cluster"))

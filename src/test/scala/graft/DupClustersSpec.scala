@@ -181,4 +181,46 @@ class DupClustersSpec extends SparkSpec {
     assert(DupClusters.corpusVersion(corpusCopy.toString) !== v1,
       "a corpus file change must produce a new snapshot id")
   }
+
+  test("v2 manifest layout: canonicalReps is corpus-free with one hash exchange; rangeLayout files are disjoint and sorted") {
+    import org.apache.spark.sql.functions._
+    // consumer plan (r12, verdict item 6): n_chars rides the label
+    // manifest, so canonicalization is a bounded manifest scan + ONE
+    // comp exchange (the window; the following comp aggregation reuses
+    // its partitioning) — the documents corpus never enters the plan
+    val reps = DupClusters.canonicalReps(spark, sf)
+    reps.collect() // force build + execution
+    reps.inputFiles.foreach(f =>
+      assert(!f.contains("documents"), s"corpus re-entered the plan: $f"))
+    // AQE's toString prints the final AND the initial plan — count the
+    // final section only
+    val plan = reps.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange (the comp window), got $hashExchanges:\n$plan")
+
+    // the write layout itself: range-clustered files have DISJOINT
+    // lead-key ranges (file-level pruning works) and are sorted within
+    // (row-group min/max stats are tight). Inflated bytesPerRow forces
+    // a multi-file layout at spec scale.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 20000).map(_ => (rnd.nextLong().abs % 1000, rnd.nextLong()))
+      .toDF("comp", "id")
+    val out = java.nio.file.Files.createTempDirectory("graft-rangelayout")
+    out.toFile.deleteOnExit()
+    DupClusters.rangeLayout(df, 1 << 15, "comp", "id")
+      .write.mode("overwrite").parquet(out.toString)
+    val ranges = spark.read.parquet(out.toString)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("comp")).as("lo"), max(col("comp")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length > 1, "layout spec needs a multi-file manifest")
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) =>
+        assert(hi1 <= lo2, s"file comp ranges overlap: hi=$hi1 lo=$lo2")
+      case _ =>
+    }
+  }
 }

@@ -284,6 +284,73 @@ class SqlInterfaceSpec extends SparkSpec {
       "catalog grouped aggregate != TableProvider grouped aggregate")
   }
 
+  // r12 (verdict item 7): the engine's HEADLINE reference-parity
+  // family — the six-KPI daily rollup, the hourly grid, the freshness
+  // probe — and a manifest consumer are SQL-reachable too, row-identical
+  // to their Scala-API twins.
+
+  test("reference-parity daily KPIs via pure SQL text equals the declared query") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT date_format(ts, 'yyyy-MM-dd') AS dt,
+        |  count(*) AS total_events,
+        |  count(DISTINCT user_id) AS unique_users,
+        |  sum(CASE WHEN lower(coalesce(event_type, ''))
+        |    IN ('page_view', 'pageview', 'view') THEN 1L ELSE 0L END)
+        |    AS pageviews,
+        |  sum(CASE WHEN lower(coalesce(event_type, ''))
+        |    IN ('purchase', 'order', 'checkout') THEN 1L ELSE 0L END)
+        |    AS purchases,
+        |  round_bin(sum(CASE WHEN lower(coalesce(event_type, ''))
+        |    IN ('purchase', 'order', 'checkout')
+        |    THEN coalesce(value, 0.0d) ELSE 0.0d END), 2) AS revenue_usd
+        |FROM events GROUP BY 1 ORDER BY dt""".stripMargin)
+    assert(rowsOf(viaSql) === rowsOf(graft.operators.KpiQueries.kpiDaily(spark, sf)),
+      "SQL daily KPIs != Scala daily KPIs")
+  }
+
+  test("hourly event grid via pure SQL text equals the declared query") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """SELECT date_format(ts, 'yyyy-MM-dd') AS dt, hour(ts) AS hh,
+        |  count(*) AS n_events, count(DISTINCT user_id) AS unique_users
+        |FROM events GROUP BY 1, 2 ORDER BY dt, hh""".stripMargin)
+    assert(rowsOf(viaSql) ===
+      rowsOf(graft.operators.KpiQueries.eventsHourly(spark, sf)),
+      "SQL hourly grid != Scala hourly grid")
+  }
+
+  test("freshness probe via pure SQL text equals the declared query") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """WITH cut AS (SELECT max(ts) - INTERVAL 20 MINUTES AS cut FROM events),
+        |probe AS (SELECT 1 AS one FROM events, cut WHERE ts >= cut LIMIT 1)
+        |SELECT count(*) > 0 AS fresh FROM probe""".stripMargin)
+    assert(rowsOf(viaSql) ===
+      rowsOf(graft.operators.KpiQueries.existsFresh(spark, sf)),
+      "SQL freshness probe != Scala freshness probe")
+  }
+
+  test("manifest consumer (canonicalization) via pure SQL over the labels view") {
+    // the v2 label manifest registers as a view like any table: the
+    // canonicalization consumer is a plain window + aggregate over it
+    graft.operators.DupClusters.nearDupLabels(spark, sf)
+      .createOrReplaceTempView("near_dup_labels")
+    val viaSql = spark.sql(
+      """WITH r AS (SELECT comp, id, n_chars,
+        |    row_number() OVER (PARTITION BY comp
+        |      ORDER BY n_chars DESC, id) AS rn
+        |  FROM near_dup_labels)
+        |SELECT comp AS cluster,
+        |  max(CASE WHEN rn = 1 THEN id END) AS rep_id,
+        |  max(CASE WHEN rn = 1 THEN n_chars END) AS rep_chars,
+        |  count(*) AS n_members
+        |FROM r GROUP BY comp ORDER BY cluster""".stripMargin)
+    assert(rowsOf(viaSql) ===
+      rowsOf(graft.operators.DupClusters.canonicalReps(spark, sf)),
+      "SQL manifest consumer != Scala canonicalReps")
+  }
+
   test("custom aggregate + scalar functions compose in SQL over a view") {
     // KMV: no name collision with Spark's datasketches builtins (the
     // builtin `hll_union` shadows graft's SQL name — install() never
