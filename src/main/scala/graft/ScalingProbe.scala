@@ -144,6 +144,54 @@ object ScalingProbe {
       times("q_stream_neardup_incr") = incr.toMap
     }
 
+    // Streaming flagship #2 (r12, verdict item 8): the KPI
+    // materialized-view maintenance pipeline (q_stream_upsert) timed
+    // PER-DRAIN — the O(touched days) claim as a measured curve. Per
+    // SF: one build drain over the full wire zone (cost grows with the
+    // corpus slice), then 3 incremental drains of a FIXED 500-event
+    // batch each, every batch shifted onto FRESH days so the dynamic
+    // partition overwrite touches only the new batch's days. The
+    // honest expectation: the incremental drain pays the new file +
+    // the streaming agg state reload (state is one KPI row per day —
+    // bounded), so its curve should sit near-flat across the 100×
+    // span while the build drain grows with the corpus.
+    {
+      import graft.operators.PipelineQueries
+      val build = scala.collection.mutable.LinkedHashMap[String, Double]()
+      val incr = scala.collection.mutable.LinkedHashMap[String, Double]()
+      for (sf <- sfs) {
+        val dir = s"$root/$sf"
+        val in = java.nio.file.Files.createTempDirectory("scal-upsert-in")
+        val out = java.nio.file.Files.createTempDirectory("scal-upsert-out")
+        val ck = java.nio.file.Files.createTempDirectory("scal-upsert-ck")
+        PipelineQueries.writeWireZone(spark, dir, in.toString,
+          cutoffDate = Some(PipelineQueries.StreamCutoff))
+        val t0 = System.nanoTime()
+        PipelineQueries.upsertDrain(spark, in.toString, out.toString, ck.toString)
+        build(sf) = (System.nanoTime() - t0) / 1e9
+        val samples = (1 to 3).map { i =>
+          PipelineQueries.writeWireZone(spark, dir, in.toString,
+            cutoffDate = None, files = 1, limit = 500,
+            shiftDays = 40 * i, idPrefix = s"b$i-")
+          val t1 = System.nanoTime()
+          PipelineQueries.upsertDrain(spark, in.toString, out.toString, ck.toString)
+          (System.nanoTime() - t1) / 1e9
+        }.sorted
+        incr(sf) = samples(1)
+        System.err.println(f"[scaling] q_stream_upsert $sf build=${build(sf)}%.2fs " +
+          f"incr(500 events)=${incr(sf)}%.2fs")
+        Seq(in, out, ck).foreach { p =>
+          import scala.jdk.CollectionConverters._
+          val s = java.nio.file.Files.walk(p)
+          try s.iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+          finally s.close()
+        }
+      }
+      times("q_stream_upsert_build") = build.toMap
+      times("q_stream_upsert_incr") = incr.toMap
+    }
+
     // Locale.ROOT: a comma-decimal default locale would break the JSON
     // (same hardening as Bench's ms())
     def j(d: Double): String =

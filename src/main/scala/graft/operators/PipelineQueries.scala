@@ -749,12 +749,28 @@ object PipelineQueries {
     * (≥2 micro-batches), not one big overwrite. */
   private[graft] def streamUpsertKpisCounted(
       spark: SparkSession, dir: String): (DataFrame, Long) = {
-    import graft.model.EventPredicates.{isPageview, isPurchase}
-    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val in = writeJsonl(spark, dir, "graft-upsert-in", cutoffDate = Some(StreamCutoff))
     val out = Files.createTempDirectory("graft-upsert-out")
     val ck = Files.createTempDirectory("graft-upsert-ck")
     out.toFile.deleteOnExit(); ck.toFile.deleteOnExit()
+    val n = upsertDrain(spark, in, out.toString, ck.toString)
+    val table = spark.read.parquet(out.toString)
+      // partition-column type inference may read dt as DATE
+      .select(col("dt").cast("string").as("dt"), col("total_events"),
+        col("pageviews"), col("purchases"), col("revenue_usd"))
+      .orderBy(col("dt"))
+    (table, n)
+  }
+
+  /** One AvailableNow drain of the KPI materialized-view maintenance
+    * pipeline (r12 refactor: the gate body, parameterized on paths so
+    * [[graft.ScalingProbe]] can time REPEATED drains against a growing
+    * zone — the O(touched days) claim as a measured per-drain curve).
+    * Returns the number of foreachBatch upserts. */
+  private[graft] def upsertDrain(spark: SparkSession, in: String,
+      out: String, ck: String): Long = {
+    import graft.model.EventPredicates.{isPageview, isPurchase}
+    val nBatches = new java.util.concurrent.atomic.AtomicLong(0L)
     val wire = spark.readStream.schema(graft.model.EventSchema.schema)
       .option("maxFilesPerTrigger", 1) // 4 zone files ⇒ ≥4 upsert batches
       .json(in)
@@ -769,23 +785,37 @@ object PipelineQueries {
           coalesce(col("price"), lit(0.0))).otherwise(0.0)), 2).as("revenue_usd"))
     withShufflePartitions(spark, 8) {
       val q = kpis.writeStream.outputMode("update")
-        .option("checkpointLocation", ck.toString)
+        .option("checkpointLocation", ck)
         .foreachBatch { (batch: DataFrame, _: Long) =>
           nBatches.incrementAndGet()
           batch.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("dt")
-            .parquet(out.toString)
+            .parquet(out)
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
       q.awaitTermination()
     }
-    val table = spark.read.parquet(out.toString)
-      // partition-column type inference may read dt as DATE
-      .select(col("dt").cast("string").as("dt"), col("total_events"),
-        col("pageviews"), col("purchases"), col("revenue_usd"))
-      .orderBy(col("dt"))
-    (table, nBatches.get())
+    nBatches.get()
+  }
+
+  /** Producer-wire JSONL writer to a CALLER-OWNED zone (append mode —
+    * probes append incremental batches between drains); `shiftDays`
+    * moves timestamps so appended batches touch FRESH days. */
+  private[graft] def writeWireZone(spark: SparkSession, dir: String,
+      to: String, cutoffDate: Option[String], files: Int = 4,
+      limit: Int = Int.MaxValue, shiftDays: Int = 0, idPrefix: String = ""): Unit = {
+    val all = load(spark, dir, "events")
+    val ev0 = cutoffDate.fold(all)(d => all.where(to_date(col("ts")) < lit(d)))
+    val ev = if (limit == Int.MaxValue) ev0 else ev0.orderBy(col("ts")).limit(limit)
+    ev.select(to_json(struct(
+        concat(date_format(col("ts") + expr(s"INTERVAL $shiftDays DAYS"),
+          "yyyy-MM-dd'T'HH:mm:ss"), lit("Z")).as("event_ts"),
+        col("user_id").cast("string").as("user_id"),
+        concat(lit(idPrefix), col("event_id").cast("string")).as("session_id"),
+        col("event_type"),
+        col("value").as("price"))).as("value"))
+      .coalesce(files).write.mode("append").text(to)
   }
 
   /** Gate body: the maintained sketch table's per-day estimates,

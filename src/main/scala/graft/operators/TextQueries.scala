@@ -725,8 +725,18 @@ object TextQueries {
     * accuracy axis. */
   private[graft] def minhashDedupFound(
       spark: SparkSession, dir: String): (DataFrame, Double) = {
+    val (out, recall, _) = minhashDedupAll(spark, dir)
+    (out, recall)
+  }
+
+  /** Funnel + both accuracy measurements off ONE collect of the
+    * result-sized pair manifest (r12: at quadratic-output corpora —
+    * the skew probe's 500k-pair clique — a second precision collect
+    * was a measurable slice of the gate). */
+  private def minhashDedupAll(
+      spark: SparkSession, dir: String): (DataFrame, Double, Boolean) = {
     graft.functions.GraftFunctions.install(spark)
-    val docs = withTokens(load(spark, dir, "documents"))
+    val docsAll = withTokens(load(spark, dir, "documents"))
       .where(size(col("toks")) >= 3)
       // fused native 3-gram fingerprints: sorted (for the jaccard_ge
       // merge-walk verifier) distinct 8-byte hashes — the signature,
@@ -734,9 +744,29 @@ object TextQueries {
       // shingle string is ever built or cached
       .withColumn("sh", F.ngramHashes(col("toks"), 3))
       .select(col("doc_id"), col("sh"))
-      // consumed 3× (banding + both candidate join-backs): materialize
-      // the shingle arrays once instead of re-tokenizing the corpus
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // EXACT-DUP PRE-COLLAPSE (r12, from the skew probe's 12.5×
+    // finding): identical shingle SETS have identical signatures, so
+    // a 1000-copy text clique used to put all m copies in the same
+    // band bucket and generate + merge-walk-verify the same m²/2
+    // pairs per band. Grouping by the shingle-array VALUE (content
+    // equality — no hash-collision risk) runs banding + verification
+    // once per DISTINCT fingerprint; found rep pairs expand back over
+    // member lists below, and within-group pairs (always candidates,
+    // always J = 1) are emitted through the same kernel. Found-pair
+    // set exactly preserved; this is also the production ordering —
+    // exact dedup before near-dup. The checkpoint materializes the
+    // grouped fingerprints once for the three downstream consumers
+    // (banding + both candidate join-backs), replacing the old
+    // corpus-sized persist with the same lifecycle discipline.
+    val members = {
+      import org.apache.spark.sql.expressions.Window
+      docsAll
+        .withColumn("rep_id",
+          min(col("doc_id")).over(Window.partitionBy(col("sh"))))
+        .localCheckpoint()
+    }
+    val docs = members.where(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"), col("sh"))
     val banded = docs
       .select(col("doc_id"),
         posexplode(expr(s"minhash_band_hashes(sh, $NumHashes, $Bands)"))
@@ -762,15 +792,34 @@ object TextQueries {
     // (the fixture's qualifying pairs sit at J >= 0.9 where the
     // 16-perm/4-band hit probability is ~0.9999 per pair), floor 0.8
     // for regeneration margin.
+    // Expansion of the rep-grain found pairs back to member grain
+    // (r12): cross-group pairs take the verified rep jaccard
+    // (identical sets ⇒ identical jaccard), within-group pairs ride
+    // the same merge-walk kernel against themselves (exactly 1.0).
+    // Disjoint by construction, each side distinct — no extra shuffle.
+    val cross = pairs
+      .join(members.select(col("rep_id").as("a_id"), col("doc_id").as("x")), Seq("a_id"))
+      .join(members.select(col("rep_id").as("b_id"), col("doc_id").as("y")), Seq("b_id"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("jaccard"))
+    // per-group self-jaccard computed once through the merge-walk
+    // kernel (exactly 1.0), joined onto the id-only within-group pair
+    // stream — the stream is output-bound, no shingle array rides it
+    val groupJ = docs.select(col("doc_id").as("rep_id"),
+      F.roundBin(F.jaccardGe(col("sh"), col("sh"), 0.5), 6).as("jaccard"))
+    val within = members.select(col("rep_id"), col("doc_id").as("x"))
+      .join(members.where(col("doc_id") =!= col("rep_id"))
+        .select(col("rep_id"), col("doc_id").as("y")), Seq("rep_id"))
+      .where(col("x") < col("y"))
+      .join(groupJ, Seq("rep_id"))
+      .where(col("jaccard").isNotNull)
+      .select(col("x").as("a_id"), col("y").as("b_id"), col("jaccard"))
     // Materialize the pair manifest (the SMALL end of the funnel)
-    // eagerly, then release the corpus-sized shingle cache: returning
-    // lazily would pin the MEMORY_AND_DISK blocks in the CacheManager
-    // for the life of the session — one leaked corpus per directory on
-    // a long-lived engine. localCheckpoint blocks are ContextCleaner-
-    // managed (freed when the result is unreachable), CacheManager
-    // entries are not.
-    val out = pairs.orderBy(col("a_id"), col("b_id")).localCheckpoint()
-    docs.unpersist()
+    // eagerly; the grouped-fingerprint checkpoint blocks are
+    // ContextCleaner-managed (freed when unreachable), so nothing
+    // corpus-sized stays pinned on a long-lived engine.
+    val out = cross.unionByName(within)
+      .orderBy(col("a_id"), col("b_id")).localCheckpoint()
     val exact = exactHalfPairKeys(spark, dir)
     // a catastrophic banding regression yielding ZERO pairs would
     // otherwise report recall 0 on an empty dump — fail loudly, not
@@ -789,7 +838,14 @@ object TextQueries {
     }.toSet
     val recall =
       if (exact.isEmpty) 1.0 else exact.count(found).toDouble / exact.length
-    (out, recall)
+    // found ⊆ exact precision off the same collected set: structural
+    // (candidates are exact-verified at the same threshold), pinned so
+    // a verifier/threshold drift fails loudly (r12, verdict item 2)
+    val precision = {
+      val exactSet = exact.toSet
+      found.forall(exactSet.contains)
+    }
+    (out, recall, precision)
   }
 
   /** Oracle-gated MinHash+LSH dedup (r11 graduation): runs the real
@@ -798,17 +854,10 @@ object TextQueries {
     * / 0.992 at sf0.001/0.01/0.1; floor 0.8 for regeneration margin. */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (found, recall) = minhashDedupFound(spark, dir)
     // r12 (verdict item 2): found ⊆ exact pinned as a claim. Unlike the
     // label-blocked cosine twins this holds GLOBALLY — the prefix-filter
-    // ground truth enumerates every J ≥ 1/2 pair — so the claim domain
-    // is the whole found set; it guards the jaccard_ge verifier and the
-    // threshold wiring against drifting from the oracle's definitional
-    // jaccard (structural today, pinned so tomorrow's edit can't bend it
-    // silently).
-    val exactSet = exactHalfPairKeys(spark, dir).toSet
-    val precision = found.select(col("a_id"), col("b_id")).collect()
-      .forall(r => exactSet.contains((r.getLong(0) << 32) | r.getLong(1)))
+    // ground truth enumerates every J ≥ 1/2 pair.
+    val (_, recall, precision) = minhashDedupAll(spark, dir)
     exactHalfPairRows(spark, dir).toSeq.toDF("a_id", "b_id", "jaccard")
       .withColumn("recall_ok", lit(recall >= 0.8))
       .withColumn("precision_ok", lit(precision))

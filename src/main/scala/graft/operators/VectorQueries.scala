@@ -292,15 +292,19 @@ object VectorQueries {
     // survivor set (~10⁴), not the candidate stream (~10⁶); at 100 TB
     // the index is written once partitioned by (t, bucket) and this
     // join is its co-partitioned self-probe.
-    val banded = base
-      .select(col("vec_id"), col("v"), explode(tables).as("tb"))
-      .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"),
-        col("vec_id"), col("v"))
-    // capped grid-salted self-probe (r12): identical pair set to the
-    // bare (t, bucket) self-join — HotBucketCapSpec pins the equality —
-    // but a degenerate bucket (mass duplicates) can no longer produce
-    // one m² task (see [[cappedCosinePairs]])
-    val pairs = cappedCosinePairs(banded, Seq("t", "bucket"), 0.3)
+    // r12 funnel shell: exact-dup pre-collapse (identical vectors ride
+    // the banding ONCE — see [[collapseExpandPairs]]) around the
+    // capped grid-salted self-probe (degenerate buckets of DISTINCT
+    // vectors can no longer produce one m² task — see
+    // [[cappedCosinePairs]]); pair set identical to the bare
+    // (t, bucket) self-join (HotBucketCapSpec pins it)
+    val pairs = collapseExpandPairs(base, 0.3) { reps =>
+      val banded = reps
+        .select(col("vec_id"), col("v"), explode(tables).as("tb"))
+        .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"),
+          col("vec_id"), col("v"))
+      cappedCosinePairs(banded, Seq("t", "bucket"), 0.3)
+    }
       // result-sized; materialized ONCE — both the recall audit below
       // and the final dump read these blocks (ContextCleaner-managed,
       // unlike a CacheManager persist)
@@ -489,6 +493,70 @@ object VectorQueries {
       .distinct()
   }
 
+  /** EXACT-DUPLICATE PRE-COLLAPSE around a rep-grain pair funnel
+    * (r12, from the skew probe's biggest finding): a mass-duplicate
+    * corpus (the skew_probe zone: 30% identical vectors) made the LSH
+    * funnel 4.7× slower — identical vectors collide in EVERY one of
+    * the L tables, so the same m²/2 clique pairs were generated and
+    * cosine-verified L times over. Collapsing exact duplicates first
+    * (group by the vector VALUE — content equality, no hash-collision
+    * risk), running the funnel on one representative per distinct
+    * vector, and expanding found rep pairs back over the member lists
+    * turns that redundant m²·L verification into |distinct|-grain
+    * funnel work plus output-sized row generation. The found-pair SET
+    * is exactly preserved: identical vectors share every bucket in
+    * every table, so a within-group pair was always a candidate and
+    * always verified at cos = self-cosine, and a cross-group pair
+    * collides iff its reps do (identical signatures). This is also
+    * the production ordering — exact dedup runs before near-dup — and
+    * the SemDeDup paper's own discipline. The cap
+    * ([[cappedCosinePairs]]) stays as the backstop for the case
+    * collapse can't touch: a pile of DISTINCT-but-similar vectors in
+    * one bucket. */
+  private[graft] def collapseExpandPairs(
+      base: DataFrame, threshold: Double)(
+      funnel: DataFrame => DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // member map (vec_id → group rep) via a window min over the vector
+    // VALUE — content equality (no hash-collision risk), and no row
+    // ever holds a whole group (a collect_list formulation would put a
+    // 10⁸-copy group into one multi-GB array row); the shuffle is the
+    // same one hash-partition by v a groupBy would pay. Checkpointed:
+    // consumed by the rep funnel and all three expansion joins.
+    val members = base
+      .withColumn("rep_id", min(col("vec_id")).over(Window.partitionBy(col("v"))))
+      .localCheckpoint()
+    val reps = members.where(col("vec_id") === col("rep_id"))
+      .select(col("vec_id"), col("v"))
+    val repPairs = funnel(reps)
+    // cross-group expansion: every member pair of a found rep pair,
+    // re-canonicalized a < b (member ids interleave across groups);
+    // flat equi-joins at member grain — output-sized, never wider
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("a_id"), col("vec_id").as("x")), Seq("a_id"))
+      .join(members.select(col("rep_id").as("b_id"), col("vec_id").as("y")), Seq("b_id"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"), col("cos"))
+    // within-group pairs: always candidates in the uncollapsed funnel
+    // (identical vectors share all buckets), verified at self-cosine —
+    // computed ONCE per group through the same kernel (bit-identical
+    // values), then joined onto the id-only pair stream. The pair
+    // stream itself is output-bound: those m²/2 rows are emitted
+    // either way.
+    val groupCos = reps.select(col("vec_id").as("rep_id"),
+      F.roundBin(F.cosineSim(col("v"), col("v")), 4).as("cos"))
+    val within = members.select(col("rep_id"), col("vec_id").as("x"))
+      .join(members.where(col("vec_id") =!= col("rep_id"))
+        .select(col("rep_id"), col("vec_id").as("y")), Seq("rep_id"))
+      .where(col("x") < col("y"))
+      .join(groupCos, Seq("rep_id"))
+      .where(col("cos") >= threshold)
+      .select(col("x").as("a_id"), col("y").as("b_id"), col("cos"))
+    // disjoint by construction (cross spans two groups, within one) and
+    // each side is already distinct — no extra shuffle needed
+    cross.unionByName(within)
+  }
+
   private[graft] def semDedupCandidates(spark: SparkSession, dir: String,
                                         probes: Int): DataFrame = {
     import spark.implicits._
@@ -499,7 +567,14 @@ object VectorQueries {
       trainCentroids(spark, e, n, nlist, 2, 256))
     val centroidList = cents.toSeq.toDF("c_id", "cv")
       .agg(sort_array(collect_list(struct(col("c_id"), col("cv")))).as("cents"))
-    val assigned = e.join(broadcast(centroidList))
+    // r12: exact-dup pre-collapse — identical vectors get identical
+    // top-k lists, so assignment + within-list search run once per
+    // DISTINCT vector and found pairs expand back over the member
+    // lists ([[collapseExpandPairs]]); the quantizer itself still
+    // trains on the full corpus (same memoized artifact as the ANN
+    // index)
+    collapseExpandPairs(e, 0.3) { reps =>
+    val assigned = reps.join(broadcast(centroidList))
       .select(col("vec_id"), col("v"),
         explode(F.nearestCentroids(col("v"), col("cents"), probes)).as("list_id"))
     // within-list self-join: the list id is the block key, so the
@@ -518,6 +593,7 @@ object VectorQueries {
     // hazard (see [[cappedCosinePairs]])
     cappedCosinePairs(assigned.select(col("list_id"), col("vec_id"), col("v")),
       Seq("list_id"), 0.3)
+    }
   }
 
   private[graft] def semDedupFound(spark: SparkSession, dir: String,
