@@ -440,11 +440,16 @@ object KpiQueries {
     * cannot do: it repairs values on existing rows; a resample must
     * CREATE the missing rows).
     * The grid is one `sequence(start, stop, 1 hour)` + explode
-    * — |hours| rows built without a scan — broadcast against the
-    * hourly aggregate, so the only data-sized work is the one
-    * groupBy(hour) pass; at 100 TB the grid side stays |hours| rows
-    * regardless of corpus size. Joined on the formatted hour key so
-    * both sides carry identical string semantics. */
+    * — |hours| rows built without a scan — and the only data-sized
+    * work is the one groupBy(hour) pass; at 100 TB both join sides
+    * are |hours| rows regardless of corpus size. Joined on the
+    * formatted hour key so both sides carry identical string
+    * semantics. The broadcast hint sits on the HOURLY AGGREGATE (the
+    * non-preserved side): a left-outer join can only build right, so
+    * the r7 hint on the preserved grid side was silently dropped
+    * (HintErrorLogger: "build left for left outer join") and the
+    * 120-row join ran as a two-sided shuffle + sort-merge — caught in
+    * r12 by reading the bench logs, plan-pinned in PlanSpec now. */
   def resampleHourly(spark: SparkSession, dir: String): DataFrame = {
     val grid = spark.range(1)
       .select(explode(expr(
@@ -457,7 +462,7 @@ object KpiQueries {
       .agg(count(lit(1)).as("n_events"),
         F.roundBin(sum(when(isPurchase(col("event_type")),
           coalesce(col("value"), lit(0.0))).otherwise(0.0)), 2).as("rev"))
-    broadcast(grid).join(hourly, Seq("hour"), "left_outer")
+    grid.join(broadcast(hourly), Seq("hour"), "left_outer")
       .select(col("hour"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         coalesce(col("rev"), lit(0.0)).as("revenue_usd"))

@@ -23,6 +23,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema") && !p.contains("l_partkey"), "column pruning lost")
   }
 
+  test("resampleHourly: grid join broadcasts the hourly aggregate (r12)") {
+    // a left-outer join can only build its RIGHT side: the r7 hint on
+    // the preserved grid side was silently dropped (HintErrorLogger)
+    // and the |hours|-row join ran as a two-sided shuffle+sort-merge
+    val p = plan(KpiQueries.resampleHourly(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"grid fill must broadcast the hourly aggregate:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"grid fill fell back to SMJ:\n$p")
+  }
+
   test("q3: dimension joins broadcast; no cartesian product") {
     val p = plan(TpchQueries.q3ShippingPriority(spark, sf))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
