@@ -771,9 +771,17 @@ object TextQueries {
       .select(col("doc_id"),
         posexplode(expr(s"minhash_band_hashes(sh, $NumHashes, $Bands)"))
           .as(Seq("b", "h")))
-    val l = banded.select(col("b"), col("h"), col("doc_id").as("a_id"))
-    val r = banded.select(col("b"), col("h"), col("doc_id").as("b_id"))
-    val candidates = l.join(r, Seq("b", "h"))
+    // grid-salted capped band join (r12, completing the hot-bucket-cap
+    // symmetry with the vector funnels): exact-dup collapse above
+    // merges IDENTICAL fingerprints, but a pile of NEAR-identical
+    // distinct docs (J ≈ 1, off by a token) still lands m reps in one
+    // (b, h) band bucket and would hand one task m² candidate
+    // generation; the same grid split bounds it at ~(m/g)² per cell
+    // (see [[VectorQueries.gridSaltedSides]]).
+    val (l0, r0) = VectorQueries.gridSaltedSides(
+      banded, Seq("b", "h"), "doc_id", VectorQueries.HotBucketCap)
+    val candidates = l0.withColumnRenamed("doc_id", "a_id")
+      .join(r0.withColumnRenamed("doc_id", "b_id"), Seq("b", "h", "sa", "sb"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id")).distinct()
     val pairs = candidates

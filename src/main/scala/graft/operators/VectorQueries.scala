@@ -456,6 +456,25 @@ object VectorQueries {
       .select(keys.map(col) :+
         ceil(col("n") / lit(cap.toDouble)).cast("int").as("g"): _*)
 
+  /** Grid-salt a banded frame for a capped self-join — the GENERIC
+    * mechanism shared by the vector funnels and the minhash band join
+    * (r12): each side carries every original column plus (sa, sb);
+    * healthy buckets ride the g = 1 degenerate grid (salt 0 both
+    * sides, no replication). */
+  private[graft] def gridSaltedSides(
+      banded: DataFrame, keys: Seq[String], idCol: String,
+      cap: Int): (DataFrame, DataFrame) = {
+    val hot = hotBucketGroups(banded, keys, cap)
+    val aug = banded.join(broadcast(hot), keys, "left")
+    def ownSalt = when(col("g").isNull, lit(0))
+      .otherwise(pmod(xxhash64(col(idCol)), col("g")).cast("int"))
+    def allSalts = explode(when(col("g").isNull, array(lit(0)))
+      .otherwise(sequence(lit(0), col("g") - 1)))
+    val cols = banded.columns.map(col).toSeq
+    (aug.select(cols ++ Seq(ownSalt.as("sa"), allSalts.as("sb")): _*),
+     aug.select(cols ++ Seq(allSalts.as("sa"), ownSalt.as("sb")): _*))
+  }
+
   /** The two salted sides of a capped within-bucket self-join over a
     * `banded` frame with columns keys ++ (vec_id, v): left side
     * (keys, sa, sb, a_id, av), right side (keys, sa, sb, b_id, bv).
@@ -464,18 +483,9 @@ object VectorQueries {
   private[graft] def cappedSelfJoinSides(
       banded: DataFrame, keys: Seq[String],
       cap: Int): (DataFrame, DataFrame) = {
-    val kc = keys.map(col)
-    val hot = hotBucketGroups(banded, keys, cap)
-    val aug = banded.join(broadcast(hot), keys, "left")
-    def ownSalt = when(col("g").isNull, lit(0))
-      .otherwise(pmod(xxhash64(col("vec_id")), col("g")).cast("int"))
-    def allSalts = explode(when(col("g").isNull, array(lit(0)))
-      .otherwise(sequence(lit(0), col("g") - 1)))
-    val a = aug.select(kc ++ Seq(ownSalt.as("sa"), allSalts.as("sb"),
-      col("vec_id").as("a_id"), col("v").as("av")): _*)
-    val b = aug.select(kc ++ Seq(allSalts.as("sa"), ownSalt.as("sb"),
-      col("vec_id").as("b_id"), col("v").as("bv")): _*)
-    (a, b)
+    val (a0, b0) = gridSaltedSides(banded, keys, "vec_id", cap)
+    (a0.withColumnRenamed("vec_id", "a_id").withColumnRenamed("v", "av"),
+     b0.withColumnRenamed("vec_id", "b_id").withColumnRenamed("v", "bv"))
   }
 
   /** Capped within-bucket cosine pair funnel shared by the LSH and

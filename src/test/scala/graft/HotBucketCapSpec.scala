@@ -79,6 +79,69 @@ class HotBucketCapSpec extends SparkSpec {
     assert(capped.size >= 400 * 399 / 2)
   }
 
+  /** NEAR-identical documents (J ≈ 0.93, off by one trailing token):
+    * the case exact-dup pre-collapse cannot merge — every doc is a
+    * distinct fingerprint, yet all 400 land in the same minhash band
+    * buckets. The grid cap must bound the band join's cells and leave
+    * the funnel's answer and claims untouched. */
+  private lazy val nearDupDocsDir: String = {
+    val base = (1 to 6).flatMap(k => Seq("alpha", "bravo", "charlie",
+      "delta", "echo", "foxtrot", "golf", "hotel", "india", s"row$k"))
+      .mkString(" ")
+    val rows = (0L until 500L).map { i =>
+      val text =
+        if (i < 400) s"$base tail$i"
+        else s"unique document number $i with its own words w${i * 7} w${i * 13} w${i * 29} filler padding"
+      (i, text, "en", if (i < 400) "s1" else "s2", text.length.toLong)
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-neardupdocs")
+    out.toFile.deleteOnExit()
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite")
+      .parquet(out.resolve("documents.parquet").toString)
+    out.toString
+  }
+
+  test("near-identical docs: minhash band buckets go hot; grid cap bounds them; candidates unchanged") {
+    graft.functions.GraftFunctions.install(spark)
+    val banded = Tables.load(spark, nearDupDocsDir, "documents")
+      .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+      .where(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        expr("ngram_hashes(toks, 3)").as("sh"))
+      .select(col("doc_id"),
+        posexplode(expr("minhash_band_hashes(sh, 16, 4)")).as(Seq("b", "h")))
+    // collapse can't merge these — distinct fingerprints, hot buckets
+    val hot = VectorQueries.hotBucketGroups(banded, Seq("b", "h"), 256).collect()
+    assert(hot.nonEmpty, "near-identical docs must overload a band bucket")
+    // per-cell bound on the salted sides at cap 64
+    val (l0, r0) = VectorQueries.gridSaltedSides(banded, Seq("b", "h"), "doc_id", 64)
+    val maxCell = l0.groupBy(col("b"), col("h"), col("sa"), col("sb"))
+      .count().agg(max(col("count"))).head().getLong(0)
+    assert(maxCell <= 128, s"band-join cell $maxCell exceeds 2x cap")
+    // candidate set identical to the uncapped band join
+    def candidates(cap: Int) = {
+      val (a, bb) = VectorQueries.gridSaltedSides(banded, Seq("b", "h"), "doc_id", cap)
+      a.withColumnRenamed("doc_id", "a_id")
+        .join(bb.withColumnRenamed("doc_id", "b_id"), Seq("b", "h", "sa", "sb"))
+        .where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val capped = candidates(64)
+    assert(capped === candidates(Int.MaxValue),
+      "grid salting changed the band-join candidate set")
+    assert(capped.size >= 400 * 399 / 2 * 9 / 10,
+      s"J~0.93 clique should band-collide almost completely, got ${capped.size}")
+  }
+
+  test("minhash funnel stays claim-green on the near-identical corpus") {
+    val gated = graft.operators.TextQueries.minhashDedup(spark, nearDupDocsDir)
+      .select(col("recall_ok"), col("precision_ok")).head()
+    assert(gated.getBoolean(0) && gated.getBoolean(1),
+      "minhash claims must stay green on the near-identical corpus")
+  }
+
   test("real funnels stay claim-green on the mass-duplicate corpus") {
     // default cap (256) engages on this corpus (bucket m >= 400): the
     // production path, not a spec-only configuration
