@@ -129,6 +129,7 @@ object SparkEntry {
     "q_sample_topk" -> ((s, d) => TextQueries.sampleTopkPerStratum(s, d)),
     "q_sample_hash" -> ((s, d) => TextQueries.sampleHashCutoff(s, d)),
     "q_ngram_jaccard" -> (TextQueries.ngramJaccard _),
+    "q_dup_substrings" -> ((s, d) => TextQueries.dupSubstrings(s, d)),
     "q_dup_clusters" -> (DupClusters.nearDupClusters _),
     "q_minhash_dedup" -> (TextQueries.minhashDedup _),
     "q_rep_signals" -> (TextQueries.repetitionSignals _),
@@ -1732,6 +1733,32 @@ object SparkEntry {
         |WHERE l_shipdate >= TIMESTAMP '1997-07-01'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ngram_jaccard" -> NgramJaccardSql,
+    // substring-level dedup (r12, Lee et al. 2021 ExactSubstr at
+    // token-window grain): merged per-doc spans of 8-token windows
+    // repeated across >= 2 distinct documents. The oracle groups by
+    // the window STRING; the engine groups by its xxhash64 (no window
+    // text ever shuffles) — identical answers modulo ~1e-11 64-bit
+    // collisions, the repo-wide fingerprint idiom.
+    "q_dup_substrings" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |wl AS (SELECT doc_id, list_transform(range(1, len(toks) - 6),
+        |    i -> struct_pack(pos := i - 1,
+        |      win := array_to_string(toks[i:i+7], ' '))) AS ws
+        |  FROM d WHERE len(toks) >= 8),
+        |wins AS (SELECT doc_id, unnest(ws) AS u FROM wl),
+        |flat AS (SELECT doc_id, u.pos AS pos, u.win AS win FROM wins),
+        |dup AS (SELECT win FROM flat GROUP BY win
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |p AS (SELECT doc_id, pos FROM flat JOIN dup USING (win)),
+        |g AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL
+        |    OR pos - lag(pos) OVER w > 7 THEN 1 ELSE 0 END AS ni
+        |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |i AS (SELECT doc_id, pos, sum(ni) OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS island FROM g)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |FROM i GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin,
     // engine side is prefix-filtered over shingle HASHES; the oracle
     // is the definition over trigram STRINGS — |∩| via the shingle
     // equi-join count (a pair with zero shared shingles cannot reach

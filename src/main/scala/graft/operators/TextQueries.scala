@@ -545,6 +545,58 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** E2 (r12) SUBSTRING-level dedup: merged per-document spans of
+    * W-token windows that repeat ACROSS documents — the
+    * document-grain funnels (minhash, simhash, cosine) decide which
+    * whole documents to drop; this is the complementary cut for
+    * boilerplate/quotation/license blocks duplicated INSIDE otherwise
+    * distinct documents (the ExactSubstr operation of Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models
+    * Better", restated at token-window grain on DataFrames: their
+    * suffix array enumerates repeated substrings; a W-token sliding
+    * fingerprint index finds the same ≥W-token repeats — shorter
+    * repeats are below the cut by construction).
+    *
+    * Plan shape: one pass builds the posting stream (fingerprint,
+    * doc_id, pos) via a fused transform+posexplode — the fingerprint
+    * is xxhash64 of the window text, so no window STRING ever
+    * shuffles (64-bit collisions ~1e-11 at fixture vocab; the oracle
+    * groups by the string itself and agrees). Repeated fingerprints =
+    * one two-phase count-distinct-ge filter; qualifying positions
+    * come back through one join; span merging is the gaps-islands
+    * window per document (touching/overlapping windows — gap ≤ W−1 —
+    * union into one span). At 100 TB: postings are corpus×~1 rows of
+    * 20 B (hash, id, pos), the heavy fingerprint table is a candidate
+    * for the same bucketed-index treatment as the shingle postings,
+    * and the output is span-sized. */
+  def dupSubstrings(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wins = withTokens(load(spark, dir, "documents"))
+      .where(size(col("toks")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, size(toks) - ${w - 1}), " +
+          s"i -> xxhash64(concat_ws(' ', slice(toks, i, $w))))"))
+        .as(Seq("pos", "fp")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("fp"))
+    // windows repeated across >= 2 DISTINCT documents (within-doc
+    // repetition is q_rep_filter's axis, not corpus duplication)
+    val dupFps = wins.groupBy(col("fp"))
+      .agg(count_distinct(col("doc_id")).as("nd"))
+      .where(col("nd") >= 2)
+      .select(col("fp"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    wins.join(dupFps, Seq("fp"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("ni", when(col("pos") - lag(col("pos"), 1).over(wd) > w - 1
+        || lag(col("pos"), 1).over(wd).isNull, 1L).otherwise(0L))
+      .withColumn("island", sum(col("ni")).over(wd))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + (w - 1)).as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
   /** E2 exact n-gram (bigram) jaccard near-dup within (source, lang)
     * blocks. The blocked self-join bounds the pair count; the exact
     * set-jaccard runs on deduplicated bigram arrays. */
@@ -825,8 +877,15 @@ object TextQueries {
     // Materialize the pair manifest (the SMALL end of the funnel)
     // eagerly; the grouped-fingerprint checkpoint blocks are
     // ContextCleaner-managed (freed when unreachable), so nothing
-    // corpus-sized stays pinned on a long-lived engine.
-    val out = cross.unionByName(within)
+    // corpus-sized stays pinned on a long-lived engine. Dup-free
+    // corpora (one scalar aggregate over the checkpointed member map
+    // decides) skip the expansion joins — collapse is identity there.
+    val counts = members.agg(count(lit(1)),
+      sum(when(col("doc_id") === col("rep_id"), 1L).otherwise(0L))).head()
+    val expanded =
+      if (counts.getLong(0) == counts.getLong(1)) pairs
+      else cross.unionByName(within)
+    val out = expanded
       .orderBy(col("a_id"), col("b_id")).localCheckpoint()
     val exact = exactHalfPairKeys(spark, dir)
     // a catastrophic banding regression yielding ZERO pairs would

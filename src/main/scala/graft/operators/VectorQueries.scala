@@ -536,6 +536,15 @@ object VectorQueries {
     val members = base
       .withColumn("rep_id", min(col("vec_id")).over(Window.partitionBy(col("v"))))
       .localCheckpoint()
+    // dup-free fast path (r12): one scalar aggregate over the already-
+    // materialized checkpoint decides whether collapse is identity —
+    // a corpus with no exact duplicates (the common healthy case)
+    // skips the three expansion joins outright instead of running
+    // them as no-ops
+    val counts = members.agg(count(lit(1)),
+      sum(when(col("vec_id") === col("rep_id"), 1L).otherwise(0L))).head()
+    if (counts.getLong(0) == counts.getLong(1))
+      return funnel(members.select(col("vec_id"), col("v")))
     val reps = members.where(col("vec_id") === col("rep_id"))
       .select(col("vec_id"), col("v"))
     val repPairs = funnel(reps)

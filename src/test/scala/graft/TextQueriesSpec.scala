@@ -326,6 +326,40 @@ class TextQueriesSpec extends SparkSpec {
     }
   }
 
+  test("dupSubstrings matches a driver-side window-posting recompute") {
+    val w = 8
+    val corpus = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // same tokenizer as the engine: split("\\s+") WITHOUT trimming, so
+    // a leading-whitespace doc yields the same leading empty token
+    val wins = corpus.flatMap { case (id, text) =>
+      val toks = text.split("\\s+")
+      if (toks.length < w) Seq.empty
+      else toks.sliding(w).zipWithIndex.map { case (win, p) =>
+        (win.mkString(" "), id, p.toLong)
+      }.toSeq
+    }
+    val dup = wins.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+    val expected = wins.filter(t => dup.contains(t._1))
+      .groupBy(_._2).flatMap { case (id, ps) =>
+        val sorted = ps.map(_._3).distinct.sorted
+        val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        sorted.foreach { p =>
+          if (spans.nonEmpty && p - spans.last._2 <= w - 1)
+            spans(spans.length - 1) = (spans.last._1, p)
+          else spans += ((p, p))
+        }
+        spans.map { case (s, e) => (id, s, e + w - 1) }
+      }.toSet
+    val got = graft.operators.TextQueries.dupSubstrings(spark, sf, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected,
+      s"missing ${expected -- got}, extra ${got -- expected}")
+    assert(got.nonEmpty, "fixture should contain cross-doc repeated 8-token runs")
+  }
+
   test("minhash_union aggregate: sig(union of docs) == union of sigs (exactness)") {
     import org.apache.spark.sql.functions._
     import graft.functions.F
