@@ -42,7 +42,11 @@ object ScalingProbe {
     // r11: bloom-screened decontamination (map-side scan + survivor
     // confirm — should track corpus size linearly) and the two-pass
     // global prefix cut (one range shuffle of id/count rows)
-    "q_decontam_bloom", "q_token_budget")
+    "q_decontam_bloom", "q_token_budget",
+    // r12: substring-level dedup — posting stream is corpus-token-
+    // sized, repeated-fingerprint filter is one two-phase agg, output
+    // span-sized; the curve should track token volume near-linearly
+    "q_dup_substrings")
 
   // measurement plumbing shared with Bench — one implementation
   private def forceEval(df: org.apache.spark.sql.DataFrame): Unit =

@@ -99,6 +99,8 @@ object GraftFunctions {
     "cms_estimate" -> (args => CmsEstimate(args.head, args(1))),
     "vec_moments" -> (args => VecMomentsAgg(args.head)),
     "ngrams_gen" -> (args => NgramGen(args.head, intArg("ngrams_gen", args(1)))),
+    "ngram_hash_pos" -> (args =>
+      NgramHashPos(args.head, intArg("ngram_hash_pos", args(1)))),
     "rand_project" -> (args =>
       RandProject(args.head, intArg("rand_project", args(1)),
         if (args.length > 2) intArg("rand_project", args(2)).toLong else 0L)),

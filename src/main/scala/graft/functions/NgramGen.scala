@@ -51,3 +51,67 @@ case class NgramGen(child: Expression, n: Int)
   override protected def withNewChildInternal(newChild: Expression): NgramGen =
     copy(child = newChild)
 }
+
+/** `ngram_hash_pos(toks, n)` — generator: one (pos, fp) row per
+  * n-token window of a token-array column, in order. fp is the
+  * order-sensitive XXH64 chain over per-token hashes (each token
+  * hashed ONCE, then n chained long-hash ops per window — the
+  * NgramHashes composition idiom), so no window string is ever built:
+  * the interpreted `transform(sequence, i -> xxhash64(concat_ws(' ',
+  * slice(toks, i, n))))` HOF it replaces allocated a slice + joined
+  * string per window and measured ~2 s on the q_dup_substrings gate;
+  * this generator streams rows lazily with zero per-window
+  * allocation beyond the row. Tokens carry no whitespace (they come
+  * from a whitespace split), so the joined-window identity the
+  * DuckDB oracle groups on is injective in the token sequence and
+  * the compositional fingerprint groups identically (64-bit
+  * collisions ~1e-11, the repo-wide idiom). Documents with fewer
+  * than n tokens generate nothing; pos is the 0-based window start. */
+case class NgramHashPos(child: Expression, n: Int)
+    extends UnaryExpression with Generator with CodegenFallback {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.types.{ArrayType, LongType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case _ if n < 1 || n > 64 => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires 1 <= n <= 64, got $n")
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got $other")
+  }
+
+  override def elementSchema: StructType =
+    new StructType().add("pos", LongType, nullable = false)
+      .add("fp", LongType, nullable = false)
+
+  override def prettyName: String = "ngram_hash_pos"
+
+  private val Seed = 42L
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null) return Iterator.empty
+    val m = arr.numElements()
+    if (m < n) return Iterator.empty
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val s = arr.getUTF8String(i)
+      th(i) =
+        if (s == null) 0L
+        else XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset,
+          s.numBytes, Seed)
+      i += 1
+    }
+    (0 to m - n).iterator.map { p =>
+      var acc = XXH64.hashLong(n.toLong, Seed)
+      var j = 0
+      while (j < n) { acc = XXH64.hashLong(th(p + j) ^ acc, Seed); j += 1 }
+      InternalRow(p.toLong, acc)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashPos =
+    copy(child = newChild)
+}

@@ -571,13 +571,15 @@ object TextQueries {
     * and the output is span-sized. */
   def dupSubstrings(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.install(spark)
+    // posting stream via the native [[graft.functions.NgramHashPos]]
+    // generator — per-token hashes computed once, n chained long-hash
+    // ops per window, rows streamed lazily; the interpreted
+    // transform+slice+concat_ws HOF it replaces allocated a window
+    // string per position and was the gate's whole cost
     val wins = withTokens(load(spark, dir, "documents"))
-      .where(size(col("toks")) >= w)
-      .select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, size(toks) - ${w - 1}), " +
-          s"i -> xxhash64(concat_ws(' ', slice(toks, i, $w))))"))
-        .as(Seq("pos", "fp")))
-      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("fp"))
+      .select(col("doc_id"), expr(s"ngram_hash_pos(toks, $w)"))
+      .select(col("doc_id"), col("pos"), col("fp"))
     // windows repeated across >= 2 DISTINCT documents (within-doc
     // repetition is q_rep_filter's axis, not corpus duplication)
     val dupFps = wins.groupBy(col("fp"))
