@@ -107,6 +107,7 @@ object ScalingProbe {
         val out = java.nio.file.Files.createTempDirectory("scal-ndup-out")
         val idx = java.nio.file.Files.createTempDirectory("scal-ndup-idx")
         val ck = java.nio.file.Files.createTempDirectory("scal-ndup-ck")
+        try {
         val docs = Tables.load(spark, dir, "documents")
           .select(col("doc_id"), col("text"))
         (0 until 3).foreach { k =>
@@ -135,8 +136,9 @@ object ScalingProbe {
         // deleteOnExit is a no-op on NON-EMPTY dirs (review r11): the
         // zones here hold corpus-sized JSONL + index + checkpoint
         // trees and leaked permanently per SF per run — delete
-        // recursively now that the probe is timed
-        Seq(in, out, idx, ck).foreach { p =>
+        // recursively in a finally (r12 advisor: a mid-drain exception
+        // used to leak four dirs per SF)
+        } finally Seq(in, out, idx, ck).foreach { p =>
           import scala.jdk.CollectionConverters._
           val s = java.nio.file.Files.walk(p)
           try s.iterator().asScala.toSeq.reverse
@@ -168,23 +170,38 @@ object ScalingProbe {
         val in = java.nio.file.Files.createTempDirectory("scal-upsert-in")
         val out = java.nio.file.Files.createTempDirectory("scal-upsert-out")
         val ck = java.nio.file.Files.createTempDirectory("scal-upsert-ck")
-        PipelineQueries.writeWireZone(spark, dir, in.toString,
-          cutoffDate = Some(PipelineQueries.StreamCutoff))
-        val t0 = System.nanoTime()
-        PipelineQueries.upsertDrain(spark, in.toString, out.toString, ck.toString)
-        build(sf) = (System.nanoTime() - t0) / 1e9
-        val samples = (1 to 3).map { i =>
+        // try/finally (r12 advisor): an exception mid-drain used to
+        // leak the three zone dirs per SF (deleteOnExit can't remove
+        // non-empty trees)
+        try {
+          // incremental-batch shift derived from the corpus's ACTUAL
+          // day span (r12 advisor): the old fixed 40·i only kept the
+          // batches on fresh days because this fixture spans 30 days —
+          // a wider zone would silently overwrite existing dt
+          // partitions and weaken the O(touched days) curve. Batch i
+          // shifts by (span+40)·i: consecutive batches (and the build
+          // zone) stay day-disjoint for ANY corpus span.
+          import org.apache.spark.sql.functions.{col, datediff, max, min, to_date}
+          val spanDays = graft.Tables.load(spark, dir, "events")
+            .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts")))))
+            .head().getInt(0)
           PipelineQueries.writeWireZone(spark, dir, in.toString,
-            cutoffDate = None, files = 1, limit = 500,
-            shiftDays = 40 * i, idPrefix = s"b$i-")
-          val t1 = System.nanoTime()
+            cutoffDate = Some(PipelineQueries.StreamCutoff))
+          val t0 = System.nanoTime()
           PipelineQueries.upsertDrain(spark, in.toString, out.toString, ck.toString)
-          (System.nanoTime() - t1) / 1e9
-        }.sorted
-        incr(sf) = samples(1)
-        System.err.println(f"[scaling] q_stream_upsert $sf build=${build(sf)}%.2fs " +
-          f"incr(500 events)=${incr(sf)}%.2fs")
-        Seq(in, out, ck).foreach { p =>
+          build(sf) = (System.nanoTime() - t0) / 1e9
+          val samples = (1 to 3).map { i =>
+            PipelineQueries.writeWireZone(spark, dir, in.toString,
+              cutoffDate = None, files = 1, limit = 500,
+              shiftDays = (spanDays + 40) * i, idPrefix = s"b$i-")
+            val t1 = System.nanoTime()
+            PipelineQueries.upsertDrain(spark, in.toString, out.toString, ck.toString)
+            (System.nanoTime() - t1) / 1e9
+          }.sorted
+          incr(sf) = samples(1)
+          System.err.println(f"[scaling] q_stream_upsert $sf build=${build(sf)}%.2fs " +
+            f"incr(500 events)=${incr(sf)}%.2fs")
+        } finally Seq(in, out, ck).foreach { p =>
           import scala.jdk.CollectionConverters._
           val s = java.nio.file.Files.walk(p)
           try s.iterator().asScala.toSeq.reverse

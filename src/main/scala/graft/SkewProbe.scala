@@ -46,7 +46,6 @@ object SkewProbe {
   private[graft] def buildZone(spark: org.apache.spark.sql.SparkSession,
                                base: String): String = {
     val out = java.nio.file.Files.createTempDirectory("graft-skewzone")
-    out.toFile.deleteOnExit()
     // pass-through tables: byte-identical copies
     for (t <- Seq("region", "nation", "customer", "supplier", "part",
         "orders", "lineitem")) {
@@ -95,6 +94,7 @@ object SkewProbe {
     spark.sparkContext.setLogLevel("WARN")
     val zone = buildZone(spark, base)
     System.err.println(s"[skew] zone built at $zone")
+    try {
 
     val missing = Slate.filterNot(SparkEntry.queries.contains)
     require(missing.isEmpty, s"unknown slate queries: $missing")
@@ -131,5 +131,15 @@ object SkewProbe {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       line.getBytes("UTF-8"))
     println(line)
+    // recursive delete in a finally (r12 advisor): deleteOnExit can't
+    // remove a non-empty directory, so the corpus-sized zone leaked
+    // permanently per run
+    } finally {
+      import scala.jdk.CollectionConverters._
+      val s = java.nio.file.Files.walk(java.nio.file.Paths.get(zone))
+      try s.iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      finally s.close()
+    }
   }
 }

@@ -204,13 +204,19 @@ object DupClusters {
     * which silently narrowed every manifest consumer to raw local
     * paths — a `file:` URI, hdfs:// or s3a:// dir Spark reads fine
     * would have thrown before detection started. */
-  private[graft] def corpusVersion(dir: String): String = {
+  private[graft] def corpusVersion(dir: String): String =
+    tableVersion(dir, "documents")
+
+  /** [[corpusVersion]] generalized to any fixture table (r13: the
+    * memoized exact-dup member maps key on the embeddings/documents
+    * snapshot the same way the pair manifests key on documents). */
+  private[graft] def tableVersion(dir: String, table: String): String = {
     import org.apache.hadoop.fs.Path
     val conf = org.apache.spark.sql.SparkSession.active
       .sessionState.newHadoopConf()
-    val root = new Path(dir, "documents.parquet")
+    val root = new Path(dir, s"$table.parquet")
     val fs = root.getFileSystem(conf)
-    require(fs.exists(root), s"no documents table under $dir")
+    require(fs.exists(root), s"no $table table under $dir")
     def walk(p: Path): Vector[org.apache.hadoop.fs.FileStatus] = {
       val st = fs.getFileStatus(p)
       if (st.isDirectory) fs.listStatus(p).toVector.flatMap(c => walk(c.getPath))

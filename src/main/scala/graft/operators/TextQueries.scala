@@ -787,38 +787,68 @@ object TextQueries {
     * result-sized pair manifest (r12: at quadratic-output corpora —
     * the skew probe's 500k-pair clique — a second precision collect
     * was a measurable slice of the gate). */
+  /** Memoized exact-dup member map for the minhash funnel (r13,
+    * verdict item 1 — the [[VectorQueries]] memberMapCache twin):
+    * tokenize + fingerprint + by-value window + checkpoint + dup-free
+    * count ran on every q_minhash_dedup invocation; the map is a pure
+    * function of the documents snapshot, so it builds once per
+    * (app, dir, version). Stale snapshots replace the entry (old
+    * checkpoint blocks become ContextCleaner-collectable). */
+  private val minhashMemberCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (String, DataFrame, Boolean)]
+
+  private def minhashMemberMap(
+      spark: SparkSession, dir: String): (DataFrame, Boolean) = {
+    val key = (spark.sparkContext.applicationId, dir)
+    val ver = DupClusters.corpusVersion(dir)
+    minhashMemberCache.get(key) match {
+      case Some((v, m, dupFree)) if v == ver => (m, dupFree)
+      case _ =>
+        val docsAll = withTokens(load(spark, dir, "documents"))
+          .where(size(col("toks")) >= 3)
+          // fused native 3-gram fingerprints: sorted (for the
+          // jaccard_ge merge-walk verifier) distinct 8-byte hashes —
+          // the signature, banding, and candidate verification all
+          // consume these, so no shingle string is ever built or cached
+          .withColumn("sh", F.ngramHashes(col("toks"), 3))
+          .select(col("doc_id"), col("sh"))
+        // EXACT-DUP PRE-COLLAPSE (r12, from the skew probe's 12.5×
+        // finding): identical shingle SETS have identical signatures,
+        // so a 1000-copy text clique used to put all m copies in the
+        // same band bucket and generate + merge-walk-verify the same
+        // m²/2 pairs per band. Grouping by the shingle-array VALUE
+        // (content equality — no hash-collision risk) runs banding +
+        // verification once per DISTINCT fingerprint; found rep pairs
+        // expand back over member lists; within-group pairs (always
+        // candidates, always J = 1) are emitted through the same
+        // kernel. Found-pair set exactly preserved; this is also the
+        // production ordering — exact dedup before near-dup. The
+        // checkpoint materializes the grouped fingerprints once for
+        // the three downstream consumers (banding + both candidate
+        // join-backs) and, since r13, across invocations.
+        val members = {
+          import org.apache.spark.sql.expressions.Window
+          docsAll
+            .withColumn("rep_id",
+              min(col("doc_id")).over(Window.partitionBy(col("sh"))))
+            .localCheckpoint()
+        }
+        // dup-free flag off the materialized checkpoint; coalesce (r12
+        // advisor): sum() over a corpus where every doc has < 3 tokens
+        // is NULL and getLong threw — empty input is dup-free.
+        val counts = members.agg(count(lit(1)),
+          coalesce(sum(when(col("doc_id") === col("rep_id"), 1L)
+            .otherwise(0L)), lit(0L))).head()
+        val dupFree = counts.getLong(0) == counts.getLong(1)
+        minhashMemberCache.put(key, (ver, members, dupFree))
+        (members, dupFree)
+    }
+  }
+
   private def minhashDedupAll(
       spark: SparkSession, dir: String): (DataFrame, Double, Boolean) = {
     graft.functions.GraftFunctions.install(spark)
-    val docsAll = withTokens(load(spark, dir, "documents"))
-      .where(size(col("toks")) >= 3)
-      // fused native 3-gram fingerprints: sorted (for the jaccard_ge
-      // merge-walk verifier) distinct 8-byte hashes — the signature,
-      // banding, and candidate verification all consume these, so no
-      // shingle string is ever built or cached
-      .withColumn("sh", F.ngramHashes(col("toks"), 3))
-      .select(col("doc_id"), col("sh"))
-    // EXACT-DUP PRE-COLLAPSE (r12, from the skew probe's 12.5×
-    // finding): identical shingle SETS have identical signatures, so
-    // a 1000-copy text clique used to put all m copies in the same
-    // band bucket and generate + merge-walk-verify the same m²/2
-    // pairs per band. Grouping by the shingle-array VALUE (content
-    // equality — no hash-collision risk) runs banding + verification
-    // once per DISTINCT fingerprint; found rep pairs expand back over
-    // member lists below, and within-group pairs (always candidates,
-    // always J = 1) are emitted through the same kernel. Found-pair
-    // set exactly preserved; this is also the production ordering —
-    // exact dedup before near-dup. The checkpoint materializes the
-    // grouped fingerprints once for the three downstream consumers
-    // (banding + both candidate join-backs), replacing the old
-    // corpus-sized persist with the same lifecycle discipline.
-    val members = {
-      import org.apache.spark.sql.expressions.Window
-      docsAll
-        .withColumn("rep_id",
-          min(col("doc_id")).over(Window.partitionBy(col("sh"))))
-        .localCheckpoint()
-    }
+    val (members, dupFree) = minhashMemberMap(spark, dir)
     val docs = members.where(col("doc_id") === col("rep_id"))
       .select(col("doc_id"), col("sh"))
     val banded = docs
@@ -877,16 +907,9 @@ object TextQueries {
       .where(col("jaccard").isNotNull)
       .select(col("x").as("a_id"), col("y").as("b_id"), col("jaccard"))
     // Materialize the pair manifest (the SMALL end of the funnel)
-    // eagerly; the grouped-fingerprint checkpoint blocks are
-    // ContextCleaner-managed (freed when unreachable), so nothing
-    // corpus-sized stays pinned on a long-lived engine. Dup-free
-    // corpora (one scalar aggregate over the checkpointed member map
-    // decides) skip the expansion joins — collapse is identity there.
-    val counts = members.agg(count(lit(1)),
-      sum(when(col("doc_id") === col("rep_id"), 1L).otherwise(0L))).head()
-    val expanded =
-      if (counts.getLong(0) == counts.getLong(1)) pairs
-      else cross.unionByName(within)
+    // eagerly. Dup-free corpora (the memoized flag) skip the expansion
+    // joins — collapse is identity there.
+    val expanded = if (dupFree) pairs else cross.unionByName(within)
     val out = expanded
       .orderBy(col("a_id"), col("b_id")).localCheckpoint()
     val exact = exactHalfPairKeys(spark, dir)

@@ -298,7 +298,7 @@ object VectorQueries {
     // vectors can no longer produce one m² task — see
     // [[cappedCosinePairs]]); pair set identical to the bare
     // (t, bucket) self-join (HotBucketCapSpec pins it)
-    val pairs = collapseExpandPairs(base, 0.3) { reps =>
+    val pairs = collapseExpandPairs(spark, dir, base, 0.3) { reps =>
       val banded = reps
         .select(col("vec_id"), col("v"), explode(tables).as("tb"))
         .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"),
@@ -523,27 +523,65 @@ object VectorQueries {
     * ([[cappedCosinePairs]]) stays as the backstop for the case
     * collapse can't touch: a pile of DISTINCT-but-similar vectors in
     * one bucket. */
-  private[graft] def collapseExpandPairs(
-      base: DataFrame, threshold: Double)(
-      funnel: DataFrame => DataFrame): DataFrame = {
+  /** Memoized exact-dup member maps for [[collapseExpandPairs]], keyed
+    * by (app, corpus dir) with snapshot-id invalidation (r13, verdict
+    * item 1): the by-value window + checkpoint + dup-free scalar count
+    * used to run on EVERY funnel invocation — q_semdedup and
+    * q_cosine_dedup_lsh each paid it again, the visible r12 bench cost
+    * on exactly those queries — but the map is a pure function of the
+    * corpus snapshot, so it now builds once per (dir, version) like
+    * [[centroidCache]] and the DupClusters pair manifests. Value =
+    * (snapshot id, checkpointed member map, dup-free flag); a stale
+    * snapshot replaces the entry, making the old checkpoint blocks
+    * ContextCleaner-collectable. Keyed also by applicationId so a
+    * fresh SparkContext in the same JVM never sees another context's
+    * checkpoint handles. At 100 TB this is the "exact dedup runs
+    * first, once" production table, written next to the pair
+    * manifests under the same snapshot id. */
+  private val memberMapCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (String, DataFrame, Boolean)]
+
+  private def memberMapFor(spark: SparkSession, dir: String,
+      base: => DataFrame): (DataFrame, Boolean) = {
     import org.apache.spark.sql.expressions.Window
-    // member map (vec_id → group rep) via a window min over the vector
-    // VALUE — content equality (no hash-collision risk), and no row
-    // ever holds a whole group (a collect_list formulation would put a
-    // 10⁸-copy group into one multi-GB array row); the shuffle is the
-    // same one hash-partition by v a groupBy would pay. Checkpointed:
-    // consumed by the rep funnel and all three expansion joins.
-    val members = base
-      .withColumn("rep_id", min(col("vec_id")).over(Window.partitionBy(col("v"))))
-      .localCheckpoint()
-    // dup-free fast path (r12): one scalar aggregate over the already-
-    // materialized checkpoint decides whether collapse is identity —
-    // a corpus with no exact duplicates (the common healthy case)
-    // skips the three expansion joins outright instead of running
-    // them as no-ops
-    val counts = members.agg(count(lit(1)),
-      sum(when(col("vec_id") === col("rep_id"), 1L).otherwise(0L))).head()
-    if (counts.getLong(0) == counts.getLong(1))
+    val key = (spark.sparkContext.applicationId, dir)
+    val ver = DupClusters.tableVersion(dir, "embeddings")
+    memberMapCache.get(key) match {
+      case Some((v, m, dupFree)) if v == ver => (m, dupFree)
+      case _ =>
+        // member map (vec_id → group rep) via a window min over the
+        // vector VALUE — content equality (no hash-collision risk), and
+        // no row ever holds a whole group (a collect_list formulation
+        // would put a 10⁸-copy group into one multi-GB array row); the
+        // shuffle is the same one hash-partition by v a groupBy would
+        // pay. Checkpointed: consumed by the rep funnel and all three
+        // expansion joins, across every funnel query on this corpus.
+        val members = base
+          .withColumn("rep_id",
+            min(col("vec_id")).over(Window.partitionBy(col("v"))))
+          .localCheckpoint()
+        // dup-free flag (r12): one scalar aggregate over the already-
+        // materialized checkpoint decides whether collapse is identity.
+        // coalesce (r12 advisor): sum() over an EMPTY corpus is NULL
+        // and getLong threw — an empty base now takes the identity path.
+        val counts = members.agg(count(lit(1)),
+          coalesce(sum(when(col("vec_id") === col("rep_id"), 1L)
+            .otherwise(0L)), lit(0L))).head()
+        val dupFree = counts.getLong(0) == counts.getLong(1)
+        memberMapCache.put(key, (ver, members, dupFree))
+        (members, dupFree)
+    }
+  }
+
+  private[graft] def collapseExpandPairs(
+      spark: SparkSession, dir: String, base: => DataFrame,
+      threshold: Double)(
+      funnel: DataFrame => DataFrame): DataFrame = {
+    val (members, dupFree) = memberMapFor(spark, dir, base)
+    // dup-free fast path (r12): a corpus with no exact duplicates (the
+    // common healthy case) skips the three expansion joins outright
+    // instead of running them as no-ops
+    if (dupFree)
       return funnel(members.select(col("vec_id"), col("v")))
     val reps = members.where(col("vec_id") === col("rep_id"))
       .select(col("vec_id"), col("v"))
@@ -592,7 +630,7 @@ object VectorQueries {
     // lists ([[collapseExpandPairs]]); the quantizer itself still
     // trains on the full corpus (same memoized artifact as the ANN
     // index)
-    collapseExpandPairs(e, 0.3) { reps =>
+    collapseExpandPairs(spark, dir, e, 0.3) { reps =>
     val assigned = reps.join(broadcast(centroidList))
       .select(col("vec_id"), col("v"),
         explode(F.nearestCentroids(col("v"), col("cents"), probes)).as("list_id"))

@@ -332,10 +332,12 @@ class TextQueriesSpec extends SparkSpec {
       .select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("text"))
       .collect().map(r => (r.getLong(0), r.getString(1)))
-    // same tokenizer as the engine: split("\\s+") WITHOUT trimming, so
-    // a leading-whitespace doc yields the same leading empty token
+    // same tokenizer as the engine: split("\\s+", -1) WITHOUT trimming
+    // — limit -1 mirrors Spark's split (keeps trailing empty tokens;
+    // Java's default limit 0 drops them — r12 advisor), and a
+    // leading-whitespace doc yields the same leading empty token
     val wins = corpus.flatMap { case (id, text) =>
-      val toks = text.split("\\s+")
+      val toks = text.split("\\s+", -1)
       if (toks.length < w) Seq.empty
       else toks.sliding(w).zipWithIndex.map { case (win, p) =>
         (win.mkString(" "), id, p.toLong)
