@@ -2097,10 +2097,12 @@ object SparkEntry {
         |  TRUE AS precision_ok FROM x
         |ORDER BY a_id, b_id""".stripMargin,
     // SemDeDup (r11): k-means-cluster-blocked semantic near-dup — the
-    // engine soft-assigns the corpus to its top-3 trained centroids,
-    // searches within lists, measures recall vs the exact pair set,
-    // and emits the same exact ground truth + oracle-fixed recall_ok;
-    // precision_ok (r12) pins same-label found ⊆ exact
+    // engine soft-assigns the corpus to its top-8 trained centroids
+    // (r13: probing raised from top-3; recall 1.0/1.0/0.983 across
+    // SFs at the fixture's hard-end 0.3 cut), searches within lists,
+    // measures recall vs the exact pair set, and emits the same exact
+    // ground truth + oracle-fixed recall_ok; precision_ok (r12) pins
+    // same-label found ⊆ exact
     "q_semdedup" ->
       s"""WITH x AS ($CosineDedupSql)
         |SELECT a_id, b_id, cos, TRUE AS recall_ok,
