@@ -130,6 +130,7 @@ object SparkEntry {
     "q_sample_hash" -> ((s, d) => TextQueries.sampleHashCutoff(s, d)),
     "q_ngram_jaccard" -> (TextQueries.ngramJaccard _),
     "q_dup_substrings" -> ((s, d) => TextQueries.dupSubstrings(s, d)),
+    "q_dup_substrings_clean" -> ((s, d) => TextQueries.dupSubstringsClean(s, d)),
     "q_dup_clusters" -> (DupClusters.nearDupClusters _),
     "q_minhash_dedup" -> (TextQueries.minhashDedup _),
     "q_rep_signals" -> (TextQueries.repetitionSignals _),
@@ -151,6 +152,8 @@ object SparkEntry {
     "q_media_stats" -> (MultimodalQueries.mediaStats _),
     "q_frame_sample" -> (MultimodalQueries.frameSample _),
     "q_media_features" -> (MultimodalQueries.mediaFeatures _),
+    "q_media_dedup" -> (MultimodalQueries.mediaDedup _),
+    "q_media_neardup" -> (MultimodalQueries.mediaNearDup _),
     // §3 end-to-end pipeline (EP2 streaming ingest / EP3 raw-zone KPIs)
     "q_raw_kpis" -> (PipelineQueries.rawKpis _),
     "q_stream_hourly" -> (PipelineQueries.streamHourly _),
@@ -269,6 +272,34 @@ object SparkEntry {
       |SELECT l.l_orderkey, l.l_linenumber, l.k, r.asof_orderkey,
       |  strftime(r.asof_ts, '%Y-%m-%d') AS asof_orderdate
       |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.l_shipdate >= r.asof_ts""".stripMargin
+
+  /** Shared span-table CTE chain for the substring-dedup pair
+    * (q_dup_substrings lists the spans; q_dup_substrings_clean cuts
+    * them): merged per-doc spans of 8-token windows repeated across
+    * >= 2 distinct documents. The oracle groups by the window STRING;
+    * the engine groups by its xxhash64 (no window text ever shuffles)
+    * — identical answers modulo ~1e-11 64-bit collisions, the
+    * repo-wide fingerprint idiom. */
+  private val DupSubstrSpanCtes: String =
+    """d AS (SELECT doc_id,
+      |    regexp_split_to_array(text, '\s+') AS toks FROM documents),
+      |wl AS (SELECT doc_id, list_transform(range(1, len(toks) - 6),
+      |    i -> struct_pack(pos := i - 1,
+      |      win := array_to_string(toks[i:i+7], ' '))) AS ws
+      |  FROM d WHERE len(toks) >= 8),
+      |wins AS (SELECT doc_id, unnest(ws) AS u FROM wl),
+      |flat AS (SELECT doc_id, u.pos AS pos, u.win AS win FROM wins),
+      |dup AS (SELECT win FROM flat GROUP BY win
+      |  HAVING count(DISTINCT doc_id) >= 2),
+      |p AS (SELECT doc_id, pos FROM flat JOIN dup USING (win)),
+      |g AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL
+      |    OR pos - lag(pos) OVER w > 7 THEN 1 ELSE 0 END AS ni
+      |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |i AS (SELECT doc_id, pos, sum(ni) OVER (
+      |    PARTITION BY doc_id ORDER BY pos) AS island FROM g),
+      |spans AS (SELECT doc_id, min(pos) AS span_start,
+      |    max(pos) + 7 AS span_end
+      |  FROM i GROUP BY doc_id, island)""".stripMargin
 
   /** Shared by q_ngram_jaccard and (as the edge-list CTE) the
     * q_dup_clusters recursive-closure oracle. */
@@ -1734,31 +1765,44 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_ngram_jaccard" -> NgramJaccardSql,
     // substring-level dedup (r12, Lee et al. 2021 ExactSubstr at
-    // token-window grain): merged per-doc spans of 8-token windows
-    // repeated across >= 2 distinct documents. The oracle groups by
-    // the window STRING; the engine groups by its xxhash64 (no window
-    // text ever shuffles) — identical answers modulo ~1e-11 64-bit
-    // collisions, the repo-wide fingerprint idiom.
+    // token-window grain): the span table (see [[DupSubstrSpanCtes]]).
     "q_dup_substrings" ->
-      """WITH d AS (SELECT doc_id,
-        |    regexp_split_to_array(text, '\s+') AS toks FROM documents),
-        |wl AS (SELECT doc_id, list_transform(range(1, len(toks) - 6),
-        |    i -> struct_pack(pos := i - 1,
-        |      win := array_to_string(toks[i:i+7], ' '))) AS ws
-        |  FROM d WHERE len(toks) >= 8),
-        |wins AS (SELECT doc_id, unnest(ws) AS u FROM wl),
-        |flat AS (SELECT doc_id, u.pos AS pos, u.win AS win FROM wins),
-        |dup AS (SELECT win FROM flat GROUP BY win
-        |  HAVING count(DISTINCT doc_id) >= 2),
-        |p AS (SELECT doc_id, pos FROM flat JOIN dup USING (win)),
-        |g AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL
-        |    OR pos - lag(pos) OVER w > 7 THEN 1 ELSE 0 END AS ni
-        |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
-        |i AS (SELECT doc_id, pos, sum(ni) OVER (
-        |    PARTITION BY doc_id ORDER BY pos) AS island FROM g)
-        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
-        |FROM i GROUP BY doc_id, island
+      s"""WITH $DupSubstrSpanCtes
+        |SELECT doc_id, span_start, span_end FROM spans
         |ORDER BY doc_id, span_start""".stripMargin,
+    // r13, the operation's second half: CUT the duplicated spans.
+    // Every distinct span text keeps its globally-first occurrence
+    // (min (doc_id, span_start)); other occurrences are removed and
+    // each affected document is re-emitted with those token ranges
+    // cut. DuckDB performs the same string surgery over the same span
+    // CTE: slice out span text, rank occurrences, anti-range-join the
+    // token positions, reassemble with string_agg.
+    "q_dup_substrings_clean" ->
+      s"""WITH $DupSubstrSpanCtes,
+        |st AS (SELECT sp.doc_id, sp.span_start, sp.span_end,
+        |    array_to_string(list_slice(d.toks, sp.span_start + 1,
+        |      sp.span_end + 1), ' ') AS stext
+        |  FROM spans sp JOIN d ON d.doc_id = sp.doc_id),
+        |k AS (SELECT doc_id, span_start, span_end, row_number() OVER (
+        |    PARTITION BY stext ORDER BY doc_id, span_start) AS rn FROM st),
+        |rem AS (SELECT doc_id, span_start, span_end FROM k WHERE rn > 1),
+        |aff AS (SELECT DISTINCT doc_id FROM spans),
+        |tl AS (SELECT d.doc_id, d.toks,
+        |    list_transform(range(1, len(d.toks) + 1),
+        |      i -> struct_pack(pos := i - 1, tok := d.toks[i])) AS ts
+        |  FROM d JOIN aff USING (doc_id)),
+        |tp AS (SELECT doc_id, unnest(ts) AS u FROM tl),
+        |tok AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tp),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM rem r WHERE r.doc_id = t.doc_id
+        |    AND t.pos BETWEEN r.span_start AND r.span_end)),
+        |ca AS (SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT tl.doc_id, coalesce(ca.clean_text, '') AS clean_text,
+        |  len(tl.toks) - coalesce(ca.n_kept, 0) AS n_removed
+        |FROM tl LEFT JOIN ca USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // engine side is prefix-filtered over shingle HASHES; the oracle
     // is the definition over trigram STRINGS — |∩| via the shingle
     // equi-join count (a pair with zero shared shingles cannot reach
@@ -1956,6 +2000,28 @@ object SparkEntry {
         |  round(list_sum(list_transform(generate_series(0, CAST(len AS BIGINT) - 1),
         |    i -> CAST((doc_id * 31 + i * 7) % 256 AS DOUBLE))) / 256.0, 4) AS feat_sum
         |FROM m ORDER BY media_id""".stripMargin,
+    // exact payload dedup (r13): the engine groups by the payload byte
+    // VALUE; the oracle predicts the classes from doc_id arithmetic
+    // because the dedup corpus's payload is a pure function of
+    // (g, v) = (doc_id % 17, (doc_id DIV 17) % 3) with a class-id tail
+    // byte making cross-class payloads byte-distinct by construction.
+    "q_media_dedup" ->
+      """SELECT min(doc_id) AS media_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY doc_id % 17, CAST(FLOOR(doc_id / 17) AS BIGINT) % 3
+        |ORDER BY media_id""".stripMargin,
+    // perceptual near-dup (r13): the engine runs the dHash banding
+    // funnel on the bounded slice, measures structural recall (= 1.0:
+    // a <= 6-bit pair always shares >= 2 of 8 bands by pigeonhole) and
+    // found-⊆-truth precision, and emits the formula truth (same
+    // pattern group) + the oracle-fixed claims.
+    "q_media_neardup" ->
+      """WITH m AS (SELECT doc_id AS id, doc_id % 17 AS g FROM documents
+        |  WHERE doc_id % 7 = 0 OR doc_id < 120)
+        |SELECT a.id AS a_id, b.id AS b_id,
+        |  TRUE AS recall_ok, TRUE AS precision_ok
+        |FROM m a JOIN m b ON a.g = b.g AND a.id < b.id
+        |ORDER BY a_id, b_id""".stripMargin,
     "q_bucketed_join" ->
       """SELECT o_orderkey, count(*) AS n_items,
         |  round(sum(l_quantity), 2) AS sum_qty,

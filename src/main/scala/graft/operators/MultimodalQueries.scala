@@ -53,4 +53,110 @@ object MultimodalQueries {
           aggregate(col("features"), lit(0.0), (a, x) => a + x), 4).as("feat_sum"))
       .orderBy(col("media_id"))
   }
+
+  /** E5 (r13) EXACT payload dedup: group by the payload byte VALUE
+    * (content equality — the same collapse key as every exact-dedup
+    * shell here), one canonical media_id + copy count per distinct
+    * payload. The engine works on bytes; the oracle predicts the
+    * answer from doc_id arithmetic because the dedup corpus's payload
+    * is a pure function of its (g, v) class
+    * ([[Multimodal.synthesizeDedupCorpus]]) — the accuracy pattern of
+    * q_media_features, extended to dedup. One linear hash-groupBy;
+    * at 100 TB the groupBy key would be a 128-bit payload digest
+    * computed map-side so only 16-byte keys shuffle (the
+    * q_dedup_exact formulation) — at this payload size shipping the
+    * 121 bytes is cheaper than a second pass. */
+  def mediaDedup(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.synthesizeDedupCorpus(spark, dir)
+      .groupBy(col("payload"))
+      .agg(min(col("media_id")).as("media_id"),
+        count(lit(1)).as("n_copies"))
+      .select(col("media_id"), col("n_copies"))
+      .orderBy(col("media_id"))
+
+  /** E5 (r13) PERCEPTUAL payload near-dup: dHash over the payload
+    * grid ([[Multimodal.dhash64]]), routed through the same capped
+    * banding funnel + exact-dup collapse shell as the text/vector
+    * near-dup family. Funnel: exact-payload pre-collapse (identical
+    * payloads hash identically — band once per distinct payload),
+    * dHash at rep grain, 8 bands of 8 bits, grid-salted capped band
+    * self-join ([[VectorQueries.gridSaltedSides]]), Hamming ≤ 6
+    * verification map-side (bit_count(xor)), expansion of found rep
+    * pairs back over exact-duplicate members. Recall is STRUCTURAL,
+    * not probabilistic: a true near-dup pair differs in ≤ 6 bits, so
+    * ≥ 2 of its 8 bands are untouched (pigeonhole) and the pair is
+    * always a candidate — measured recall must be exactly 1.0 and is
+    * required loudly. Precision is measured (found ⊆ same-group
+    * truth) — cross-group dHashes are independent 64-bit patterns
+    * (expected Hamming ≈ 32), so a ≤ 6 collision would mark a
+    * synthesis regression.
+    *
+    * ACCURACY-GATED ORACLE (the funnel-family pattern): the funnel
+    * runs live, recall+precision are measured against the
+    * formula-derived same-group truth, and the emitted rows are that
+    * truth (DuckDB pins it by the same doc_id arithmetic) plus the
+    * oracle-fixed claims. The funnel corpus is the bounded slice
+    * `id % 7 = 0 OR id < 120` so the pair output stays gate-sized at
+    * every SF while still exercising collapse + banding; the full
+    * corpus is [[mediaDedup]]'s linear axis. */
+  def mediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sampled = Multimodal.synthesizeDedupCorpus(spark, dir)
+      .where(col("media_id") % 7 === 0 || col("media_id") < 120)
+    // exact-dup pre-collapse at payload grain (same shape as
+    // VectorQueries.collapseExpandPairs; Hamming of an exact pair is 0
+    // so every within-group pair qualifies without re-verification)
+    val members = sampled
+      .withColumn("rep_id", min(col("media_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("payload"))))
+      .localCheckpoint()
+    val reps = members.where(col("media_id") === col("rep_id"))
+      .select(col("media_id"), col("payload"))
+    val withH = reps.select(col("media_id"),
+      Multimodal.dhash64("payload").as("dh"))
+    val banded = withH.select(col("media_id"), col("dh"),
+      posexplode(expr("transform(sequence(0, 7)," +
+        " b -> shiftright(dh, b * 8) & 255)")).as(Seq("b", "h")))
+    val (l0, r0) = VectorQueries.gridSaltedSides(
+      banded, Seq("b", "h"), "media_id", VectorQueries.HotBucketCap)
+    val repPairs = l0.withColumnRenamed("media_id", "a_id")
+      .withColumnRenamed("dh", "a_dh")
+      .join(r0.withColumnRenamed("media_id", "b_id")
+        .withColumnRenamed("dh", "b_dh"), Seq("b", "h", "sa", "sb"))
+      .where(col("a_id") < col("b_id"))
+      .where(bit_count(col("a_dh").bitwiseXOR(col("b_dh"))) <= 6)
+      .select(col("a_id"), col("b_id")).distinct()
+    // expansion: cross-group member pairs + within-group pairs
+    val cross = repPairs
+      .join(members.select(col("rep_id").as("a_id"), col("media_id").as("x")), Seq("a_id"))
+      .join(members.select(col("rep_id").as("b_id"), col("media_id").as("y")), Seq("b_id"))
+      .select(least(col("x"), col("y")).as("a_id"),
+        greatest(col("x"), col("y")).as("b_id"))
+    val within = members.select(col("rep_id"), col("media_id").as("x"))
+      .join(members.where(col("media_id") =!= col("rep_id"))
+        .select(col("rep_id"), col("media_id").as("y")), Seq("rep_id"))
+      .where(col("x") < col("y"))
+      .select(col("x").as("a_id"), col("y").as("b_id"))
+    val found = cross.unionByName(within)
+      .select(col("a_id"), col("b_id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // formula truth: same pattern group g = id % 17 (the oracle's own
+    // derivation); result-sized by the bounded slice
+    val ids = sampled.select(col("media_id")).collect().map(_.getLong(0)).sorted
+    val byG = ids.groupBy(_ % 17)
+    val truth = byG.values.flatMap(gr =>
+      gr.combinations(2).map(p => (p(0), p(1)))).toSet
+    require(truth.isEmpty || found.nonEmpty,
+      s"mediaNearDup: total recall loss — ${truth.size} same-group " +
+        "pairs exist but the dHash funnel produced zero")
+    val recall =
+      if (truth.isEmpty) 1.0 else truth.count(found).toDouble / truth.size
+    require(recall >= 0.999, f"mediaNearDup: structural recall broken " +
+      f"($recall%.3f) — a <=6-bit pair missed all 8 bands?")
+    val precision = found.forall(truth)
+    truth.toSeq.sorted.toDF("a_id", "b_id")
+      .withColumn("recall_ok", lit(recall >= 0.999))
+      .withColumn("precision_ok", lit(precision))
+      .orderBy(col("a_id"), col("b_id"))
+  }
 }

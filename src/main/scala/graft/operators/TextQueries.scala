@@ -599,6 +599,71 @@ object TextQueries {
       .orderBy(col("doc_id"), col("span_start"))
   }
 
+  /** E2 (r13) SUBSTRING-level dedup, second half: EMIT THE CLEANED
+    * CORPUS. Lee et al.'s ExactSubstr operation ends by CUTTING the
+    * duplicated spans from the training set, keeping one canonical
+    * occurrence — [[dupSubstrings]] stops at the span list; this query
+    * performs the cut. Canonicalization is at span-TEXT grain: each
+    * distinct duplicated span string keeps its globally-first
+    * occurrence (min (doc_id, span_start)) and every other occurrence
+    * is removed from its document; affected documents are re-emitted
+    * with the removed token ranges cut (untouched documents are not
+    * corpus output here — the span table bounds the result).
+    *
+    * Plan shape: the span table comes from the SAME single-posting-pass
+    * pipeline (no second n-gram pass); span text is one array-slice
+    * per span row (span-sized); the keeper choice is a window over the
+    * span table (span-sized); the token-grain cut touches only
+    * AFFECTED documents — posexplode of their token arrays, a
+    * doc_id-equi anti join against that doc's removed ranges, and a
+    * per-document reassembly whose state is one document (a document
+    * fits in memory by definition — same bound as every per-doc
+    * kernel here). At 100 TB: spans/keepers are boilerplate-sized,
+    * and the cut is an output-sized rewrite of the affected slice of
+    * the corpus, embarrassingly parallel by doc_id. */
+  def dupSubstringsClean(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = dupSubstrings(spark, dir, w)
+    val docs = withTokens(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("toks"))
+    // span text via one bounded array slice (pos is 0-based, slice is
+    // 1-based); the toks array rides this join only at span grain
+    val st = spans.join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        array_join(slice(col("toks"), col("span_start") + 1,
+          col("span_end") - col("span_start") + 1), " ").as("stext"))
+    // canonical occurrence = globally-first (doc_id, span_start) per
+    // distinct span text; everything after rank 1 is cut
+    val removed = st
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("stext"))
+          .orderBy(col("doc_id"), col("span_start"))))
+      .where(col("rn") > 1)
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+    val affected = docs.join(spans.select(col("doc_id")).distinct(), Seq("doc_id"))
+    val toksPos = affected
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "tok")))
+    // anti range-join: drop token positions covered by a removed span
+    // of the SAME document (doc_id equi key bounds the range probe)
+    val kept = toksPos.join(removed,
+      toksPos("doc_id") === removed("doc_id") &&
+        col("pos") >= col("span_start") && col("pos") <= col("span_end"),
+      "left_anti")
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(sort_array(collect_list(struct(pos, tok)))," +
+          " s -> s.tok), ' ')").as("clean_text"))
+    // left join so a document whose every token was cut still emits
+    // (empty text) — conservation must hold for it too
+    affected.select(col("doc_id"), size(col("toks")).as("n_toks"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"),
+        (col("n_toks") - coalesce(col("n_kept"), lit(0L)))
+          .cast("long").as("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
   /** E2 exact n-gram (bigram) jaccard near-dup within (source, lang)
     * blocks. The blocked self-join bounds the pair count; the exact
     * set-jaccard runs on deduplicated bigram arrays. */

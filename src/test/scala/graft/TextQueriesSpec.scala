@@ -362,6 +362,51 @@ class TextQueriesSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should contain cross-doc repeated 8-token runs")
   }
 
+  test("dupSubstringsClean: driver recompute of the cut + token conservation") {
+    val w = 8
+    val corpus = Tables.load(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    val spans = graft.operators.TextQueries.dupSubstrings(spark, sf, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // keeper = globally-first occurrence of each distinct span TEXT
+    val withText = spans.map { case (id, s, e) =>
+      val toks = corpus(id).split("\\s+", -1)
+      (id, s, e, toks.slice(s.toInt, e.toInt + 1).mkString(" "))
+    }
+    val removed = withText.groupBy(_._4).values.flatMap { occ =>
+      occ.sortBy(t => (t._1, t._2)).drop(1)
+    }.toSeq.groupBy(_._1)
+    val affected = spans.map(_._1).distinct
+    val expected = affected.map { id =>
+      val toks = corpus(id).split("\\s+", -1)
+      val cut = removed.getOrElse(id, Seq.empty)
+        .flatMap(t => t._2 to t._3).toSet
+      val keptToks = toks.zipWithIndex.collect {
+        case (t, p) if !cut.contains(p.toLong) => t
+      }
+      (id, keptToks.mkString(" "), cut.size.toLong)
+    }.toSet
+    val got = graft.operators.TextQueries.dupSubstringsClean(spark, sf, w)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === expected,
+      s"missing ${expected -- got}, extra ${got -- expected}")
+    // conservation: tokens out = tokens in − removed span tokens, and
+    // something was actually cut on this fixture
+    got.foreach { case (id, clean, nRemoved) =>
+      val nIn = corpus(id).split("\\s+", -1).length.toLong
+      val nOut = if (clean.isEmpty) 0L else clean.split(" ", -1).length.toLong
+      assert(nOut === nIn - nRemoved, s"doc $id: $nOut != $nIn - $nRemoved")
+    }
+    assert(got.exists(_._3 > 0), "fixture should have at least one cut span")
+    // every span is still covered engine-side: the kept copy survives —
+    // total removed strictly less than total span tokens
+    val totalSpanToks = spans.map { case (_, s, e) => e - s + 1 }.sum
+    val totalRemoved = got.toSeq.map(_._3).sum
+    assert(totalRemoved < totalSpanToks)
+  }
+
   test("minhash_union aggregate: sig(union of docs) == union of sigs (exactness)") {
     import org.apache.spark.sql.functions._
     import graft.functions.F
