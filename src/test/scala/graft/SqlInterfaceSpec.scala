@@ -351,6 +351,59 @@ class SqlInterfaceSpec extends SparkSpec {
       "SQL manifest consumer != Scala canonicalReps")
   }
 
+  // r13 (verdict item 8): the headline LLM-pipeline DEDUP funnels are
+  // SQL-reachable as raw text — the custom kernels (ngram_hashes,
+  // minhash_band_hashes, jaccard_ge, ngram_hash_pos) resolve inside
+  // plain SQL, and the definitional un-salted formulations must land
+  // on exactly the pair/span sets the engine's capped + collapsed
+  // funnels produce (the shells are provably set-preserving; this
+  // pins it from the SQL side too).
+
+  test("MinHash+LSH dedup funnel via pure SQL text equals the engine's found-pair set") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """WITH d AS (SELECT doc_id, split(text, '\\s+') AS toks FROM documents),
+        |f AS (SELECT doc_id, ngram_hashes(toks, 3) AS sh FROM d
+        |  WHERE size(toks) >= 3),
+        |banded AS (SELECT doc_id, b, h FROM f
+        |  LATERAL VIEW posexplode(minhash_band_hashes(sh, 16, 4)) t AS b, h),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |  FROM banded a JOIN banded b ON a.b = b.b AND a.h = b.h
+        |    AND a.doc_id < b.doc_id),
+        |v AS (SELECT a_id, b_id,
+        |    jaccard_ge(fa.sh, fb.sh, 0.5d) AS j
+        |  FROM cand JOIN f fa ON fa.doc_id = a_id
+        |    JOIN f fb ON fb.doc_id = b_id)
+        |SELECT a_id, b_id, round_bin(j, 6) AS jaccard FROM v
+        |WHERE j IS NOT NULL ORDER BY a_id, b_id""".stripMargin)
+    val (engineFound, _) =
+      graft.operators.TextQueries.minhashDedupFound(spark, sf)
+    assert(rowsOf(viaSql) === rowsOf(engineFound),
+      "SQL LSH funnel != engine capped/collapsed funnel")
+  }
+
+  test("substring-dedup span table via pure SQL text equals the declared query") {
+    Tables.registerViews(spark, sf)
+    val viaSql = spark.sql(
+      """WITH d AS (SELECT doc_id, split(text, '\\s+') AS toks FROM documents),
+        |w AS (SELECT doc_id, pos, fp FROM d
+        |  LATERAL VIEW ngram_hash_pos(toks, 8) t AS pos, fp),
+        |dup AS (SELECT fp FROM w GROUP BY fp
+        |  HAVING count(DISTINCT doc_id) >= 2),
+        |p AS (SELECT doc_id, pos FROM w JOIN dup USING (fp)),
+        |g AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER win IS NULL
+        |    OR pos - lag(pos) OVER win > 7 THEN 1L ELSE 0L END AS ni
+        |  FROM p WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+        |i AS (SELECT doc_id, pos, sum(ni) OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS island FROM g)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |FROM i GROUP BY doc_id, island
+        |ORDER BY doc_id, span_start""".stripMargin)
+    assert(rowsOf(viaSql) ===
+      rowsOf(graft.operators.TextQueries.dupSubstrings(spark, sf)),
+      "SQL span table != Scala span table")
+  }
+
   test("custom aggregate + scalar functions compose in SQL over a view") {
     // KMV: no name collision with Spark's datasketches builtins (the
     // builtin `hll_union` shadows graft's SQL name — install() never
