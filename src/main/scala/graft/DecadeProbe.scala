@@ -1,0 +1,209 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The 1000×-span decade probe (r13, verdict item 7): the committed
+  * fixtures span 100× (sf0.001 → sf0.1, scaling.json); this probe
+  * mints an sf1-equivalent zone — 10× sf0.1 — and times a
+  * funnel/stream flagship slate one more decade, so the scaling story
+  * rests on three measured decades instead of two.
+  *
+  * Zone construction (10 copies of sf0.1, deterministic):
+  * - `documents` (50k): copy k offsets doc_id by k·10⁷ and suffixes
+  *   every token with `_k` — each copy keeps the base corpus's exact
+  *   length/duplication/window structure while its token domain stays
+  *   DISJOINT from every other copy's, so dedup outputs (exact groups,
+  *   J ≥ 1/2 pairs, repeated-window spans) scale exactly 10× and no
+  *   spurious cross-copy similarity is manufactured. This is the
+  *   honest replication: "ten shards of similar-looking traffic", not
+  *   "the same corpus ten times" (which the exact-dup collapse would
+  *   flatten back to 1×).
+  * - `events` (1M): copy k offsets event_id/user_id by k·10⁷, keeps
+  *   timestamps — same 30-day window at 10× daily volume and 10× the
+  *   user population (per-user event density unchanged).
+  * - `embeddings` are NOT extrapolated: with d = 64, any replication
+  *   or resynthesis changes the pair density above the fixture's 0.3
+  *   cut (random unit vectors alone put ~0.8% of all pairs over it —
+  *   a pair-count regime the driver's fixture deliberately avoids),
+  *   and funnel cost is driven by that density, so a synthetic decade
+  *   would measure the synthesizer, not the engine. The vector-funnel
+  *   scale evidence stays the measured 100× curves + the
+  *   skew-adversarial zone + the analytic knob math (SCALE.md).
+  *
+  * Measurement discipline = Bench/ScalingProbe: warmup, median of 3,
+  * steal delta recorded; per-query sf1 output row counts recorded so
+  * any ratio step is explainable by measured cardinality. Writes
+  * decade.json.
+  */
+object DecadeProbe {
+
+  /** Funnel/stream/KPI flagships whose 10× replication semantics are
+    * exact (see zone construction above). */
+  val Slate: Seq[String] = Seq(
+    "q_kpi_daily", "q_events_hourly", "q_sessionize",
+    "q_dedup_exact", "q_simjoin_prefix", "q_minhash_dedup",
+    "q_dup_substrings", "q_dup_substrings_clean",
+    "q_bpe_pairs", "q_token_budget", "q_decontam_bloom",
+    "q_dup_clusters")
+
+  private val Copies = 10
+  private val IdStride = 10000000L
+
+  private[graft] def buildZone(spark: org.apache.spark.sql.SparkSession,
+                               base: String): String = {
+    val out = java.nio.file.Files.createTempDirectory("graft-sf1zone")
+    val docs = Tables.load(spark, base, "documents")
+    (0 until Copies).map { k =>
+      if (k == 0) docs.select(col("doc_id"), col("text"), col("lang"),
+        col("source"), col("n_chars"))
+      else docs.select(
+        (col("doc_id") + lit(k * IdStride)).as("doc_id"),
+        array_join(transform(split(col("text"), "\\s+"),
+          t => concat(t, lit(s"_$k"))), " ").as("text"),
+        col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(out.resolve("documents.parquet").toString)
+    val ev = Tables.load(spark, base, "events")
+    (0 until Copies).map { k =>
+      ev.select(
+        (col("event_id") + lit(k * IdStride)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k * IdStride)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(out.resolve("events.parquet").toString)
+    out.toString
+  }
+
+  private def median3(body: => Unit): Double = {
+    body // warm: codegen + caches + manifests
+    Seq.fill(3) {
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }.sorted.apply(1)
+  }
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.walk(p)
+    try s.iterator().asScala.toSeq.reverse
+      .foreach(java.nio.file.Files.deleteIfExists(_))
+    finally s.close()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = if (args.nonEmpty) args(0) else "/root/testdata/sf0.1"
+    val outPath = if (args.length > 1) args(1) else "/root/repo/decade.json"
+    val stealStart = Bench.stealSeconds()
+    val spark = Tables.session()
+    spark.sparkContext.setLogLevel("WARN")
+    val zone = buildZone(spark, base)
+    System.err.println(s"[decade] sf1 zone built at $zone")
+    try {
+      val missing = Slate.filterNot(SparkEntry.queries.contains)
+      require(missing.isEmpty, s"unknown slate queries: $missing")
+
+      val times = scala.collection.mutable.LinkedHashMap[String, (Double, Double, Long)]()
+      for (q <- Slate) {
+        val fn = SparkEntry.queries(q)
+        val t01 = median3(Bench.forceEval(fn(spark, base)))
+        val t1 = median3(Bench.forceEval(fn(spark, zone)))
+        // output cardinality at sf1 — the denominator for explaining
+        // any ratio step (funnel outputs are expected to grow ~10×)
+        val rows = fn(spark, zone).count()
+        times(q) = (t01, t1, rows)
+        System.err.println(f"[decade] $q%-24s sf0.1=$t01%.2fs sf1=$t1%.2fs " +
+          f"ratio=${t1 / math.max(t01, 1e-9)}%.2f rows_sf1=$rows")
+      }
+
+      // Streaming decade: the two maintained pipelines per-drain, at
+      // base and zone — build drain (grows with corpus) vs fixed-batch
+      // incremental drain (should stay ~flat across the decade).
+      import graft.operators.PipelineQueries
+      val streams = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+      for ((dirLabel, dir) <- Seq("sf0.1" -> base, "sf1" -> zone)) {
+        // near-dup drain
+        locally {
+          val in = java.nio.file.Files.createTempDirectory("dec-ndup-in")
+          val out = java.nio.file.Files.createTempDirectory("dec-ndup-out")
+          val idx = java.nio.file.Files.createTempDirectory("dec-ndup-idx")
+          val ck = java.nio.file.Files.createTempDirectory("dec-ndup-ck")
+          try {
+            val docs = Tables.load(spark, dir, "documents")
+              .select(col("doc_id"), col("text"))
+            (0 until 3).foreach { k =>
+              docs.where(pmod(col("doc_id"), lit(3)) === k)
+                .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+                .coalesce(1).write.mode("append").text(in.toString)
+            }
+            val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+            val t0 = System.nanoTime()
+            PipelineQueries.nearDupDrain(
+              spark, in.toString, out.toString, idx.toString, ck.toString)
+            streams(s"q_stream_neardup_build/$dirLabel") =
+              ((System.nanoTime() - t0) / 1e9, 0.0)
+            val samples = (1 to 3).map { i =>
+              docs.orderBy(col("doc_id")).limit(32)
+                .select((col("doc_id") + lit(maxId * i + 1)).as("doc_id"), col("text"))
+                .select(to_json(struct(col("doc_id"), col("text"))).as("value"))
+                .coalesce(1).write.mode("append").text(in.toString)
+              val t1 = System.nanoTime()
+              PipelineQueries.nearDupDrain(
+                spark, in.toString, out.toString, idx.toString, ck.toString)
+              (System.nanoTime() - t1) / 1e9
+            }.sorted
+            streams(s"q_stream_neardup_incr/$dirLabel") = (samples(1), 0.0)
+          } finally Seq(in, out, idx, ck).foreach(rmTree)
+        }
+        // upsert drain
+        locally {
+          val in = java.nio.file.Files.createTempDirectory("dec-upsert-in")
+          val out = java.nio.file.Files.createTempDirectory("dec-upsert-out")
+          val ck = java.nio.file.Files.createTempDirectory("dec-upsert-ck")
+          try {
+            val spanDays = Tables.load(spark, dir, "events")
+              .agg(datediff(max(to_date(col("ts"))), min(to_date(col("ts")))))
+              .head().getInt(0)
+            PipelineQueries.writeWireZone(spark, dir, in.toString,
+              cutoffDate = Some(PipelineQueries.StreamCutoff))
+            val t0 = System.nanoTime()
+            PipelineQueries.upsertDrain(spark, in.toString, out.toString, ck.toString)
+            streams(s"q_stream_upsert_build/$dirLabel") =
+              ((System.nanoTime() - t0) / 1e9, 0.0)
+            val samples = (1 to 3).map { i =>
+              PipelineQueries.writeWireZone(spark, dir, in.toString,
+                cutoffDate = None, files = 1, limit = 500,
+                shiftDays = (spanDays + 40) * i, idPrefix = s"b$i-")
+              val t1 = System.nanoTime()
+              PipelineQueries.upsertDrain(spark, in.toString, out.toString, ck.toString)
+              (System.nanoTime() - t1) / 1e9
+            }.sorted
+            streams(s"q_stream_upsert_incr/$dirLabel") = (samples(1), 0.0)
+          } finally Seq(in, out, ck).foreach(rmTree)
+        }
+      }
+
+      def j(d: Double): String =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+      val qBody = times.map { case (q, (t01, t1, rows)) =>
+        s""""$q":{"sf0.1":${j(t01)},"sf1":${j(t1)},""" +
+          s""""ratio":${j(t1 / math.max(t01, 1e-9))},"rows_sf1":$rows}"""
+      }.mkString(",")
+      val sBody = streams.map { case (k, (t, _)) => s""""$k":${j(t)}""" }
+        .mkString(",")
+      val line = s"""{"metric":"decade","base":"$base","zone":""" +
+        s""""10x sf0.1: copy-tagged token domains, offset ids, same 30-day window",""" +
+        s""""queries":{$qBody},"streams":{$sBody},""" +
+        s""""steal_sec":${j(Bench.stealSeconds() - stealStart)}}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        line.getBytes("UTF-8"))
+      println(line)
+    } finally rmTree(java.nio.file.Paths.get(zone))
+  }
+}
