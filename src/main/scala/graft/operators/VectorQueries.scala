@@ -649,6 +649,18 @@ object VectorQueries {
     // pair found in both shared lists collides twice → distinct on
     // the survivor set (result-sized, same argument as the LSH
     // funnel's).
+    // SYMMETRIC top-k co-probing is a measured choice (r13): the
+    // FAISS-style ASYMMETRIC split (index side top-1, query side
+    // top-k, candidates when either member's probes cover the other's
+    // home list) was built and measured at this fixture's hard-end
+    // 0.3 cut — asym@8 = 0.671 recall at sf0.1, asym@16 = 0.871,
+    // asym@24 = 0.963 vs symmetric@8 = 0.983 at comparable wall time —
+    // because weakly-similar boundary pairs often have NEITHER
+    // member's home list inside the other's probe set. At SemDeDup's
+    // production high-cut regime the asymmetric split is the cheaper
+    // choice (pair volume ~k/k² of symmetric's); at this fixture's
+    // operating point symmetric co-probing buys strictly better
+    // recall for the same time, so it ships.
     // capped grid-salted self-probe (r12): same pair set as the bare
     // list_id self-join, without the one-degenerate-list m² task
     // hazard (see [[cappedCosinePairs]])
