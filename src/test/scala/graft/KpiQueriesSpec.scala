@@ -159,4 +159,35 @@ class KpiQueriesSpec extends SparkSpec {
         s"$da→$db: est=$est exact=$exact")
     }
   }
+
+  test("globalNtile: distributed two-pass rank path byte-identical to the window path") {
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    // force the distributed path (windowMax = 0) on the real user-grain
+    // frame and pin it against Spark's ntile window — exact SQL
+    // row-position semantics, every tile, both tiebreak directions
+    val per = Tables.load(spark, sf, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ts")).as("last_ts"))
+    val n = per.count()
+    for ((sort, name) <- Seq(
+      (Seq(col("n_events"), col("user_id")), "asc"),
+      (Seq(col("n_events").desc, col("user_id")), "desc"))) {
+      val dist = KpiQueries.globalNtile(per, n, sort, 4, "t", windowMax = 0L)
+        .select(col("user_id"), col("t"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      val win = per.withColumn("t", org.apache.spark.sql.functions.ntile(4)
+          .over(org.apache.spark.sql.expressions.Window.orderBy(sort: _*)))
+        .select(col("user_id"), col("t"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+      assert(dist === win, s"tiebreak $name")
+    }
+    // non-divisible tile sizes: 4 tiles over a 7-row frame — the first
+    // n%k tiles must hold one extra row in BOTH paths
+    val small = per.orderBy(col("user_id")).limit(7)
+    val d7 = KpiQueries.globalNtile(small, 7,
+        Seq(col("user_id")), 4, "t", windowMax = 0L)
+      .collect().map(r => r.getAs[Int]("t"))
+    assert(d7.sorted.toSeq === Seq(1, 1, 2, 2, 3, 3, 4))
+  }
 }
