@@ -148,6 +148,7 @@ object SparkEntry {
     "q_decontam_bloom" -> ((s, d) => TrainingQueries.decontaminateBloom(s, d)),
     "q_epoch_shuffle" -> ((s, d) => TrainingQueries.epochShuffle(s, d)),
     "q_token_budget" -> ((s, d) => TrainingQueries.tokenBudget(s, d)),
+    "q_dsir_sample" -> ((s, d) => TrainingQueries.dsirSample(s, d)),
     // §2.11 E5 multimodal binary columns
     "q_media_stats" -> (MultimodalQueries.mediaStats _),
     "q_frame_sample" -> (MultimodalQueries.frameSample _),
@@ -1708,6 +1709,38 @@ object SparkEntry {
     // bloom-pruned decontamination is EXACT (no false negatives +
     // exact confirm) — it must hash-match the same oracle
     "q_decontam_bloom" -> DecontamSql,
+    // DSIR importance resampling (r13, Xie et al. 2023): hashed
+    // uni+bigram buckets via md5 mod 128 (engine-portable), smoothed
+    // target(lang='en')/raw log-likelihood-ratio scores, deterministic
+    // Gumbel-top-20 from md5(doc_id) — DuckDB recomputes the entire
+    // recipe from raw text
+    "q_dsir_sample" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |g0 AS (SELECT doc_id, lang, unnest(toks ||
+        |    list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS gram FROM d),
+        |g AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(gram), 1, 8)) AS BIGINT) % 128 AS b
+        |  FROM g0),
+        |rawc AS (SELECT b, count(*) AS rc FROM g GROUP BY b),
+        |tgtc AS (SELECT b, count(*) AS tc FROM g WHERE lang = 'en' GROUP BY b),
+        |tot AS (SELECT count(*) AS r_n,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS t_n FROM g),
+        |lr AS (SELECT rawc.b,
+        |    ln(((coalesce(tc, 0) + 0.5) / (t_n + 64.0)) /
+        |       ((rc + 0.5) / (r_n + 64.0))) AS lw
+        |  FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b CROSS JOIN tot),
+        |dc AS (SELECT doc_id, b, count(*) AS c FROM g GROUP BY 1, 2),
+        |docw AS (SELECT dc.doc_id, sum(c * lw) AS logw
+        |  FROM dc JOIN lr ON dc.b = lr.b GROUP BY 1),
+        |ky AS (SELECT doc_id, logw, logw + (-ln(-ln(
+        |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) + 1) / 4294967296.0))) AS gk FROM docw),
+        |r AS (SELECT doc_id, logw,
+        |    row_number() OVER (ORDER BY gk DESC, doc_id) AS rn FROM ky)
+        |SELECT doc_id, round(logw, 6) AS logw FROM r WHERE rn <= 20
+        |ORDER BY doc_id""".stripMargin,
     "q_rep_signals" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks FROM documents),
         |tok AS (SELECT doc_id, unnest(toks) AS w FROM t),

@@ -241,6 +241,84 @@ object TrainingQueries {
     * offsets map also tells the planner which partitions lie wholly
     * past the cut — those tasks drain trivially here and would be
     * pruned outright in a production run. */
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023) restated on DataFrames (r13): select raw documents whose
+    * hashed-n-gram distribution looks like a TARGET domain. The
+    * published recipe exactly: featurize every document as counts
+    * over B hash buckets of its word uni+bigrams; fit smoothed
+    * bucket distributions p (target = the `lang = 'en'` slice — the
+    * stand-in for "high-quality domain") and q (the raw corpus);
+    * score each document with the bag-of-buckets log-likelihood
+    * ratio log w(x) = Σ_grams log(p_b/q_b); resample top-k under
+    * Gumbel noise (log w + Gumbel(u) with u a pure md5 hash of
+    * doc_id — the paper's Gumbel-top-k trick, made deterministic and
+    * engine-portable the same way q_weighted_sample's A-Res keys
+    * are).
+    *
+    * Scale shape: grams hash to bucket ids IN THE PROJECTION (md5 mod
+    * B — chosen over xxhash64 so DuckDB pins the identical buckets),
+    * so nothing wider than (doc_id, bucket) ever shuffles; the two
+    * distribution fits are B-row aggregates; the per-document score
+    * is one partial-aggregated sum against a BROADCAST B-row
+    * log-ratio table; the cut is one top-k. Everything is one pass
+    * over the token stream — the shape that holds at 100 TB, where
+    * the target fit comes from the small curated corpus and only q
+    * rides the big scan. */
+  def dsirSample(spark: SparkSession, dir: String,
+                 buckets: Int = 128, k: Int = 20): DataFrame = {
+    val docs = withToks(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("lang"), col("toks"))
+    // uni+bigram stream; the size >= 2 guard matters: sequence(1, 0)
+    // is DESCENDING in Spark and would mint phantom bigrams
+    val grams = docs
+      .withColumn("grams", concat(col("toks"),
+        when(size(col("toks")) >= 2,
+          expr("transform(sequence(1, size(toks) - 1)," +
+            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+          .otherwise(array().cast("array<string>"))))
+      .select(col("doc_id"), col("lang"),
+        explode(col("grams")).as("gram"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
+          % buckets).as("b"))
+    // ONE pass over the token stream: everything downstream — both
+    // distribution fits, the totals, and the per-doc scores — derives
+    // from the (doc, lang, bucket)-grain count, materialized once
+    // (explode + md5 would otherwise re-run per consumer; interpreted
+    // HOF columns get no CSE, the repo-wide gotcha)
+    val dc = grams.groupBy(col("doc_id"), col("lang"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // both fits in ONE bucket-grain aggregate; the totals fold over
+    // its B rows (trivial) instead of re-scanning the gram stream
+    val bc = dc.groupBy(col("b"))
+      .agg(sum(col("c")).as("rc"),
+        coalesce(sum(when(col("lang") === "en", col("c")).otherwise(0L)),
+          lit(0L)).as("tc"))
+    val totals = bc.agg(coalesce(sum(col("rc")), lit(0L)).as("r_n"),
+      coalesce(sum(col("tc")), lit(0L)).as("t_n"))
+    // smoothed per-bucket log ratio — a B-row broadcast table
+    val lr = bc.crossJoin(totals)
+      .select(col("b"),
+        log(((col("tc") + lit(0.5)) / (col("t_n") + lit(0.5 * buckets))) /
+          ((col("rc") + lit(0.5)) / (col("r_n") + lit(0.5 * buckets))))
+          .as("lw"))
+    // per-document bag-of-buckets score against the broadcast table
+    val scored = dc
+      .join(broadcast(lr), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("lw")).as("logw"))
+    // Gumbel-top-k resample, deterministic: u from md5(doc_id)
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") + 1).cast("double") / lit(4294967296.0)
+    scored
+      .withColumn("gk", col("logw") + -log(-log(u)))
+      .orderBy(col("gk").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), F.roundBin(col("logw"), 6).as("logw"))
+      .orderBy(col("doc_id"))
+  }
+
   def tokenBudget(spark: SparkSession, dir: String,
                   frac: Double = 0.4, epoch: Int = 1): DataFrame = {
     import spark.implicits._

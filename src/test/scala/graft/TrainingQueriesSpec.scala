@@ -187,4 +187,58 @@ class TrainingQueriesSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window (global row_number trap):\n$p")
     assert(!p.contains("SinglePartition"), s"no single-partition stage:\n$p")
   }
+
+  test("dsirSample: driver-side recompute of the full DSIR recipe (buckets, fits, scores, Gumbel top-k)") {
+    val k = 20
+    val buckets = 128
+    val corpus = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(g: String): Long =
+      java.lang.Long.parseLong(md5hex(g).substring(0, 8), 16) % buckets
+    val perDoc = corpus.map { case (id, lang, text) =>
+      val toks = text.split("\\s+", -1)
+      val grams = toks.toSeq ++ toks.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" "))
+      (id, lang, grams.map(bucket).groupBy(identity)
+        .map { case (b, g) => b -> g.size.toLong })
+    }
+    val rawC = perDoc.flatMap(_._3).groupBy(_._1)
+      .map { case (b, cs) => b -> cs.map(_._2).sum }
+    val tgtC = perDoc.filter(_._2 == "en").flatMap(_._3).groupBy(_._1)
+      .map { case (b, cs) => b -> cs.map(_._2).sum }
+    val rN = rawC.values.sum.toDouble
+    val tN = tgtC.values.sum.toDouble
+    val lw = rawC.map { case (b, rc) =>
+      b -> math.log(((tgtC.getOrElse(b, 0L) + 0.5) / (tN + 0.5 * buckets)) /
+        ((rc + 0.5) / (rN + 0.5 * buckets)))
+    }
+    val scored = perDoc.map { case (id, _, cs) =>
+      id -> cs.map { case (b, c) => c * lw(b) }.sum
+    }.toMap
+    val top = scored.toSeq.map { case (id, logw) =>
+      val u = (java.lang.Long.parseLong(
+        md5hex(id.toString).substring(0, 8), 16) + 1) / 4294967296.0
+      (id, logw, logw + -math.log(-math.log(u)))
+    }.sortBy { case (id, _, gk) => (-gk, id) }.take(k)
+    val expected = top.map { case (id, logw, _) =>
+      id -> math.rint(logw * 1e6) / 1e6
+    }.toMap
+    val got = TrainingQueries.dsirSample(spark, sf, buckets, k).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet === expected.keySet,
+      s"selected set differs: ${got.keySet -- expected.keySet} vs ${expected.keySet -- got.keySet}")
+    got.foreach { case (id, w) =>
+      assert(math.abs(w - expected(id)) < 1e-6, s"doc $id: $w vs ${expected(id)}")
+    }
+    // the target slice must score higher on average than the rest —
+    // the property that makes it a SELECTION method
+    val byLang = corpus.map(c => c._1 -> c._2).toMap
+    val (en, rest) = scored.partition { case (id, _) => byLang(id) == "en" }
+    assert(en.values.sum / en.size > rest.values.sum / rest.size,
+      "target-domain docs should out-score the rest on the LLR")
+  }
 }
