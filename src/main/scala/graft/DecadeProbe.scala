@@ -45,7 +45,11 @@ object DecadeProbe {
     "q_dedup_exact", "q_simjoin_prefix", "q_minhash_dedup",
     "q_dup_substrings", "q_dup_substrings_clean",
     "q_bpe_pairs", "q_token_budget", "q_decontam_bloom",
-    "q_dup_clusters")
+    "q_dup_clusters",
+    // r13 additions: DSIR (token-linear one-pass selection) and exact
+    // payload dedup (byte-grain groupBy over the synthesized media
+    // corpus — media_ids are doc_ids, so the zone scales it 10× too)
+    "q_dsir_sample", "q_media_dedup")
 
   private val Copies = 10
   private val IdStride = 10000000L

@@ -46,7 +46,11 @@ object ScalingProbe {
     // r12: substring-level dedup — posting stream is corpus-token-
     // sized, repeated-fingerprint filter is one two-phase agg, output
     // span-sized; the curve should track token volume near-linearly
-    "q_dup_substrings")
+    "q_dup_substrings",
+    // r13: the substring CUT (affected-doc-bounded token surgery),
+    // DSIR importance resampling (one token-stream pass + B-row
+    // broadcast), exact payload dedup (linear byte-grain groupBy)
+    "q_dup_substrings_clean", "q_dsir_sample", "q_media_dedup")
 
   // measurement plumbing shared with Bench — one implementation
   private def forceEval(df: org.apache.spark.sql.DataFrame): Unit =

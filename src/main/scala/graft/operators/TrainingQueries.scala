@@ -266,18 +266,28 @@ object TrainingQueries {
     * rides the big scan. */
   def dsirSample(spark: SparkSession, dir: String,
                  buckets: Int = 128, k: Int = 20): DataFrame = {
-    val docs = withToks(load(spark, dir, "documents"))
+    // spread the docs across the executor threads BEFORE the heavy
+    // gram+md5 projection: the fixture corpus is one parquet file, so
+    // without this the million-gram md5 stream runs on one task (at
+    // 100 TB the scan is naturally thousands of splits and this
+    // repartition is a cheap no-op-sized shuffle of raw doc rows)
+    val docs = withToks(load(spark, dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism))
       .select(col("doc_id"), col("lang"), col("toks"))
     // uni+bigram stream; the size >= 2 guard matters: sequence(1, 0)
-    // is DESCENDING in Spark and would mint phantom bigrams
+    // is DESCENDING in Spark and would mint phantom bigrams. The gram
+    // array is built INLINE inside explode() — naming it with
+    // withColumn first measured 8× slower (6 s vs 0.7 s at sf0.1):
+    // the Generate then carries the materialized ~200-element array
+    // column through its projection and copies it per OUTPUT row,
+    // turning a linear explode into quadratic array copying.
+    val gramArr = concat(col("toks"),
+      when(size(col("toks")) >= 2,
+        expr("transform(sequence(1, size(toks) - 1)," +
+          " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .otherwise(array().cast("array<string>")))
     val grams = docs
-      .withColumn("grams", concat(col("toks"),
-        when(size(col("toks")) >= 2,
-          expr("transform(sequence(1, size(toks) - 1)," +
-            " i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-          .otherwise(array().cast("array<string>"))))
-      .select(col("doc_id"), col("lang"),
-        explode(col("grams")).as("gram"))
+      .select(col("doc_id"), col("lang"), explode(gramArr).as("gram"))
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("gram")), 1, 8), 16, 10).cast("long")
           % buckets).as("b"))
