@@ -122,6 +122,7 @@ object SparkEntry {
     "q_bpe_pairs" -> ((s, d) => TextQueries.bpePairs(s, d)),
     "q_rep_filter" -> (TextQueries.repFilter _),
     "q_bm25" -> ((s, d) => TextQueries.bm25(s, d)),
+    "q_hybrid_rank" -> ((s, d) => TextQueries.hybridRank(s, d)),
     "q_inverted_index" -> (TextQueries.invertedIndex _),
     "q_heavy_hitters" -> ((s, d) => TextQueries.heavyHitters(s, d)),
     "q_pii_scrub" -> (TextQueries.piiScrub _),
@@ -273,6 +274,30 @@ object SparkEntry {
       |SELECT l.l_orderkey, l.l_linenumber, l.k, r.asof_orderkey,
       |  strftime(r.asof_ts, '%Y-%m-%d') AS asof_orderdate
       |FROM l ASOF LEFT JOIN r ON l.k = r.k AND l.l_shipdate >= r.asof_ts""".stripMargin
+
+  /** Shared BM25-scored CTE chain (every doc containing ≥ 1 query
+    * term, scored, unordered): q_bm25 cuts its top-15; the r13 hybrid
+    * RRF ranker uses it as the lexical leg. */
+  private val Bm25ScoredCtes: String =
+    """tok AS (SELECT doc_id,
+      |  unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
+      |td AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dfs AS (SELECT token, count(*) AS df FROM td GROUP BY 1),
+      |q AS (SELECT token, df FROM (
+      |    SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
+      |    FROM dfs) WHERE r BETWEEN 11 AND 13),
+      |dl AS (SELECT doc_id,
+      |  CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) AS dl
+      |  FROM documents),
+      |g AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |  avg(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)) AS avgdl
+      |  FROM documents),
+      |bm AS (SELECT td.doc_id AS doc_id,
+      |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
+      |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25,
+      |  count(*) AS n_terms
+      |FROM td JOIN q USING (token) JOIN dl USING (doc_id), g
+      |GROUP BY 1)""".stripMargin
 
   /** Shared span-table CTE chain for the substring-dedup pair
     * (q_dup_substrings lists the spans; q_dup_substrings_clean cuts
@@ -1556,25 +1581,38 @@ object SparkEntry {
         |   OR max_tok_cnt * 100 > n_toks * 30) AS rep_flag
         |FROM u LEFT JOIN b USING (doc_id) ORDER BY u.doc_id""".stripMargin,
     "q_bm25" ->
-      """WITH tok AS (SELECT doc_id,
-        |  unnest(regexp_split_to_array(text, '\s+')) AS token FROM documents),
-        |td AS (SELECT token, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |dfs AS (SELECT token, count(*) AS df FROM td GROUP BY 1),
-        |q AS (SELECT token, df FROM (
-        |    SELECT token, df, row_number() OVER (ORDER BY df DESC, token) AS r
-        |    FROM dfs) WHERE r BETWEEN 11 AND 13),
-        |dl AS (SELECT doc_id,
-        |  CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE) AS dl
-        |  FROM documents),
-        |g AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-        |  avg(CAST(len(regexp_split_to_array(text, '\s+')) AS DOUBLE)) AS avgdl
-        |  FROM documents)
-        |SELECT td.doc_id AS doc_id,
-        |  round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) *
-        |    (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25,
-        |  count(*) AS n_terms
-        |FROM td JOIN q USING (token) JOIN dl USING (doc_id), g
-        |GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+      s"""WITH $Bm25ScoredCtes
+        |SELECT doc_id, bm25, n_terms FROM bm
+        |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+    // hybrid RRF retrieval ranking (r13, Cormack et al. 2009): both
+    // legs truncated to their top-100 (the production formulation —
+    // never a corpus-wide rank), reciprocal-rank fused over a full
+    // outer join; a doc absent from one leg contributes only the
+    // other leg's reciprocal
+    "q_hybrid_rank" ->
+      s"""WITH $Bm25ScoredCtes,
+        |lex AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        |  FROM (SELECT doc_id, bm25 FROM bm
+        |        ORDER BY bm25 DESC, doc_id LIMIT 100)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qv AS (SELECT vec_id AS q_id, v AS qvec FROM e ORDER BY vec_id LIMIT 1),
+        |cosd AS (SELECT e.vec_id AS doc_id,
+        |    round(list_cosine_similarity(e.v, qv.qvec), 4) AS cos
+        |  FROM e, qv WHERE e.vec_id <> qv.q_id),
+        |dense AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos DESC, doc_id) AS dense_rank
+        |  FROM (SELECT doc_id, cos FROM cosd
+        |        ORDER BY cos DESC, doc_id LIMIT 100)),
+        |f AS (SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+        |    lex_rank, dense_rank,
+        |    round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0) +
+        |          coalesce(CAST(1 AS DOUBLE) / (60 + dense_rank), 0), 6) AS rrf
+        |  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id),
+        |r AS (SELECT doc_id, lex_rank, dense_rank, rrf,
+        |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM f)
+        |SELECT doc_id, lex_rank, dense_rank, rrf FROM r WHERE rn <= 15
+        |ORDER BY doc_id""".stripMargin,
     "q_inverted_index" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents)

@@ -472,7 +472,15 @@ object TextQueries {
     * scalars ride a broadcast 1-row aggregate. Scores round through
     * round_bin at 4dp before the cut, so both engines cut the same
     * top-k (the tfidf recipe). */
-  def bm25(spark: SparkSession, dir: String, k: Int = 15): DataFrame = {
+  def bm25(spark: SparkSession, dir: String, k: Int = 15): DataFrame =
+    bm25Scored(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+
+  /** The full BM25-scored relation (every doc containing ≥ 1 query
+    * term), shared by [[bm25]]'s top-k cut and the r13 hybrid RRF
+    * ranker's lexical leg. */
+  private[graft] def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val docs = withTokens(load(spark, dir, "documents"))
     val td = docs.select(col("doc_id"), explode(col("toks")).as("token"))
       .groupBy(col("token"), col("doc_id"))
@@ -502,8 +510,57 @@ object TextQueries {
       .groupBy(col("doc_id"))
       .agg(F.roundBin(sum(col("s")), 4).as("bm25"),
         count(lit(1)).as("n_terms"))
-      .orderBy(col("bm25").desc, col("doc_id"))
+  }
+
+  /** E4 (r13) HYBRID retrieval ranking via Reciprocal Rank Fusion
+    * (Cormack/Clarke/Büttcher 2009) — the standard fusion of a
+    * lexical and a dense leg that retrieval-augmented pipelines run:
+    * rrf(d) = Σ_legs 1/(60 + rank_leg(d)), summed over the legs where
+    * d appears. Lexical leg = the [[bm25Scored]] ranking for the
+    * fixture's deterministic query-term set; dense leg = exact cosine
+    * against the query embedding (vec_id 0, the [[VectorQueries]]
+    * query convention).
+    *
+    * Scale shape (the reason RRF is formulated on TRUNCATED legs in
+    * every production system): each leg cuts to its top-`legK` with a
+    * bounded TakeOrderedAndProject — never a corpus-wide rank window —
+    * and rank assignment runs on the ≤ legK survivors (a bounded
+    * global window, the day-grain defense). Fusion is a full-outer
+    * join of two ≤ legK-row lists; docs missing from a leg contribute
+    * only the other leg's reciprocal, exactly the published
+    * formulation. Scores round at 6dp before the final cut so both
+    * engines cut identically. */
+  def hybridRank(spark: SparkSession, dir: String,
+                 legK: Int = 100, k: Int = 15): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lexTop = bm25Scored(spark, dir)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(legK)
+      .withColumn("lex_rank", row_number().over(
+        Window.orderBy(col("bm25").desc, col("doc_id"))))
+      .select(col("doc_id"), col("lex_rank"))
+    val e = load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val q = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val denseTop = e.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("q_id"))
+      .select(col("vec_id").as("doc_id"),
+        F.roundBin(F.cosineSim(col("embedding"), col("qv")), 4).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id")).limit(legK)
+      .withColumn("dense_rank", row_number().over(
+        Window.orderBy(col("cos").desc, col("doc_id"))))
+      .select(col("doc_id"), col("dense_rank"))
+    lexTop.join(denseTop, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        col("lex_rank").cast("long").as("lex_rank"),
+        col("dense_rank").cast("long").as("dense_rank"),
+        F.roundBin(
+          coalesce(lit(1.0) / (lit(60) + col("lex_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("dense_rank")), lit(0.0)), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
       .limit(k)
+      .orderBy(col("doc_id"))
   }
 
   /** E4 language-ID heuristic: marker-stopword hit counts per language,

@@ -407,6 +407,26 @@ class TextQueriesSpec extends SparkSpec {
     assert(totalRemoved < totalSpanToks)
   }
 
+  test("hybridRank: RRF arithmetic, truncated legs, fusion of one- and two-leg docs") {
+    val rows = graft.operators.TextQueries.hybridRank(spark, sf).collect()
+    assert(rows.length === 15)
+    rows.foreach { r =>
+      val lex = if (r.isNullAt(1)) None else Some(r.getLong(1))
+      val dense = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      assert(lex.isDefined || dense.isDefined)
+      (lex ++ dense).foreach(rk => assert(rk >= 1 && rk <= 100,
+        s"rank $rk outside the truncated leg"))
+      val expected = lex.map(rk => 1.0 / (60 + rk)).getOrElse(0.0) +
+        dense.map(rk => 1.0 / (60 + rk)).getOrElse(0.0)
+      assert(math.abs(r.getDouble(3) - math.rint(expected * 1e6) / 1e6) < 1e-9,
+        s"doc ${r.getLong(0)} rrf mismatch")
+    }
+    // fusion is the point: the cut should contain at least one doc
+    // scored by BOTH legs (fixture ids overlap) — otherwise the query
+    // degenerated to a single-leg ranking
+    assert(rows.exists(r => !r.isNullAt(1) && !r.isNullAt(2)))
+  }
+
   test("minhash_union aggregate: sig(union of docs) == union of sigs (exactness)") {
     import org.apache.spark.sql.functions._
     import graft.functions.F
