@@ -47,8 +47,13 @@ object DecadeProbe {
     "q_bpe_pairs", "q_token_budget", "q_decontam_bloom",
     "q_dup_clusters",
     // r13 additions: DSIR (token-linear one-pass selection) and exact
-    // payload dedup (byte-grain groupBy over the synthesized media
-    // corpus — media_ids are doc_ids, so the zone scales it 10× too)
+    // payload dedup. q_media_dedup's INPUT scales 10× but its OUTPUT
+    // does not (r14 advisor): payloads are a pure function of
+    // (doc_id % 17, (doc_id DIV 17) % 3) — 51 classes — and the
+    // id-offset copies land in the same classes, so the distinct-
+    // payload result stays fixed at 51 groups with 10× n_copies. Its
+    // ratio measures the linear hash-groupBy scan, not output growth;
+    // read rows_sf1 accordingly.
     "q_dsir_sample", "q_media_dedup")
 
   private val Copies = 10

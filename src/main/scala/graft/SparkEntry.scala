@@ -120,9 +120,11 @@ object SparkEntry {
     "q_fingerprint" -> (TextQueries.fingerprint _),
     "q_vocab_topk" -> ((s, d) => TextQueries.vocabTopk(s, d)),
     "q_bpe_pairs" -> ((s, d) => TextQueries.bpePairs(s, d)),
+    "q_bpe_train" -> ((s, d) => TextQueries.bpeTrain(s, d)),
     "q_rep_filter" -> (TextQueries.repFilter _),
     "q_bm25" -> ((s, d) => TextQueries.bm25(s, d)),
     "q_hybrid_rank" -> ((s, d) => TextQueries.hybridRank(s, d)),
+    "q_hybrid_rank_ann" -> ((s, d) => TextQueries.hybridRankAnn(s, d)),
     "q_inverted_index" -> (TextQueries.invertedIndex _),
     "q_heavy_hitters" -> ((s, d) => TextQueries.heavyHitters(s, d)),
     "q_pii_scrub" -> (TextQueries.piiScrub _),
@@ -326,6 +328,41 @@ object SparkEntry {
       |spans AS (SELECT doc_id, min(pos) AS span_start,
       |    max(pos) + 7 AS span_end
       |  FROM i GROUP BY doc_id, island)""".stripMargin
+
+  /** Unrolled DuckDB twin of the N-step BPE training loop (r14): each
+    * step is one pair-count CTE + one argmax CTE + one merge-applied
+    * vocab CTE — the exact recount-argmax-replace sequence the engine
+    * iterates, replayed by the oracle from the raw corpus. Multi-
+    * referenced CTEs are declared MATERIALIZED (the r9 closure-oracle
+    * lesson: DuckDB re-inlines them otherwise, and v_k is read by both
+    * p_k and v_{k+1} — naive inlining doubles work per step). */
+  private def bpeTrainSql(steps: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
+      |  FROM documents),
+      |v1 AS MATERIALIZED (SELECT array_to_string(
+      |    list_transform(range(1, length(word) + 1), i -> word[CAST(i AS INT)]),
+      |    ' ') AS seq, count(*) AS wf
+      |  FROM w WHERE length(word) >= 2 GROUP BY 1)""".stripMargin
+    for (k <- 1 to steps) {
+      sb ++= s""",
+        |p$k AS (SELECT syms[CAST(i AS INT)] AS l, syms[CAST(i AS INT) + 1] AS r,
+        |    CAST(sum(wf) AS BIGINT) AS cnt
+        |  FROM (SELECT wf, syms, unnest(range(1, len(syms))) AS i
+        |        FROM (SELECT regexp_split_to_array(seq, ' ') AS syms, wf FROM v$k))
+        |  GROUP BY 1, 2),
+        |m$k AS MATERIALIZED (SELECT $k AS step, l, r, cnt FROM p$k
+        |  ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+      if (k < steps) sb ++= s""",
+        |v${k + 1} AS MATERIALIZED (SELECT trim(replace(' ' || seq || ' ',
+        |    (SELECT ' ' || l || ' ' || r || ' ' FROM m$k),
+        |    (SELECT ' ' || l || r || ' ' FROM m$k))) AS seq, wf FROM v$k)""".stripMargin
+    }
+    sb ++= "\nSELECT step, l AS lhs, r AS rhs, l || r AS merged, cnt\nFROM ("
+    sb ++= (1 to steps).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
+    sb ++= ")\nORDER BY step"
+    sb.toString
+  }
 
   /** Shared by q_ngram_jaccard and (as the edge-list CTE) the
     * q_dup_clusters recursive-closure oracle. */
@@ -1561,6 +1598,9 @@ object SparkEntry {
         |  FROM (SELECT word, wf, unnest(range(1, length(word))) AS i FROM wf))
         |SELECT pair, CAST(sum(wf) AS BIGINT) AS cnt
         |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+    // the full N-step training loop (r14): DuckDB replays the same
+    // recount → argmax → literal-replace iteration as unrolled CTEs
+    "q_bpe_train" -> bpeTrainSql(20),
     "q_rep_filter" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
         |  FROM documents),
@@ -1612,6 +1652,35 @@ object SparkEntry {
         |r AS (SELECT doc_id, lex_rank, dense_rank, rrf,
         |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM f)
         |SELECT doc_id, lex_rank, dense_rank, rrf FROM r WHERE rn <= 15
+        |ORDER BY doc_id""".stripMargin,
+    // ANN-served hybrid retrieval (r14, verdict `weak` fix): the dense
+    // leg runs through the multi-table hyperplane-LSH index instead of
+    // a corpus scan; the emitted rows are the exact fusion (identical
+    // SQL twin) plus the oracle-fixed top-k agreement claim.
+    "q_hybrid_rank_ann" ->
+      s"""WITH $Bm25ScoredCtes,
+        |lex AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        |  FROM (SELECT doc_id, bm25 FROM bm
+        |        ORDER BY bm25 DESC, doc_id LIMIT 100)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qv AS (SELECT vec_id AS q_id, v AS qvec FROM e ORDER BY vec_id LIMIT 1),
+        |cosd AS (SELECT e.vec_id AS doc_id,
+        |    round(list_cosine_similarity(e.v, qv.qvec), 4) AS cos
+        |  FROM e, qv WHERE e.vec_id <> qv.q_id),
+        |dense AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos DESC, doc_id) AS dense_rank
+        |  FROM (SELECT doc_id, cos FROM cosd
+        |        ORDER BY cos DESC, doc_id LIMIT 100)),
+        |f AS (SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+        |    lex_rank, dense_rank,
+        |    round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0) +
+        |          coalesce(CAST(1 AS DOUBLE) / (60 + dense_rank), 0), 6) AS rrf
+        |  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id),
+        |r AS (SELECT doc_id, lex_rank, dense_rank, rrf,
+        |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM f)
+        |SELECT doc_id, lex_rank, dense_rank, rrf, TRUE AS recall_ok
+        |FROM r WHERE rn <= 15
         |ORDER BY doc_id""".stripMargin,
     "q_inverted_index" ->
       """WITH t AS (SELECT doc_id,
@@ -2086,9 +2155,14 @@ object SparkEntry {
     // a <= 6-bit pair always shares >= 2 of 8 bands by pigeonhole) and
     // found-⊆-truth precision, and emits the formula truth (same
     // pattern group) + the oracle-fixed claims.
+    // the slice modulus scales with corpus size (r14 advisor) so the
+    // funnel slice stays O(1) ids — both engines derive it from the
+    // same count
     "q_media_neardup" ->
-      """WITH m AS (SELECT doc_id AS id, doc_id % 17 AS g FROM documents
-        |  WHERE doc_id % 7 = 0 OR doc_id < 120)
+      """WITH p AS (SELECT GREATEST(7, CAST(CEIL(count(*) / 120.0) AS BIGINT)) AS m
+        |  FROM documents),
+        |m AS (SELECT doc_id AS id, doc_id % 17 AS g FROM documents, p
+        |  WHERE doc_id % p.m = 0 OR doc_id < 120)
         |SELECT a.id AS a_id, b.id AS b_id,
         |  TRUE AS recall_ok, TRUE AS precision_ok
         |FROM m a JOIN m b ON a.g = b.g AND a.id < b.id

@@ -382,8 +382,11 @@ object KpiQueries {
     if (n <= windowMax)
       return df.withColumn(out, ntile(k).over(Window.orderBy(sortCols: _*)))
     val ranged = df.repartitionByRange(sortCols: _*).localCheckpoint()
+    // helper columns use a reserved __gntile_ prefix (r14 advisor): an
+    // input frame that legitimately carries a `pid`/`off`-style name
+    // must not be clobbered by the rank plumbing
     val counts = ranged
-      .groupBy(spark_partition_id().as("pid"))
+      .groupBy(spark_partition_id().as("__gntile_pid"))
       .agg(count(lit(1)).as("c"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     // the caller-priced n drives the tile arithmetic — a mismatch with
@@ -396,24 +399,24 @@ object KpiQueries {
       .sliding(2).collect { case Array((_, off), (pid, _)) => (pid, off) }
       .toSeq
     import df.sparkSession.implicits._
-    val offDf = broadcast(offsets.toDF("pid", "off"))
+    val offDf = broadcast(offsets.toDF("__gntile_pid", "__gntile_off"))
     val q = n / k
     val rem = n % k
-    val ranked = ranged.withColumn("pid", spark_partition_id())
-      .withColumn("lr", row_number().over(
-        Window.partitionBy(col("pid")).orderBy(sortCols: _*)))
-      .join(offDf, Seq("pid"))
-      .withColumn("gr", col("lr") + col("off"))
+    val ranked = ranged.withColumn("__gntile_pid", spark_partition_id())
+      .withColumn("__gntile_lr", row_number().over(
+        Window.partitionBy(col("__gntile_pid")).orderBy(sortCols: _*)))
+      .join(offDf, Seq("__gntile_pid"))
+      .withColumn("__gntile_gr", col("__gntile_lr") + col("__gntile_off"))
     // SQL ntile closed form over the exact global rank (1-based): the
     // first rem tiles hold q+1 rows, the rest q. floor() on nonneg
     // doubles is exact below 2^52 rows.
     val tile =
-      when(col("gr") <= lit(rem * (q + 1)),
-        floor((col("gr") - 1) / lit((q + 1).toDouble)))
+      when(col("__gntile_gr") <= lit(rem * (q + 1)),
+        floor((col("__gntile_gr") - 1) / lit((q + 1).toDouble)))
         .otherwise(lit(rem) +
-          floor((col("gr") - lit(rem * (q + 1)) - 1) / lit(math.max(q, 1).toDouble)))
+          floor((col("__gntile_gr") - lit(rem * (q + 1)) - 1) / lit(math.max(q, 1).toDouble)))
     ranked.withColumn(out, (tile + 1).cast("int"))
-      .drop("pid", "lr", "off", "gr")
+      .drop("__gntile_pid", "__gntile_lr", "__gntile_off", "__gntile_gr")
   }
 
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {

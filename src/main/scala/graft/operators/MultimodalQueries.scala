@@ -96,13 +96,21 @@ object MultimodalQueries {
     * formula-derived same-group truth, and the emitted rows are that
     * truth (DuckDB pins it by the same doc_id arithmetic) plus the
     * oracle-fixed claims. The funnel corpus is the bounded slice
-    * `id % 7 = 0 OR id < 120` so the pair output stays gate-sized at
-    * every SF while still exercising collapse + banding; the full
-    * corpus is [[mediaDedup]]'s linear axis. */
+    * `id % max(7, ceil(n/120)) = 0 OR id < 120` — the modulus scales
+    * with the corpus row count so the slice stays O(1) ids (~240) and
+    * the same-group pair output stays gate-sized at EVERY SF (r14
+    * advisor: the old fixed `% 7` kept a constant 1/7 of the corpus,
+    * so truth/found pair sets grew quadratically with SF); the full
+    * corpus is [[mediaDedup]]'s linear axis. Both accuracy claims
+    * resolve DISTRIBUTED (r14, verdict item 2): recall is a semi-join
+    * count of the truth pairs against the found stream, precision an
+    * anti-join emptiness check — the found-pair set never collects to
+    * the driver. */
   def mediaNearDup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
+    val n = graft.Tables.rowCount(spark, dir, "documents")
+    val sliceMod = math.max(7L, math.ceil(n / 120.0).toLong)
     val sampled = Multimodal.synthesizeDedupCorpus(spark, dir)
-      .where(col("media_id") % 7 === 0 || col("media_id") < 120)
+      .where(col("media_id") % sliceMod === 0 || col("media_id") < 120)
     // exact-dup pre-collapse at payload grain (same shape as
     // VectorQueries.collapseExpandPairs; Hamming of an exact pair is 0
     // so every within-group pair qualifies without re-verification)
@@ -139,22 +147,29 @@ object MultimodalQueries {
       .select(col("x").as("a_id"), col("y").as("b_id"))
     val found = cross.unionByName(within)
       .select(col("a_id"), col("b_id")).distinct()
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .localCheckpoint()
     // formula truth: same pattern group g = id % 17 (the oracle's own
-    // derivation); result-sized by the bounded slice
-    val ids = sampled.select(col("media_id")).collect().map(_.getLong(0)).sorted
-    val byG = ids.groupBy(_ % 17)
-    val truth = byG.values.flatMap(gr =>
-      gr.combinations(2).map(p => (p(0), p(1)))).toSet
-    require(truth.isEmpty || found.nonEmpty,
-      s"mediaNearDup: total recall loss — ${truth.size} same-group " +
+    // derivation) — a self-join of the O(1)-id slice, gate-sized by
+    // construction; materialized once for the count + both join audits
+    val sliceIds = sampled
+      .select(col("media_id"), (col("media_id") % 17).as("g"))
+    val truth = sliceIds.select(col("media_id").as("a_id"), col("g"))
+      .join(sliceIds.select(col("media_id").as("b_id"), col("g")), Seq("g"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .localCheckpoint()
+    val nTruth = truth.count()
+    require(nTruth == 0 || !found.isEmpty,
+      s"mediaNearDup: total recall loss — $nTruth same-group " +
         "pairs exist but the dHash funnel produced zero")
-    val recall =
-      if (truth.isEmpty) 1.0 else truth.count(found).toDouble / truth.size
+    // distributed audits (r14): truth and found stay executor-side
+    val hits = truth.join(found, Seq("a_id", "b_id"), "left_semi").count()
+    val recall = if (nTruth == 0) 1.0 else hits.toDouble / nTruth
     require(recall >= 0.999, f"mediaNearDup: structural recall broken " +
       f"($recall%.3f) — a <=6-bit pair missed all 8 bands?")
-    val precision = found.forall(truth)
-    truth.toSeq.sorted.toDF("a_id", "b_id")
+    val precision =
+      found.join(truth, Seq("a_id", "b_id"), "left_anti").isEmpty
+    truth
       .withColumn("recall_ok", lit(recall >= 0.999))
       .withColumn("precision_ok", lit(precision))
       .orderBy(col("a_id"), col("b_id"))

@@ -241,6 +241,54 @@ object VectorQueries {
     (a << 32) | b
   }
 
+  /** DISTRIBUTED found-set membership audits (r14, verdict item 2):
+    * the funnels' recall/precision claims used to `.collect()` the
+    * whole found-pair set to the driver for the membership test —
+    * result-sized at fixture scale but MANIFEST-sized on an
+    * adversarial corpus (the r12 skew probe measured q_minhash_dedup's
+    * 7.5× residual as exactly this output-bound term). The exact side
+    * stays the bounded memoized driver array (sampled above
+    * [[SampleFreeBelow]]); the FOUND side now stays on the executors:
+    * recall = |found ∩ exact| via a semi-join of the found key stream
+    * against the broadcast exact keys, precision (found ⊆ exact) = an
+    * anti-join emptiness check. Same packed (a << 32) | b key space;
+    * the oversized-id guard rides the expression as `assert_true`, so
+    * a corrupt id still fails loudly instead of silently folding into
+    * another pair's key. */
+  private[graft] def packedFoundKeys(pairs: DataFrame): DataFrame =
+    pairs.select(
+      when(assert_true(
+        col("a_id") >= 0 && col("b_id") >= 0 &&
+          col("a_id") < lit(1L << 31) && col("b_id") < lit(1L << 31),
+        concat(lit("pair key packing needs ids < 2^31, got ("),
+          col("a_id"), lit(", "), col("b_id"), lit(")"))).isNull,
+        shiftleft(col("a_id"), 32).bitwiseOR(col("b_id"))).as("pk"))
+
+  private def exactKeysDf(spark: SparkSession, exact: Array[Long]): DataFrame = {
+    import spark.implicits._
+    exact.toSeq.toDF("pk")
+  }
+
+  /** |found ∩ exact| / |exact| without materializing found on the
+    * driver. Both pair streams hold DISTINCT canonical (a < b) pairs,
+    * so the semi-join count is exactly the intersection size. */
+  private[graft] def distributedRecall(spark: SparkSession,
+      exact: Array[Long], foundPairs: DataFrame): Double =
+    if (exact.isEmpty) 1.0
+    else {
+      val hits = packedFoundKeys(foundPairs)
+        .join(broadcast(exactKeysDf(spark, exact)), Seq("pk"), "left_semi")
+        .count()
+      hits.toDouble / exact.length
+    }
+
+  /** found ⊆ exact as a distributed anti-join emptiness check. */
+  private[graft] def distributedSubset(spark: SparkSession,
+      exact: Array[Long], foundPairs: DataFrame): Boolean =
+    packedFoundKeys(foundPairs)
+      .join(broadcast(exactKeysDf(spark, exact)), Seq("pk"), "left_anti")
+      .isEmpty
+
   /** SAME-LABEL subset of a funnel's found pairs, as packed keys — the
     * precision-claim domain (r12, verdict item 2). The exact ground
     * truth is LABEL-BLOCKED ([[exactPairs]] joins on label), so a
@@ -251,31 +299,30 @@ object VectorQueries {
     * regression that starts emitting junk pairs fails even while
     * recall holds. Pairs are result-sized: they broadcast into two
     * label lookups, nothing corpus-sized moves. */
-  private def sameLabelFoundKeys(
-      spark: SparkSession, dir: String, pairs: DataFrame): Array[Long] = {
+  private def sameLabelFoundPairs(
+      spark: SparkSession, dir: String, pairs: DataFrame): DataFrame = {
     val lab = emb(spark, dir).select(col("vec_id"), col("label"))
     val withLa = broadcast(pairs.select(col("a_id"), col("b_id")))
       .join(lab.select(col("vec_id").as("a_id"), col("label").as("la")), Seq("a_id"))
     broadcast(withLa)
       .join(lab.select(col("vec_id").as("b_id"), col("label").as("lb")), Seq("b_id"))
       .where(col("la") === col("lb"))
-      .select(col("a_id"), col("b_id")).collect()
-      .map(r => packPairKey(r.getLong(0), r.getLong(1)))
+      .select(col("a_id"), col("b_id"))
   }
 
-  /** found-⊆-exact precision over the same-label claim domain. */
+  /** found-⊆-exact precision over the same-label claim domain,
+    * resolved as a distributed anti-join (r14 — no found-set collect). */
   private def sameLabelPrecisionOk(
       spark: SparkSession, dir: String, pairs: DataFrame): Boolean = {
     val exact = exactCosineRows(spark, dir)
-      .map { case (a, b, _) => packPairKey(a, b) }.toSet
-    sameLabelFoundKeys(spark, dir, pairs).forall(exact.contains)
+      .map { case (a, b, _) => packPairKey(a, b) }
+    distributedSubset(spark, exact, sameLabelFoundPairs(spark, dir, pairs))
   }
 
   private[graft] def cosineDedupLshFound(
       spark: SparkSession, dir: String): (DataFrame, Double) = {
     val bits = sigBitsFor(corpusSize(spark, dir))
     val nTables = lshTablesFor(bits, 0.3, 0.9)
-    val base = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
     val tables = array((0 until nTables).map(t =>
       struct(lit(t).as("t"),
         F.hyperplaneBucket(col("v"), bits, t.toLong).as("bucket"))): _*)
@@ -298,7 +345,7 @@ object VectorQueries {
     // vectors can no longer produce one m² task — see
     // [[cappedCosinePairs]]); pair set identical to the bare
     // (t, bucket) self-join (HotBucketCapSpec pins it)
-    val pairs = collapseExpandPairs(spark, dir, base, 0.3) { reps =>
+    val pairs = collapseExpandPairs(spark, dir, 0.3) { reps =>
       val banded = reps
         .select(col("vec_id"), col("v"), explode(tables).as("tb"))
         .select(col("tb.t").as("t"), col("tb.bucket").as("bucket"),
@@ -317,24 +364,16 @@ object VectorQueries {
     // pairs. Membership resolves driver-side against the result-sized
     // key arrays — no 10³-element IN list, no one-partition window.
     val exact = exactCosineSamplePairKeys(spark, dir)
-    val found = pairs.select(col("a_id"), col("b_id")).collect().map { r =>
-      val a = r.getLong(0); val b = r.getLong(1)
-      // same packing guard as the exact-side keys builder (advisor
-      // r10): an oversized id appearing only in LSH-found pairs would
-      // silently corrupt the packed key set and the recall estimate
-      require(a >= 0 && b >= 0 && a < (1L << 31) && b < (1L << 31),
-        s"pair key packing needs ids < 2^31, got ($a, $b)")
-      (a << 32) | b
-    }.toSet
     // a catastrophic banding regression yielding ZERO pairs would
     // otherwise dump an empty result with no recall_ok=false row —
-    // the claim gate must fail loudly, not vacuously (r10)
-    require(exact.isEmpty || found.nonEmpty,
+    // the claim gate must fail loudly, not vacuously (r10); cheap:
+    // `pairs` is already checkpointed
+    require(exact.isEmpty || !pairs.isEmpty,
       s"cosineDedupLsh: total recall loss — ${exact.length} sampled " +
         "exact pairs exist but the LSH funnel produced zero")
-    val recall =
-      if (exact.isEmpty) 1.0
-      else exact.count(found).toDouble / exact.length
+    // distributed membership (r14, verdict item 2): the found-pair set
+    // stays on the executors; only the semi-join hit COUNT returns
+    val recall = distributedRecall(spark, exact, pairs)
     (pairs.orderBy(col("a_id"), col("b_id")), recall)
   }
 
@@ -545,9 +584,14 @@ object VectorQueries {
   private val memberMapCache = scala.collection.concurrent.TrieMap
     .empty[(String, String), (String, DataFrame, Boolean)]
 
-  private def memberMapFor(spark: SparkSession, dir: String,
-      base: => DataFrame): (DataFrame, Boolean) = {
+  private def memberMapFor(spark: SparkSession,
+      dir: String): (DataFrame, Boolean) = {
     import org.apache.spark.sql.expressions.Window
+    // the canonical (vec_id, v) base is constructed HERE, not passed in
+    // (r14 advisor): the cache key is (app, dir, version) only, so a
+    // caller-supplied filtered/normalized projection would silently
+    // poison every other call site's map
+    val base = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
     val key = (spark.sparkContext.applicationId, dir)
     val ver = DupClusters.tableVersion(dir, "embeddings")
     memberMapCache.get(key) match {
@@ -578,10 +622,10 @@ object VectorQueries {
   }
 
   private[graft] def collapseExpandPairs(
-      spark: SparkSession, dir: String, base: => DataFrame,
+      spark: SparkSession, dir: String,
       threshold: Double)(
       funnel: DataFrame => DataFrame): DataFrame = {
-    val (members, dupFree) = memberMapFor(spark, dir, base)
+    val (members, dupFree) = memberMapFor(spark, dir)
     // dup-free fast path (r12): a corpus with no exact duplicates (the
     // common healthy case) skips the three expansion joins outright
     // instead of running them as no-ops
@@ -634,7 +678,7 @@ object VectorQueries {
     // lists ([[collapseExpandPairs]]); the quantizer itself still
     // trains on the full corpus (same memoized artifact as the ANN
     // index)
-    collapseExpandPairs(spark, dir, e, 0.3) { reps =>
+    collapseExpandPairs(spark, dir, 0.3) { reps =>
     val assigned = reps.join(broadcast(centroidList))
       .select(col("vec_id"), col("v"),
         explode(F.nearestCentroids(col("v"), col("cents"), probes)).as("list_id"))
@@ -673,18 +717,12 @@ object VectorQueries {
                                    probes: Int = 8): (DataFrame, Double) = {
     val pairs = semDedupCandidates(spark, dir, probes).localCheckpoint()
     val exact = exactCosineSamplePairKeys(spark, dir)
-    val found = pairs.select(col("a_id"), col("b_id")).collect().map { r =>
-      val a = r.getLong(0); val b = r.getLong(1)
-      require(a >= 0 && b >= 0 && a < (1L << 31) && b < (1L << 31),
-        s"pair key packing needs ids < 2^31, got ($a, $b)")
-      (a << 32) | b
-    }.toSet
-    require(exact.isEmpty || found.nonEmpty,
+    require(exact.isEmpty || !pairs.isEmpty,
       s"semDedup: total recall loss — ${exact.length} sampled exact " +
         "pairs exist but the cluster-blocked search produced zero")
-    val recall =
-      if (exact.isEmpty) 1.0
-      else exact.count(found).toDouble / exact.length
+    // distributed membership (r14, verdict item 2) — see
+    // [[distributedRecall]]
+    val recall = distributedRecall(spark, exact, pairs)
     (pairs.orderBy(col("a_id"), col("b_id")), recall)
   }
 
@@ -1077,8 +1115,15 @@ object VectorQueries {
       (for { i <- 0 until bits; j <- i + 1 until bits }
         yield (1L << i) | (1L << j)))
 
+  /** Top-`k` (vec_id, cos) from the LSH probe — the dense-leg feed for
+    * [[graft.operators.TextQueries.hybridRankAnn]] (r14): same index,
+    * same probe plan, caller-sized cut. */
+  def annLshScored(spark: SparkSession, dir: String, k: Int): DataFrame =
+    annLsh(spark, dir, k = k)
+
   def annLsh(spark: SparkSession, dir: String,
-             targetBucket: Int = 64, tables: Int = 8): DataFrame = {
+             targetBucket: Int = 64, tables: Int = 8,
+             k: Int = 10): DataFrame = {
     val base = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
     val bits = sigBitsFor(corpusSize(spark, dir), targetBucket)
     // one signature column per table; L fused kernel loops per row
@@ -1118,7 +1163,7 @@ object VectorQueries {
       .select(col("vec_id"),
         F.roundBin(expr("cosine_sim(v, qv)"), 4).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
-      .limit(10)
+      .limit(k)
   }
 
   // ───────────────────────────────────────────────────────────────────

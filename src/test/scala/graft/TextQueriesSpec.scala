@@ -427,6 +427,19 @@ class TextQueriesSpec extends SparkSpec {
     assert(rows.exists(r => !r.isNullAt(1) && !r.isNullAt(2)))
   }
 
+  test("hybridRankAnn: ANN-served fusion reproduces the exact fusion, claim true") {
+    val exact = graft.operators.TextQueries.hybridRank(spark, sf).collect()
+    val ann = graft.operators.TextQueries.hybridRankAnn(spark, sf).collect()
+    assert(ann.length === exact.length)
+    // gated rows ARE the exact fusion (the graduation contract) …
+    ann.zip(exact).foreach { case (a, e) =>
+      assert(a.getLong(0) === e.getLong(0))
+      assert(a.getDouble(3) === e.getDouble(3))
+    }
+    // … and the measured top-k agreement claim holds at fixture scale
+    ann.foreach(r => assert(r.getAs[Boolean]("recall_ok")))
+  }
+
   test("minhash_union aggregate: sig(union of docs) == union of sigs (exactness)") {
     import org.apache.spark.sql.functions._
     import graft.functions.F
