@@ -22,14 +22,21 @@ import org.apache.spark.sql.functions._
   * - `events` (1M): copy k offsets event_id/user_id by k·10⁷, keeps
   *   timestamps — same 30-day window at 10× daily volume and 10× the
   *   user population (per-user event density unchanged).
-  * - `embeddings` are NOT extrapolated: with d = 64, any replication
-  *   or resynthesis changes the pair density above the fixture's 0.3
-  *   cut (random unit vectors alone put ~0.8% of all pairs over it —
-  *   a pair-count regime the driver's fixture deliberately avoids),
-  *   and funnel cost is driven by that density, so a synthetic decade
-  *   would measure the synthesizer, not the engine. The vector-funnel
-  *   scale evidence stays the measured 100× curves + the
-  *   skew-adversarial zone + the analytic knob math (SCALE.md).
+  * - `embeddings` (2k × d=64): BLOCK-DIAGONAL copies (r14, verdict
+  *   item 4 — closing the r13 gap where the vector funnels had no
+  *   third decade): copy k offsets vec_id by k·10⁷, offsets the label
+  *   by k·1000, and places the vector in its own orthogonal d-dim
+  *   block of a (10·d)-dim space. Zero-padding changes neither dot
+  *   products nor norms, so WITHIN-copy cosines are bit-identical to
+  *   the base corpus and CROSS-copy cosines are exactly 0 (disjoint
+  *   supports) — no manufactured pairs, pair density preserved
+  *   exactly, funnel outputs scale exactly 10×, and the label offset
+  *   keeps the label-blocked exact twin linear (10 same-size blocks).
+  *   This is the same honesty trick the `_k` token suffix pulls for
+  *   text (the r13 density argument against naive replication /
+  *   resynthesis — random unit vectors put ~0.8% of all pairs over
+  *   the 0.3 cut — doesn't apply to block-diagonal placement, which
+  *   manufactures nothing).
   *
   * Measurement discipline = Bench/ScalingProbe: warmup, median of 3,
   * steal delta recorded; per-query sf1 output row counts recorded so
@@ -54,7 +61,12 @@ object DecadeProbe {
     // payload result stays fixed at 51 groups with 10× n_copies. Its
     // ratio measures the linear hash-groupBy scan, not output growth;
     // read rows_sf1 accordingly.
-    "q_dsir_sample", "q_media_dedup")
+    "q_dsir_sample", "q_media_dedup",
+    // r14: the vector funnels' third decade (block-diagonal copies —
+    // within-copy cosines bit-identical, cross-copy exactly 0, so
+    // funnel pair outputs scale exactly 10×; q_ann_lsh's output stays
+    // top-10 — its ratio measures the index build + probe)
+    "q_cosine_dedup_lsh", "q_semdedup", "q_ann_lsh")
 
   private val Copies = 10
   private val IdStride = 10000000L
@@ -86,6 +98,20 @@ object DecadeProbe {
     }.reduce(_ unionByName _)
       .repartition(32)
       .write.mode("overwrite").parquet(out.resolve("events.parquet").toString)
+    val embT = Tables.load(spark, base, "embeddings")
+    val dim = embT.select(size(col("embedding"))).head().getInt(0)
+    (0 until Copies).map { k =>
+      embT.select(
+        (col("vec_id") + lit(k * IdStride)).as("vec_id"),
+        concat(
+          expr(s"array_repeat(CAST(0.0 AS FLOAT), ${k * dim})"),
+          col("embedding"),
+          expr(s"array_repeat(CAST(0.0 AS FLOAT), ${(Copies - 1 - k) * dim})"))
+          .as("embedding"),
+        (col("label") + lit(k * 1000)).as("label"))
+    }.reduce(_ unionByName _)
+      .repartition(32)
+      .write.mode("overwrite").parquet(out.resolve("embeddings.parquet").toString)
     out.toString
   }
 

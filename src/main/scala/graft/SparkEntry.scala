@@ -151,6 +151,7 @@ object SparkEntry {
     "q_decontam_bloom" -> ((s, d) => TrainingQueries.decontaminateBloom(s, d)),
     "q_epoch_shuffle" -> ((s, d) => TrainingQueries.epochShuffle(s, d)),
     "q_token_budget" -> ((s, d) => TrainingQueries.tokenBudget(s, d)),
+    "q_corpus_pipeline" -> ((s, d) => TrainingQueries.corpusPipeline(s, d)),
     "q_dsir_sample" -> ((s, d) => TrainingQueries.dsirSample(s, d)),
     // §2.11 E5 multimodal binary columns
     "q_media_stats" -> (MultimodalQueries.mediaStats _),
@@ -192,6 +193,7 @@ object SparkEntry {
     "q_vec_clusters" -> (DupClusters.cosineClusters _),
     "q_cosine_dedup_lsh" -> (VectorQueries.cosineDedupLsh _),
     "q_semdedup" -> (VectorQueries.semDedup _),
+    "q_semdedup_incremental" -> (VectorQueries.semDedupIncremental _),
     "q_ann_lsh" -> (VectorQueries.annLshOracle _),
     "q_ann_ivf" -> (VectorQueries.annIvfOracle _),
     "q_ann_ivf_kmeans" -> (VectorQueries.annIvfKmeansOracle _),
@@ -1812,6 +1814,67 @@ object SparkEntry {
         |SELECT source, count(*) AS n_docs_kept,
         |  CAST(sum(n) AS BIGINT) AS n_tokens_kept
         |FROM c, b WHERE cum <= budget GROUP BY 1 ORDER BY 1""".stripMargin,
+    // composed corpus-cleaning lineage (r14): exact dedup → near-dup
+    // canonical drop (J >= 9/10) → decontam (bench docs + 8-gram hits)
+    // → integer-exact quality prune → 60% token-budget cut; the oracle
+    // replays the whole chain from raw text and pins every stage
+    // boundary's (count, token mass, id checksum)
+    "q_corpus_pipeline" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id,
+        |    regexp_split_to_array(text, '\s+') AS toks,
+        |    CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT) AS n,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |s1 AS MATERIALIZED (SELECT doc_id, toks, n FROM (
+        |    SELECT doc_id, toks, n,
+        |      min(doc_id) OVER (PARTITION BY nt) AS keep FROM t)
+        |  WHERE doc_id = keep),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS s
+        |  FROM s1 WHERE len(toks) >= 3),
+        |tt AS (SELECT doc_id, unnest(s) AS h, len(s) AS ns FROM g),
+        |px AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |    a.ns AS na, b.ns AS nb, count(*) AS ix
+        |  FROM tt a JOIN tt b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4),
+        |drop2 AS (SELECT DISTINCT b_id FROM px WHERE 10 * ix >= 9 * (na + nb - ix)),
+        |s2 AS MATERIALIZED (SELECT * FROM s1
+        |  WHERE doc_id NOT IN (SELECT b_id FROM drop2)),
+        |gr AS (SELECT doc_id, array_to_string(toks[i.g : i.g + 7], ' ') AS gram
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1,
+        |    greatest(0, len(toks) - 7))) AS g) i),
+        |bench AS (SELECT DISTINCT gram FROM gr WHERE doc_id < 25),
+        |bad AS (SELECT DISTINCT gr.doc_id FROM gr
+        |  JOIN bench USING (gram) WHERE gr.doc_id >= 25),
+        |s3 AS MATERIALIZED (SELECT * FROM s2 WHERE doc_id >= 25
+        |  AND doc_id NOT IN (SELECT doc_id FROM bad)),
+        |s4 AS MATERIALIZED (SELECT * FROM s3
+        |  WHERE n >= 5 AND n <= 2000 AND len(list_distinct(toks)) * 2 >= n),
+        |b5 AS (SELECT CAST(floor(sum(n) * 0.6) AS BIGINT) AS budget FROM s4),
+        |c5 AS (SELECT doc_id, n, sum(n) OVER (
+        |  ORDER BY md5('1:' || CAST(doc_id AS VARCHAR)), doc_id
+        |  ROWS UNBOUNDED PRECEDING) AS cum FROM s4),
+        |s5 AS (SELECT doc_id, n FROM c5, b5 WHERE cum <= budget)
+        |SELECT * FROM (
+        |  SELECT 0 AS stage, 'raw' AS stage_name, count(*) AS n_docs,
+        |    CAST(coalesce(sum(n), 0) AS BIGINT) AS n_tokens,
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS id_sum FROM t
+        |  UNION ALL SELECT 1, 'exact_dedup', count(*),
+        |    CAST(coalesce(sum(n), 0) AS BIGINT),
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s1
+        |  UNION ALL SELECT 2, 'near_dup_drop', count(*),
+        |    CAST(coalesce(sum(n), 0) AS BIGINT),
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s2
+        |  UNION ALL SELECT 3, 'decontam', count(*),
+        |    CAST(coalesce(sum(n), 0) AS BIGINT),
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s3
+        |  UNION ALL SELECT 4, 'quality', count(*),
+        |    CAST(coalesce(sum(n), 0) AS BIGINT),
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s4
+        |  UNION ALL SELECT 5, 'token_budget', count(*),
+        |    CAST(coalesce(sum(n), 0) AS BIGINT),
+        |    CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM s5)
+        |ORDER BY stage""".stripMargin,
     "q_decontaminate" -> DecontamSql,
     // bloom-pruned decontamination is EXACT (no false negatives +
     // exact confirm) — it must hash-match the same oracle
@@ -2319,6 +2382,20 @@ object SparkEntry {
         |SELECT a_id, b_id, cos, TRUE AS recall_ok,
         |  TRUE AS precision_ok FROM x
         |ORDER BY a_id, b_id""".stripMargin,
+    // incremental SemDeDup (r14): a new batch (odd vec_ids) probes the
+    // memoized corpus-side IVF index (even vec_ids); the emitted rows
+    // are the exact label-blocked CROSS ground truth — the batch answer
+    // on the union corpus restricted to corpus×batch pairs — plus the
+    // oracle-fixed recall/precision claims measured on the live probe
+    "q_semdedup_incremental" ->
+      """WITH e AS (SELECT label, vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS corpus_id, b.vec_id AS batch_id,
+        |  round(list_cosine_similarity(a.v, b.v), 4) AS cos,
+        |  TRUE AS recall_ok, TRUE AS precision_ok
+        |FROM e a JOIN e b ON a.label = b.label
+        |WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.3
+        |ORDER BY corpus_id, batch_id""".stripMargin,
     "q_vec_clusters" ->
       s"""WITH RECURSIVE pairs AS MATERIALIZED ($CosineDedupSql),
         |ed AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM pairs

@@ -52,6 +52,8 @@ object GraftFunctions {
       HyperplaneBucket(args.head, intArg("hyperplane_bucket", args(1)),
         if (args.length > 2) intArg("hyperplane_bucket", args(2)).toLong else 0L)),
     "nearest_centroid" -> (args => NearestCentroid(args.head, args(1))),
+    "nearest_centroids" -> (args => NearestCentroids(args.head, args(1),
+      intArg("nearest_centroids", args(2)))),
     "jaccard_ge" -> (args =>
       JaccardGe(args.head, args(1), doubleArg("jaccard_ge", args(2)))),
     "containment_ge" -> (args =>

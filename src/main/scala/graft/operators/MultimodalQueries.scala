@@ -106,11 +106,22 @@ object MultimodalQueries {
     * count of the truth pairs against the found stream, precision an
     * anti-join emptiness check — the found-pair set never collects to
     * the driver. */
-  def mediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** The bounded funnel slice (O(1) ids at every SF — see
+    * [[mediaNearDup]]). */
+  private[graft] def nearDupSlice(spark: SparkSession,
+                                  dir: String): DataFrame = {
     val n = graft.Tables.rowCount(spark, dir, "documents")
     val sliceMod = math.max(7L, math.ceil(n / 120.0).toLong)
-    val sampled = Multimodal.synthesizeDedupCorpus(spark, dir)
+    Multimodal.synthesizeDedupCorpus(spark, dir)
       .where(col("media_id") % sliceMod === 0 || col("media_id") < 120)
+  }
+
+  /** The live dHash funnel's found-pair set (collapse + capped banding
+    * + Hamming ≤ 6 verify + expansion), extracted so the SQL-interface
+    * spec can pin the raw-SQL formulation against it (r14). */
+  private[graft] def mediaNearDupFound(spark: SparkSession,
+                                       dir: String): DataFrame = {
+    val sampled = nearDupSlice(spark, dir)
     // exact-dup pre-collapse at payload grain (same shape as
     // VectorQueries.collapseExpandPairs; Hamming of an exact pair is 0
     // so every within-group pair qualifies without re-verification)
@@ -145,13 +156,16 @@ object MultimodalQueries {
         .select(col("rep_id"), col("media_id").as("y")), Seq("rep_id"))
       .where(col("x") < col("y"))
       .select(col("x").as("a_id"), col("y").as("b_id"))
-    val found = cross.unionByName(within)
+    cross.unionByName(within)
       .select(col("a_id"), col("b_id")).distinct()
-      .localCheckpoint()
+  }
+
+  def mediaNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val found = mediaNearDupFound(spark, dir).localCheckpoint()
     // formula truth: same pattern group g = id % 17 (the oracle's own
     // derivation) — a self-join of the O(1)-id slice, gate-sized by
     // construction; materialized once for the count + both join audits
-    val sliceIds = sampled
+    val sliceIds = nearDupSlice(spark, dir)
       .select(col("media_id"), (col("media_id") % 17).as("g"))
     val truth = sliceIds.select(col("media_id").as("a_id"), col("g"))
       .join(sliceIds.select(col("media_id").as("b_id"), col("g")), Seq("g"))

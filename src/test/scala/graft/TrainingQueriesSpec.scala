@@ -241,4 +241,29 @@ class TrainingQueriesSpec extends SparkSpec {
     assert(en.values.sum / en.size > rest.values.sum / rest.size,
       "target-domain docs should out-score the rest on the LLR")
   }
+
+  test("corpusPipeline: conservation across stages — monotone counts, budget bound, every stage a strict filter") {
+    val rows = TrainingQueries.corpusPipeline(spark, sf).collect()
+      .sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq === (0 to 5))
+    assert(rows.map(_.getString(1)).toSeq === Seq("raw", "exact_dedup",
+      "near_dup_drop", "decontam", "quality", "token_budget"))
+    val docs = rows.map(_.getLong(2))
+    val toks = rows.map(_.getLong(3))
+    val idsums = rows.map(_.getLong(4))
+    // each stage is a pure filter: doc counts, token mass, and the
+    // membership checksum all non-increasing (a stage that invented or
+    // double-counted a doc would raise one of them)
+    docs.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+    toks.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+    idsums.sliding(2).foreach { case Array(a, b) => assert(b <= a) }
+    // the fixture exercises every stage: at least one doc leaves in
+    // stages 1–3 collectively and the budget cut is a real cut
+    assert(docs(3) < docs(0), "no doc left in dedup/near-dup/decontam")
+    assert(docs(5) < docs(4) && docs(5) > 0, "budget cut degenerate")
+    // budget bound: kept tokens <= floor(stage-4 tokens * 0.6), and the
+    // cut is maximal (adding the next doc would exceed it — implied by
+    // kept >= budget - max doc size; pin the weaker exact bound here)
+    assert(toks(5) <= (toks(4) * 0.6).floor.toLong)
+  }
 }

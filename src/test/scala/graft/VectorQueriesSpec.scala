@@ -108,6 +108,46 @@ class VectorQueriesSpec extends SparkSpec {
     assert(gated.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq === exact)
   }
 
+  test("semDedupIncremental: memoized index, per-item O(new) probe, gated output = exact cross truth") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // (a) the corpus-side index is a memoized artifact: a second call
+    // returns the SAME checkpointed DataFrame instance — per-ingest
+    // work cannot include an index rebuild
+    val idx1 = VectorQueries.semDedupIndex(spark, sf)
+    val idx2 = VectorQueries.semDedupIndex(spark, sf)
+    assert(idx1 eq idx2, "index rebuilt on second call — memo broken")
+    // (b) per-item independence (the O(new) semantics): probing a
+    // SUB-batch yields exactly the full probe's pairs restricted to it
+    val full = emb().where(pmod(col("vec_id"), lit(2)) === 1)
+    val fullPairs = VectorQueries
+      .semDedupIncrementalFound(spark, sf, full).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cut = vecs.keys.filter(_ % 2 == 1).toSeq.sorted
+      .apply(vecs.keys.count(_ % 2 == 1) / 2)
+    val subPairs = VectorQueries
+      .semDedupIncrementalFound(spark, sf, full.where(col("vec_id") <= cut))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(subPairs === fullPairs.filter(_._2 <= cut),
+      "sub-batch probe diverged from the restricted full probe")
+    // (c) every found pair is a true >= 0.3 cross-parity pair
+    fullPairs.foreach { case (c0, b0) =>
+      assert(c0 % 2 == 0 && b0 % 2 == 1)
+      assert(cos(vecs(c0), vecs(b0)) >= 0.3, s"($c0,$b0) below threshold")
+    }
+    // (d) the gated oracle form: exact label-blocked cross truth +
+    // claims fixed true
+    val gated = VectorQueries.semDedupIncremental(spark, sf).collect()
+    assert(gated.nonEmpty)
+    gated.foreach { r =>
+      assert(r.getAs[Boolean]("recall_ok") && r.getAs[Boolean]("precision_ok"))
+      assert(r.getLong(0) % 2 == 0 && r.getLong(1) % 2 == 1)
+    }
+  }
+
+  private def emb() = Tables.load(spark, sf, "embeddings")
+    .select(org.apache.spark.sql.functions.col("vec_id"),
+      org.apache.spark.sql.functions.col("embedding").as("v"))
+
   test("nearestCentroids kernel: descending top-k by cosine, first-seen ties, head = nearestCentroid") {
     import org.apache.spark.sql.functions.{broadcast, col, collect_list, sort_array, struct}
     val e = Tables.load(spark, sf, "embeddings")
