@@ -50,7 +50,13 @@ object ScalingProbe {
     // r13: the substring CUT (affected-doc-bounded token surgery),
     // DSIR importance resampling (one token-stream pass + B-row
     // broadcast), exact payload dedup (linear byte-grain groupBy)
-    "q_dup_substrings_clean", "q_dsir_sample", "q_media_dedup")
+    "q_dup_substrings_clean", "q_dsir_sample", "q_media_dedup",
+    // r14 wave: the iterative BPE trainer (vocab-grain loop — expect a
+    // flat curve after the one corpus-sized pass), the composed
+    // cleaning lineage, the ANN-served retrieval fusion, and the
+    // incremental SemDeDup probe
+    "q_bpe_train", "q_corpus_pipeline", "q_hybrid_rank_ann",
+    "q_semdedup_incremental")
 
   // measurement plumbing shared with Bench — one implementation
   private def forceEval(df: org.apache.spark.sql.DataFrame): Unit =

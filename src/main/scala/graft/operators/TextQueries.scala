@@ -149,10 +149,19 @@ object TextQueries {
     val docs = withTokens(load(spark, dir, "documents"))
     // the one corpus-sized pass: word frequencies, then char-split to
     // the initial symbol sequences
-    var vocab = docs.select(explode(col("toks")).as("word"))
+    val vocab0 = docs.select(explode(col("toks")).as("word"))
       .where(length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("wf"))
       .select(concat_ws(" ", split(col("word"), "")).as("seq"), col("wf"))
+    // right-size the LOOP's partitioning to the vocabulary, not the
+    // corpus: every iteration is |vocab| rows, and N iterations of
+    // 32-task jobs over a few-hundred-row table are pure scheduling
+    // floor (measured ~0.1 s/iteration at sf0.1's 31-word vocab).
+    // ~64k rows/partition keeps a real multi-million-word vocab
+    // parallel while a fixture-sized one runs single-task.
+    val nv = vocab0.count()
+    var vocab = vocab0
+      .repartition(math.max(1, (nv / 65536L).toInt + 1))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     for (s <- 1 to steps) {
@@ -182,7 +191,11 @@ object TextQueries {
         trim(replace(concat(lit(" "), col("seq"), lit(" ")),
           lit(s" $l $r "), lit(s" $l$r "))).as("seq"),
         col("wf"))
-        .localCheckpoint()
+      // flatten the plan every few merges, not every merge: a handful
+      // of chained literal replaces analyze fine, and each checkpoint
+      // is a whole extra job — at a fixture-sized vocab the loop cost
+      // IS the job count
+      if (s % 5 == 0 && s < steps) vocab = vocab.localCheckpoint()
     }
     merges.toSeq
       .map { case (s, l, r, c) => (s, l, r, l + r, c) }
@@ -965,26 +978,27 @@ object TextQueries {
       .orderBy(col("a_id"), col("b_id"))
   }
 
-  /** Memoized exact J >= 1/2 pair rows (and packed (a_id << 32) | b_id
-    * keys) — the ground truth [[minhashDedup]] emits and audits against,
-    * computed once per (process, dir) via the ZERO-false-negative
-    * prefix filter (the bruteTop10Ids discipline from VectorQueries:
-    * a fixed exact answer, result-sized collect). Keys on the fixture
-    * dir and assumes immutability; a live pipeline would key on a
-    * snapshot/version id. */
-  private val exactHalfRowsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Long, Double)]]
-  private def exactHalfPairRows(
-      spark: SparkSession, dir: String): Array[(Long, Long, Double)] =
-    exactHalfRowsCache.getOrElseUpdate(dir,
-      exactSimJoin(spark, dir, 1, 2).collect().map { r =>
-        val a = r.getLong(0); val b = r.getLong(1)
-        require(a >= 0 && b >= 0 && a < (1L << 31) && b < (1L << 31),
-          s"pair key packing needs doc_ids < 2^31, got ($a, $b)")
-        (a, b, r.getDouble(2))
+  /** Memoized exact J >= 1/2 pair manifest — the ground truth
+    * [[minhashDedup]] emits and audits against, computed once per
+    * (app, dir) via the ZERO-false-negative prefix filter. Kept as a
+    * CHECKPOINTED DataFrame, never a driver array (r14 — the r13
+    * collect-based form was q_minhash_dedup's skew residual: an
+    * adversarial mass-duplicate corpus makes this set ~500k pairs, and
+    * a driver array re-enters every audit/emission as a multi-MB
+    * LocalRelation serialized into each task): the audits semi-/anti-
+    * join against it executor-side, the gated query emits it directly.
+    * The exhaustive pair COUNT rides the memo for the recall divisor
+    * and the zero-pair guard. Keys on the fixture dir and assumes
+    * immutability; a live pipeline would key on a snapshot/version id. */
+  private val exactHalfDfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, Long)]
+  private def exactHalfPairs(
+      spark: SparkSession, dir: String): (DataFrame, Long) =
+    exactHalfDfCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir), {
+        val df = exactSimJoin(spark, dir, 1, 2).localCheckpoint()
+        (df, df.count())
       })
-  private def exactHalfPairKeys(spark: SparkSession, dir: String): Array[Long] =
-    exactHalfPairRows(spark, dir).map { case (a, b, _) => (a << 32) | b }
 
   /** Per-doc distinct trigram-shingle hash sets. */
   private[graft] def simJoinSets(spark: SparkSession, dir: String): DataFrame = {
@@ -1187,20 +1201,25 @@ object TextQueries {
     val expanded = if (dupFree) pairs else cross.unionByName(within)
     val out = expanded
       .orderBy(col("a_id"), col("b_id")).localCheckpoint()
-    val exact = exactHalfPairKeys(spark, dir)
+    val (exactDf, nExact) = exactHalfPairs(spark, dir)
     // a catastrophic banding regression yielding ZERO pairs would
     // otherwise report recall 0 on an empty dump — fail loudly, not
     // vacuously (r10; cheap: `out` is already materialized)
-    require(exact.isEmpty || !out.isEmpty,
-      s"minhashDedup: total recall loss — ${exact.length} exact " +
+    require(nExact == 0 || !out.isEmpty,
+      s"minhashDedup: total recall loss — $nExact exact " +
         "J >= 1/2 pairs exist but the LSH funnel produced zero")
     // found-set recall + found-⊆-exact precision, both resolved
     // DISTRIBUTED (r14, verdict item 2 — the r12 skew probe measured
     // this manifest collect as q_minhash_dedup's 7.5× output-bound
-    // residual): the found stream semi-/anti-joins against the
-    // broadcast exact keys; only scalar counts return to the driver.
-    val recall = VectorQueries.distributedRecall(spark, exact, out)
-    val precision = VectorQueries.distributedSubset(spark, exact, out)
+    // residual): both sides stay checkpointed executor-side frames —
+    // unlike the cosine funnels' SAMPLED bounded exact keys, this
+    // exact set is exhaustive and adversarially unbounded, so it must
+    // never transit the driver at all; only scalar counts return.
+    val foundIds = out.select(col("a_id"), col("b_id"))
+    val exactIds = exactDf.select(col("a_id"), col("b_id"))
+    val hits = exactIds.join(foundIds, Seq("a_id", "b_id"), "left_semi").count()
+    val recall = if (nExact == 0) 1.0 else hits.toDouble / nExact
+    val precision = foundIds.join(exactIds, Seq("a_id", "b_id"), "left_anti").isEmpty
     (out, recall, precision)
   }
 
@@ -1209,12 +1228,13 @@ object TextQueries {
     * truth + the oracle-fixed recall claim. Measured recall 1.0 / 1.0
     * / 0.992 at sf0.001/0.01/0.1; floor 0.8 for regeneration margin. */
   def minhashDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     // r12 (verdict item 2): found ⊆ exact pinned as a claim. Unlike the
     // label-blocked cosine twins this holds GLOBALLY — the prefix-filter
     // ground truth enumerates every J ≥ 1/2 pair.
     val (_, recall, precision) = minhashDedupAll(spark, dir)
-    exactHalfPairRows(spark, dir).toSeq.toDF("a_id", "b_id", "jaccard")
+    // emission reads the memoized checkpointed manifest directly (r14)
+    // — never a driver-built LocalRelation of the pair list
+    exactHalfPairs(spark, dir)._1
       .withColumn("recall_ok", lit(recall >= 0.8))
       .withColumn("precision_ok", lit(precision))
       .orderBy(col("a_id"), col("b_id"))
