@@ -121,10 +121,12 @@ object SparkEntry {
     "q_vocab_topk" -> ((s, d) => TextQueries.vocabTopk(s, d)),
     "q_bpe_pairs" -> ((s, d) => TextQueries.bpePairs(s, d)),
     "q_bpe_train" -> ((s, d) => TextQueries.bpeTrain(s, d)),
+    "q_bpe_encode" -> ((s, d) => TextQueries.bpeEncode(s, d)),
     "q_rep_filter" -> (TextQueries.repFilter _),
     "q_bm25" -> ((s, d) => TextQueries.bm25(s, d)),
     "q_hybrid_rank" -> ((s, d) => TextQueries.hybridRank(s, d)),
     "q_hybrid_rank_ann" -> ((s, d) => TextQueries.hybridRankAnn(s, d)),
+    "q_rag_context" -> ((s, d) => TextQueries.ragContext(s, d)),
     "q_inverted_index" -> (TextQueries.invertedIndex _),
     "q_heavy_hitters" -> ((s, d) => TextQueries.heavyHitters(s, d)),
     "q_pii_scrub" -> (TextQueries.piiScrub _),
@@ -133,6 +135,8 @@ object SparkEntry {
     "q_sample_hash" -> ((s, d) => TextQueries.sampleHashCutoff(s, d)),
     "q_ngram_jaccard" -> (TextQueries.ngramJaccard _),
     "q_dup_substrings" -> ((s, d) => TextQueries.dupSubstrings(s, d)),
+    "q_dup_substrings_incremental" ->
+      ((s, d) => TextQueries.dupSubstringsIncremental(s, d)),
     "q_dup_substrings_clean" -> ((s, d) => TextQueries.dupSubstringsClean(s, d)),
     "q_dup_clusters" -> (DupClusters.nearDupClusters _),
     "q_minhash_dedup" -> (TextQueries.minhashDedup _),
@@ -338,11 +342,11 @@ object SparkEntry {
     * referenced CTEs are declared MATERIALIZED (the r9 closure-oracle
     * lesson: DuckDB re-inlines them otherwise, and v_k is read by both
     * p_k and v_{k+1} — naive inlining doubles work per step). */
-  private def bpeTrainSql(steps: Int): String = {
+  private def bpeCtes(steps: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH w AS (SELECT unnest(regexp_split_to_array(text, '\s+')) AS word
       |  FROM documents),
-      |v1 AS MATERIALIZED (SELECT array_to_string(
+      |v1 AS MATERIALIZED (SELECT word, array_to_string(
       |    list_transform(range(1, length(word) + 1), i -> word[CAST(i AS INT)]),
       |    ' ') AS seq, count(*) AS wf
       |  FROM w WHERE length(word) >= 2 GROUP BY 1)""".stripMargin
@@ -354,17 +358,29 @@ object SparkEntry {
         |        FROM (SELECT regexp_split_to_array(seq, ' ') AS syms, wf FROM v$k))
         |  GROUP BY 1, 2),
         |m$k AS MATERIALIZED (SELECT $k AS step, l, r, cnt FROM p$k
-        |  ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
-      if (k < steps) sb ++= s""",
-        |v${k + 1} AS MATERIALIZED (SELECT trim(replace(' ' || seq || ' ',
+        |  ORDER BY cnt DESC, l, r LIMIT 1),
+        |v${k + 1} AS MATERIALIZED (SELECT word, trim(replace(' ' || seq || ' ',
         |    (SELECT ' ' || l || ' ' || r || ' ' FROM m$k),
         |    (SELECT ' ' || l || r || ' ' FROM m$k))) AS seq, wf FROM v$k)""".stripMargin
     }
-    sb ++= "\nSELECT step, l AS lhs, r AS rhs, l || r AS merged, cnt\nFROM ("
-    sb ++= (1 to steps).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")
-    sb ++= ")\nORDER BY step"
     sb.toString
   }
+
+  private def bpeTrainSql(steps: Int): String =
+    bpeCtes(steps) +
+      "\nSELECT step, l AS lhs, r AS rhs, l || r AS merged, cnt\nFROM (" +
+      (1 to steps).map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ") +
+      ")\nORDER BY step"
+
+  /** The encode twin (r14): the loop's final vocab state IS the
+    * trained tokenizer's segmentation of every corpus word. */
+  private def bpeEncodeSql(steps: Int): String =
+    bpeCtes(steps) +
+      s"""
+        |SELECT word, wf,
+        |  CAST(len(regexp_split_to_array(seq, ' ')) AS INT) AS n_subwords,
+        |  seq AS encoded
+        |FROM v${steps + 1} ORDER BY word""".stripMargin
 
   /** Shared by q_ngram_jaccard and (as the edge-list CTE) the
     * q_dup_clusters recursive-closure oracle. */
@@ -1603,6 +1619,10 @@ object SparkEntry {
     // the full N-step training loop (r14): DuckDB replays the same
     // recount → argmax → literal-replace iteration as unrolled CTEs
     "q_bpe_train" -> bpeTrainSql(20),
+    // the serving half: the trained tokenizer's segmentation of every
+    // corpus word (the loop's final vocab state), served engine-side
+    // from the memoized artifact
+    "q_bpe_encode" -> bpeEncodeSql(20),
     "q_rep_filter" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS toks
         |  FROM documents),
@@ -1684,6 +1704,43 @@ object SparkEntry {
         |SELECT doc_id, lex_rank, dense_rank, rrf, TRUE AS recall_ok
         |FROM r WHERE rn <= 15
         |ORDER BY doc_id""".stripMargin,
+    // RAG context assembly (r14): greedy whole-document packing of the
+    // fused top-15 into a 400-token context budget, in fusion-score
+    // order — the manifest a retrieval-augmented pipeline hands the
+    // model
+    "q_rag_context" ->
+      s"""WITH $Bm25ScoredCtes,
+        |lex AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        |  FROM (SELECT doc_id, bm25 FROM bm
+        |        ORDER BY bm25 DESC, doc_id LIMIT 100)),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qv AS (SELECT vec_id AS q_id, v AS qvec FROM e ORDER BY vec_id LIMIT 1),
+        |cosd AS (SELECT e.vec_id AS doc_id,
+        |    round(list_cosine_similarity(e.v, qv.qvec), 4) AS cos
+        |  FROM e, qv WHERE e.vec_id <> qv.q_id),
+        |dense AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY cos DESC, doc_id) AS dense_rank
+        |  FROM (SELECT doc_id, cos FROM cosd
+        |        ORDER BY cos DESC, doc_id LIMIT 100)),
+        |f AS (SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+        |    round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), 0) +
+        |          coalesce(CAST(1 AS DOUBLE) / (60 + dense_rank), 0), 6) AS rrf
+        |  FROM lex FULL OUTER JOIN dense ON lex.doc_id = dense.doc_id),
+        |r AS (SELECT doc_id, rrf,
+        |    row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn FROM f),
+        |top AS (SELECT doc_id, rrf FROM r WHERE rn <= 15),
+        |dl2 AS (SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |c AS (SELECT CAST(row_number() OVER
+        |      (ORDER BY rrf DESC, t.doc_id) AS INT) AS ctx_rank,
+        |    t.doc_id AS doc_id, n_toks,
+        |    sum(n_toks) OVER (ORDER BY rrf DESC, t.doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum_toks
+        |  FROM top t JOIN dl2 USING (doc_id))
+        |SELECT ctx_rank, doc_id, n_toks, CAST(cum_toks AS BIGINT) AS cum_toks
+        |FROM c WHERE cum_toks <= 400 ORDER BY ctx_rank""".stripMargin,
     "q_inverted_index" ->
       """WITH t AS (SELECT doc_id,
         |  unnest(regexp_split_to_array(text, '\s+')) AS term FROM documents)
@@ -1972,6 +2029,31 @@ object SparkEntry {
     "q_dup_substrings" ->
       s"""WITH $DupSubstrSpanCtes
         |SELECT doc_id, span_start, span_end FROM spans
+        |ORDER BY doc_id, span_start""".stripMargin,
+    // incremental substring dedup (r14): spans of BATCH (odd-id)
+    // windows whose window text the indexed corpus (even ids) already
+    // contains — the oracle probes the same membership on window
+    // STRINGS (the engine's fp is xxhash64 of the window, the
+    // repo-wide fingerprint idiom)
+    "q_dup_substrings_incremental" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_split_to_array(text, '\s+') AS toks FROM documents),
+        |wl AS (SELECT doc_id, list_transform(range(1, len(toks) - 6),
+        |    i -> struct_pack(pos := i - 1,
+        |      win := array_to_string(toks[i:i+7], ' '))) AS ws
+        |  FROM d WHERE len(toks) >= 8),
+        |wins AS (SELECT doc_id, unnest(ws) AS u FROM wl),
+        |flat AS (SELECT doc_id, u.pos AS pos, u.win AS win FROM wins),
+        |cw AS (SELECT DISTINCT win FROM flat WHERE doc_id % 2 = 0),
+        |p AS (SELECT doc_id, pos FROM flat JOIN cw USING (win)
+        |  WHERE doc_id % 2 = 1),
+        |g AS (SELECT doc_id, pos, CASE WHEN lag(pos) OVER w IS NULL
+        |    OR pos - lag(pos) OVER w > 7 THEN 1 ELSE 0 END AS ni
+        |  FROM p WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+        |i AS (SELECT doc_id, pos, sum(ni) OVER (
+        |    PARTITION BY doc_id ORDER BY pos) AS island FROM g)
+        |SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+        |FROM i GROUP BY doc_id, island
         |ORDER BY doc_id, span_start""".stripMargin,
     // r13, the operation's second half: CUT the duplicated spans.
     // Every distinct span text keeps its globally-first occurrence

@@ -427,6 +427,90 @@ class TextQueriesSpec extends SparkSpec {
     assert(rows.exists(r => !r.isNullAt(1) && !r.isNullAt(2)))
   }
 
+  test("bpeEncode: greedy in-training-order merge application reproduces every segmentation") {
+    import org.apache.spark.sql.functions._
+    val merges = graft.operators.TextQueries.bpeTrain(spark, sf).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val enc = graft.operators.TextQueries.bpeEncode(spark, sf).collect()
+    assert(enc.nonEmpty)
+    // driver recompute: same literal-replace semantics (Java
+    // String.replace == Spark replace == DuckDB replace)
+    enc.foreach { r =>
+      val word = r.getString(0)
+      var seq = word.toCharArray.map(_.toString).mkString(" ")
+      merges.foreach { case (l, r0) =>
+        seq = (" " + seq + " ").replace(s" $l $r0 ", s" $l$r0 ").trim
+      }
+      assert(r.getString(3) === seq, s"word $word")
+      assert(r.getInt(2) === seq.split(" ").length, s"word $word")
+    }
+    // the vocab is lossless: every >= 2-char token is encoded, with
+    // its corpus frequency conserved
+    val totalWf = enc.map(_.getLong(1)).sum
+    val expected = Tables.load(spark, sf, "documents")
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .where(length(col("w")) >= 2).count()
+    assert(totalWf === expected)
+  }
+
+  test("dupSubstringsIncremental: memoized index + spans equal the driver-recomputed batch-vs-corpus repeats") {
+    // index memoized: per-ingest work cannot rebuild it
+    val i1 = graft.operators.TextQueries.substrFpIndex(spark, sf)
+    val i2 = graft.operators.TextQueries.substrFpIndex(spark, sf)
+    assert(i1 eq i2, "fp index rebuilt on second call")
+    val got = graft.operators.TextQueries.dupSubstringsIncremental(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // full driver recompute on the fixture
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split("\\s+").toSeq).toMap
+    def wins(toks: Seq[String]): Seq[(Int, String)] =
+      if (toks.length < 8) Seq.empty
+      else (0 to toks.length - 8).map(p => (p, toks.slice(p, p + 8).mkString(" ")))
+    val corpusWins = docs.filter(_._1 % 2 == 0).values
+      .flatMap(wins(_).map(_._2)).toSet
+    val expected = docs.filter(_._1 % 2 == 1).toSeq.sortBy(_._1).flatMap {
+      case (id, toks) =>
+        val hits = wins(toks).collect {
+          case (p, w) if corpusWins(w) => p
+        }.sorted
+        // island merge at gap > 7
+        if (hits.isEmpty) Seq.empty
+        else {
+          val spans = scala.collection.mutable.ArrayBuffer[(Int, Int)]()
+          var s = hits.head; var e = hits.head
+          hits.tail.foreach { p =>
+            if (p - e > 7) { spans += ((s, e)); s = p }
+            e = p
+          }
+          spans += ((s, e))
+          spans.map { case (a, b) => (id, a.toLong, b.toLong + 7) }
+        }
+    }
+    assert(got.toSeq === expected)
+    assert(got.nonEmpty, "fixture should carry at least one cross-parity repeat")
+  }
+
+  test("ragContext: maximal greedy prefix of the fused ranking under the token budget") {
+    import org.apache.spark.sql.functions._
+    val budget = 400L
+    val ranked = graft.operators.TextQueries.hybridRank(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(3)))
+      .sortBy { case (id, rrf) => (-rrf, id) }
+    val lens = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), "\\s+")).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var cum = 0L
+    val expected = ranked.zipWithIndex.map { case ((id, _), i) =>
+      cum += lens(id); (i + 1, id, lens(id), cum)
+    }.takeWhile(_._4 <= budget)
+    val got = graft.operators.TextQueries.ragContext(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === expected.toSeq)
+    assert(got.nonEmpty && got.length < ranked.length,
+      "budget should cut strictly inside the retrieved list")
+  }
+
   test("hybridRankAnn: ANN-served fusion reproduces the exact fusion, claim true") {
     val exact = graft.operators.TextQueries.hybridRank(spark, sf).collect()
     val ann = graft.operators.TextQueries.hybridRankAnn(spark, sf).collect()
