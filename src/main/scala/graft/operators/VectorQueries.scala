@@ -233,14 +233,6 @@ object VectorQueries {
     * mismatch AND the Verify claim gate (exit 3). The probe itself
     * stays exposed as [[cosineDedupLshFound]] for the spec's
     * true-score / subset assertions. */
-  /** Pack one found pair into the (a_id << 32) | b_id key space the
-    * exact twins use, with the shared oversized-id guard. */
-  private def packPairKey(a: Long, b: Long): Long = {
-    require(a >= 0 && b >= 0 && a < (1L << 31) && b < (1L << 31),
-      s"pair key packing needs ids < 2^31, got ($a, $b)")
-    (a << 32) | b
-  }
-
   /** DISTRIBUTED found-set membership audits (r14, verdict item 2):
     * the funnels' recall/precision claims used to `.collect()` the
     * whole found-pair set to the driver for the membership test —
@@ -311,12 +303,18 @@ object VectorQueries {
   }
 
   /** found-⊆-exact precision over the same-label claim domain,
-    * resolved as a distributed anti-join (r14 — no found-set collect). */
+    * resolved as a distributed anti-join of two executor-side frames
+    * (r14 — no found-set collect, and the EXACT side stays the
+    * checkpointed manifest: unlike the sampled recall keys it is
+    * exhaustive, so on an adversarial corpus it must never transit
+    * the driver either — the minhash-funnel discipline). */
   private def sameLabelPrecisionOk(
       spark: SparkSession, dir: String, pairs: DataFrame): Boolean = {
-    val exact = exactCosineRows(spark, dir)
-      .map { case (a, b, _) => packPairKey(a, b) }
-    distributedSubset(spark, exact, sameLabelFoundPairs(spark, dir, pairs))
+    val (exactDf, _) = exactCosinePairsDf(spark, dir)
+    sameLabelFoundPairs(spark, dir, pairs)
+      .join(exactDf.select(col("a_id"), col("b_id")),
+        Seq("a_id", "b_id"), "left_anti")
+      .isEmpty
   }
 
   private[graft] def cosineDedupLshFound(
@@ -377,29 +375,33 @@ object VectorQueries {
     (pairs.orderBy(col("a_id"), col("b_id")), recall)
   }
 
-  /** Memoized EXHAUSTIVE exact near-dup pair rows — the ground truth
-    * the graduated [[cosineDedupLsh]] emits (and q_cosine_dedup
-    * oracle-checks live). Result-sized collect (~10⁴ pairs at sf0.1),
-    * once per (process, dir); same immutability contract as the key
-    * caches. */
-  private val exactCosRowsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Array[(Long, Long, Double)]]
-  private def exactCosineRows(spark: SparkSession, dir: String): Array[(Long, Long, Double)] =
-    exactCosRowsCache.getOrElseUpdate(dir,
-      exactPairs(spark, dir, 1).collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+  /** Memoized EXHAUSTIVE exact near-dup pair manifest — the ground
+    * truth the graduated [[cosineDedupLsh]] / [[semDedup]] emit (and
+    * q_cosine_dedup oracle-checks live). Kept as a CHECKPOINTED
+    * DataFrame with its count, never a driver array (r14 — the
+    * minhash-funnel discipline: result-sized at fixtures, ~10⁴ pairs,
+    * but adversarially unbounded, so the audits join against it
+    * executor-side and the gated queries emit it directly). */
+  private val exactCosDfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (DataFrame, Long)]
+  private def exactCosinePairsDf(
+      spark: SparkSession, dir: String): (DataFrame, Long) =
+    exactCosDfCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir), {
+        val df = exactPairs(spark, dir, 1).localCheckpoint()
+        (df, df.count())
+      })
 
   /** Oracle-gated LSH near-dup (r11 graduation — see
     * [[cosineDedupLshFound]] for the probe and the full story). */
   def cosineDedupLsh(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val (found, recall) = cosineDedupLshFound(spark, dir)
     // r12 (verdict item 2): the funnel's found-pair SET now reaches the
     // claim gate too — precision_ok pins same-label found ⊆ exact, so a
     // funnel that starts emitting junk pairs fails even while its
     // sampled recall holds
     val precision = sameLabelPrecisionOk(spark, dir, found)
-    exactCosineRows(spark, dir).toSeq.toDF("a_id", "b_id", "cos")
+    exactCosinePairsDf(spark, dir)._1
       .withColumn("recall_ok", lit(recall >= MinDedupRecall))
       .withColumn("precision_ok", lit(precision))
       .orderBy(col("a_id"), col("b_id"))
@@ -743,11 +745,10 @@ object VectorQueries {
 
   /** Oracle-gated SemDeDup (see [[semDedupFound]]). */
   def semDedup(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val (found, recall) = semDedupFound(spark, dir)
     // same found-⊆-exact precision claim as [[cosineDedupLsh]] (r12)
     val precision = sameLabelPrecisionOk(spark, dir, found)
-    exactCosineRows(spark, dir).toSeq.toDF("a_id", "b_id", "cos")
+    exactCosinePairsDf(spark, dir)._1
       .withColumn("recall_ok", lit(recall >= MinSemDedupRecall))
       .withColumn("precision_ok", lit(precision))
       .orderBy(col("a_id"), col("b_id"))
@@ -847,15 +848,14 @@ object VectorQueries {
     * union corpus restricted to corpus×batch pairs — the incremental
     * contract. */
   def semDedupIncremental(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val batch = emb(spark, dir)
       .where(pmod(col("vec_id"), lit(2)) === 1)
       .select(col("vec_id"), col("embedding").as("v"))
     val found = semDedupIncrementalFound(spark, dir, batch)
       .select(col("corpus_id").as("a_id"), col("batch_id").as("b_id"))
       .localCheckpoint()
-    // exact cross-parity keys, derived from the memoized exhaustive /
-    // sampled twins by reorienting (a < b) pairs to (even, odd)
+    // sampled exact cross-parity keys (bounded by construction) for
+    // the recall estimate, reoriented (a < b) → (even, odd)
     def crossKeys(rows: Array[Long]): Array[Long] = rows.flatMap { pk =>
       val a = pk >>> 32; val b = pk & 0xffffffffL
       if ((a & 1L) == (b & 1L)) None
@@ -867,18 +867,25 @@ object VectorQueries {
       s"semDedupIncremental: total recall loss — ${exactSample.length} " +
         "sampled exact cross pairs exist but the index probe produced zero")
     val recall = distributedRecall(spark, exactSample, found)
-    val exactAll = crossKeys(
-      exactCosineRows(spark, dir).map { case (a, b, _) => packPairKey(a, b) })
+    // the exhaustive cross-parity truth stays a reorientation of the
+    // CHECKPOINTED exact manifest — executor-side for both the
+    // precision anti-join and the emission (r14, minhash discipline)
+    val truth = exactCosinePairsDf(spark, dir)._1
+      .where(pmod(col("a_id"), lit(2)) =!= pmod(col("b_id"), lit(2)))
+      .select(
+        when(col("a_id") % 2 === 0, col("a_id")).otherwise(col("b_id"))
+          .as("corpus_id"),
+        when(col("a_id") % 2 === 0, col("b_id")).otherwise(col("a_id"))
+          .as("batch_id"),
+        col("cos"))
     // precision over the same-label claim domain (the label-blocked
     // twin never enumerates cross-label pairs — the cosineDedupLsh
     // argument)
-    val precision = distributedSubset(spark, exactAll,
-      sameLabelFoundPairs(spark, dir, found))
-    val truth = exactCosineRows(spark, dir)
-      .filter { case (a, b, _) => (a & 1L) != (b & 1L) }
-      .map { case (a, b, c) =>
-        if ((a & 1L) == 0L) (a, b, c) else (b, a, c) }
-    truth.toSeq.toDF("corpus_id", "batch_id", "cos")
+    val precision = sameLabelFoundPairs(spark, dir, found)
+      .join(truth.select(col("corpus_id").as("a_id"),
+        col("batch_id").as("b_id")), Seq("a_id", "b_id"), "left_anti")
+      .isEmpty
+    truth
       .withColumn("recall_ok", lit(recall >= MinSemDedupRecall))
       .withColumn("precision_ok", lit(precision))
       .orderBy(col("corpus_id"), col("batch_id"))
