@@ -242,7 +242,7 @@ object SparkEntry {
     "q11_important_stock" -> (TpchDeep.q11ImportantStock _),
     "q20_part_shippers" -> (TpchDeep.q20PartShippers _),
     "q_dup_canonical" -> (DupClusters.canonicalReps _),
-    "q_cluster_radius" -> (DupClusters.clusterRadius _),
+    "q_cluster_radius" -> ((s, d) => DupClusters.clusterRadius(s, d)),
     "q_mode_groups" -> (AnalyticsWave3.modeGroups _),
     "q_gaps_islands" -> (AnalyticsWave3.gapsIslands _),
     "q_share_of_day" -> (AnalyticsWave3.shareOfDay _),

@@ -389,14 +389,72 @@ object DupClusters {
     * checkpointed frontier, materializing it as a side effect).
     * Everything runs at pair-manifest grain — the corpus is never
     * touched after pair detection. */
-  def clusterRadius(spark: SparkSession, dir: String): DataFrame = {
+  /** Driver-loop cutover bound for [[clusterRadius]]: a pair manifest
+    * under this many rows (≈ 32 MB of (x, y) longs symmetrized) runs
+    * its BFS on the collected edge list in one process — N frontier
+    * rounds over a result-sized manifest are otherwise N scheduled
+    * join+anti-join jobs of pure scheduling floor (measured ~0.2 s ×
+    * 9 rounds at sf0.1's few-thousand-pair manifest). Above the bound
+    * the distributed Pregel loop below runs unchanged — same seeds,
+    * same level semantics, spec-pinned identical. */
+  private[graft] val RadiusDriverPairMax = 1L << 20
+
+  /** BFS levels on the collected symmetric adjacency — one pass per
+    * level, min-distance = first-reach level, exactly the distributed
+    * branch's (join frontier → anti-join visited → min d) semantics. */
+  private def radiusDriver(spark: SparkSession,
+      seeds: Array[Long], edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val adj = scala.collection.mutable.HashMap
+      .empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+    edges.foreach { case (x, y) =>
+      adj.getOrElseUpdate(x, scala.collection.mutable.ArrayBuffer.empty) += y
+    }
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Int)]()
+    seeds.foreach { s =>
+      val dist = scala.collection.mutable.HashMap(s -> 0)
+      var frontier = List(s)
+      var d = 0
+      while (frontier.nonEmpty) {
+        d += 1
+        frontier = frontier.flatMap(adj.getOrElse(_, Nil))
+          .filter(n => !dist.contains(n))
+          .distinct
+        frontier.foreach(dist(_) = d)
+      }
+      dist.foreach { case (id, dd) => out += ((s, id, dd)) }
+    }
+    out.toSeq.toDF("comp", "id", "d")
+  }
+
+  def clusterRadius(spark: SparkSession, dir: String,
+      driverPairMax: Long = RadiusDriverPairMax): DataFrame = {
     val pairs = pairManifest(spark, dir)
     val comp = nearDupLabels(spark, dir)
+    val nPairs = pairs.count()
+    // Adaptive cutover (r14 optimization, the globalNtile/bpeTrain
+    // discipline): the BFS runs at PAIR-MANIFEST grain — result-sized
+    // by construction — so below [[RadiusDriverPairMax]] the frontier
+    // loop collapses to one collect + an in-process walk + the same
+    // final distributed aggregate, instead of rounds-many scheduled
+    // jobs. The distributed branch is the 100 TB path and stays
+    // byte-identical (DupClustersSpec pins both paths equal).
+    if (nPairs <= driverPairMax) {
+      val es = pairs.select(col("a_id"), col("b_id")).collect()
+        .flatMap(r => Seq((r.getLong(0), r.getLong(1)), (r.getLong(1), r.getLong(0))))
+      val seeds = comp.select(col("comp")).distinct().collect().map(_.getLong(0))
+      return radiusDriver(spark, seeds, es)
+        .groupBy(col("comp").as("keep_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(col("d")).cast("long").as("radius"),
+          graft.functions.F.roundBin(avg(col("d")), 6).as("avg_dist"))
+        .orderBy(col("keep_id"))
+    }
     val edges = pairs.select(col("a_id").as("x"), col("b_id").as("y"))
       .unionByName(pairs.select(col("b_id").as("x"), col("a_id").as("y")))
       .localCheckpoint()
     graft.Tables.withConfs(spark,
-      "spark.sql.shuffle.partitions" -> partitionsForEdges(2 * pairs.count()).toString,
+      "spark.sql.shuffle.partitions" -> partitionsForEdges(2 * nPairs).toString,
       "spark.sql.adaptive.enabled" -> "false") {
       var visited = comp.select(col("comp"), col("comp").as("id"), lit(0).as("d"))
         .distinct().localCheckpoint()

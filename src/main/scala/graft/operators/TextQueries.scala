@@ -160,8 +160,79 @@ object TextQueries {
     * segments seen words). Shared by [[bpeTrain]] (live training
     * query) and the memoized [[bpeArtifacts]] that [[bpeEncode]]
     * serves from. */
-  private def bpeTrainCore(spark: SparkSession, dir: String,
+  /** Driver-loop cutover bound for [[bpeTrainCore]]: below this many
+    * vocab rows the merge loop runs on the collected word-count
+    * dictionary in one process — the posture every production BPE
+    * trainer takes (the dictionary, not the token stream, is the
+    * training input, and it is vocab-grain: sublinear in corpus size).
+    * ~256k (word, seq, wf) rows is ≈ 15 MB of driver heap. Above it,
+    * the distributed vocab-grain loop below runs unchanged. */
+  private val BpeDriverVocabMax = 1L << 18
+
+  /** Byte-wise UTF-8 comparison — Spark/DuckDB string ORDER BY
+    * semantics (binary collation), which Java's UTF-16 compareTo
+    * diverges from for supplementary code points. The driver-loop
+    * tiebreak must match the distributed `orderBy(l, r)` exactly. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** The merge loop on the COLLECTED dictionary (adaptive cutover, the
+    * globalNtile discipline): identical greedy semantics — pair counts
+    * are Σ wf over every adjacent symbol occurrence, the argmax
+    * tiebreak is (cnt desc, l asc, r asc) under binary string order,
+    * and merge application is Java String.replace, which shares
+    * UTF8String.replace's left-to-right non-overlapping scan-continues-
+    * after-replacement contract. Spec-pinned equal to the distributed
+    * branch (BpeSpec) and oracle-pinned by the DuckDB 20-step replay. */
+  private def bpeTrainDriver(spark: SparkSession,
+      vocab0: Array[(String, String, Long)],
       steps: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
+    import spark.implicits._
+    var vocab = vocab0
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    for (s <- 1 to steps) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (_, seq, wf) =>
+        val sy = seq.split(" ")
+        var i = 0
+        while (i < sy.length - 1) {
+          val k = (sy(i), sy(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + wf
+          i += 1
+        }
+      }
+      require(counts.nonEmpty,
+        s"bpeTrain: pair space exhausted at step $s of $steps — " +
+          "shrink `steps` for this corpus")
+      val ((l, r), cnt) = counts.minBy { case ((cl, cr), c) => (-c, cl, cr) }(
+        Ordering.Tuple3(Ordering.Long, new Ordering[String] {
+          def compare(a: String, b: String): Int =
+            if (a == b) 0 else if (utf8Lt(a, b)) -1 else 1
+        }, new Ordering[String] {
+          def compare(a: String, b: String): Int =
+            if (a == b) 0 else if (utf8Lt(a, b)) -1 else 1
+        }))
+      merges += ((s, l, r, cnt))
+      vocab = vocab.map { case (w, seq, wf) =>
+        (w, (" " + seq + " ").replace(s" $l $r ", s" $l$r ").trim, wf)
+      }
+    }
+    (merges.toSeq, vocab.toSeq.toDF("word", "seq", "wf"))
+  }
+
+  private[graft] def bpeTrainCore(spark: SparkSession, dir: String,
+      steps: Int, driverMax: Long = BpeDriverVocabMax)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     val docs = withTokens(load(spark, dir, "documents"))
     // the one corpus-sized pass: word frequencies, then char-split to
     // the initial symbol sequences
@@ -177,6 +248,17 @@ object TextQueries {
     // ~64k rows/partition keeps a real multi-million-word vocab
     // parallel while a fixture-sized one runs single-task.
     val nv = vocab0.count()
+    // Adaptive cutover (r14 optimization): a dictionary under
+    // [[BpeDriverVocabMax]] trains in one process off ONE collect —
+    // the 20-iteration distributed loop was 20+ scheduled jobs over a
+    // 31-row table at fixture scale (~0.1 s of scheduling floor per
+    // merge, 2.5 s total for zero parallelism benefit). The corpus-
+    // sized word-frequency pass above is unchanged and still
+    // distributed; only the vocab-grain loop moves.
+    if (nv <= driverMax)
+      return bpeTrainDriver(spark,
+        vocab0.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))),
+        steps)
     var vocab = vocab0
       .repartition(math.max(1, (nv / 65536L).toInt + 1))
       .localCheckpoint()
@@ -623,10 +705,14 @@ object TextQueries {
     * ranker's lexical leg. */
   private[graft] def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val docs = withTokens(load(spark, dir, "documents"))
-    val td = docs.select(col("doc_id"), explode(col("toks")).as("token"))
-      .groupBy(col("token"), col("doc_id"))
-      .agg(count(lit(1)).as("tf"))
-    val dfs = td.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // Document frequencies at TOKEN grain: per-doc distinctness
+    // resolves MAP-SIDE (array_distinct before the explode), so the
+    // only exchange carries partially-aggregated (token, count) rows —
+    // vocab-grain — instead of the full (token, doc) stream the r13
+    // shape shuffled (and shuffled TWICE: the df cascade and the tf
+    // branch each re-aggregated it, no CSE across the self-reference).
+    val dfs = docs.select(explode(array_distinct(col("toks"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
     // df ranks 11-13: TakeOrdered(13) bounds the sort, the window runs
     // on 13 rows — never a vocab-wide single-partition rank
     val top13 = dfs.orderBy(col("df").desc, col("token")).limit(13)
@@ -634,14 +720,20 @@ object TextQueries {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("df").desc, col("token"))))
       .where(col("r") >= 11).drop("r")
-    val dl = docs.select(col("doc_id"),
-      size(col("toks")).cast("double").as("dl"))
-    // global scalars fold the doc-length relation, not the corpus —
-    // no third scan/re-tokenize of the text column
-    val g = dl.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-    td.join(broadcast(qterms), "token")
-      .join(dl, "doc_id")
+    // global scalars fold once over the doc relation
+    val g = docs.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(size(col("toks")).cast("double")).as("avgdl"))
+    // Per-(doc, query-term) tf entirely map-side: the ≤ 3 query terms
+    // broadcast against the doc stream and tf is an array-count kernel
+    // over the already-split token array — the corpus-wide
+    // (token, doc_id) aggregation is gone; the only post-scan exchange
+    // is the per-doc score fold over docs that contain a query term.
+    docs.select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("double").as("dl"))
+      .join(broadcast(qterms))
+      .withColumn("tf",
+        size(filter(col("toks"), t => t === col("token"))).cast("long"))
+      .where(col("tf") >= 1)
       .crossJoin(broadcast(g))
       .select(col("doc_id"),
         (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
@@ -756,19 +848,23 @@ object TextQueries {
     // the lexical leg is identical in both fusions — materialize its
     // ≤ legK rows once instead of re-running the BM25 cascade
     val lex = lexLeg(spark, dir, legK).localCheckpoint()
-    val exact = rrfFuse(lex, denseLegExact(spark, dir, legK), k)
-      .localCheckpoint()
+    // ≤ k rows — collect ONCE and emit from a LocalRelation (the
+    // annOracleGated bounded-collect shape) instead of the r14-build
+    // checkpoint + collect + re-read trio: one job computes the exact
+    // fusion, one the ANN fusion, and the emission costs nothing.
+    val exactFused = rrfFuse(lex, denseLegExact(spark, dir, legK), k)
+    val exactRows = exactFused.collect()
     val annScored = VectorQueries.annLshScored(spark, dir, legK)
       .select(col("vec_id").as("doc_id"), col("cos"))
-    val fusedAnn = rrfFuse(lex, rankDense(annScored, legK), k)
-    val exactIds = exact.select(col("doc_id")).collect()
-      .map(_.getLong(0)).toSet
-    val annIds = fusedAnn.select(col("doc_id")).collect()
-      .map(_.getLong(0)).toSet
+    val annIds = rrfFuse(lex, rankDense(annScored, legK), k)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val exactIds = exactRows.map(_.getLong(0)).toSet
     val recall =
       if (exactIds.isEmpty) 1.0
       else exactIds.count(annIds).toDouble / exactIds.size
-    exact.withColumn("recall_ok", lit(recall >= MinHybridAnnRecall))
+    spark.createDataFrame(
+        java.util.Arrays.asList(exactRows: _*), exactFused.schema)
+      .withColumn("recall_ok", lit(recall >= MinHybridAnnRecall))
       .orderBy(col("doc_id"))
   }
 

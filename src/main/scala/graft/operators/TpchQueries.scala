@@ -732,23 +732,36 @@ object TpchQueries {
     * entirely — the stats table tolerates ±1% ndv by construction. */
   def tableStats(spark: SparkSession, dir: String): DataFrame = {
     val li = load(spark, dir, "lineitem")
-    val agg = li.agg(
+    // min/max/null counts for all four columns fold in ONE cheap
+    // partial-aggregated pass; each exact ndv is its own single-column
+    // two-level distinct aggregate. The r13 shape put the four
+    // count_distincts in one agg, which plans a 5-way Expand (every
+    // input row copied 5×) feeding an 18-column-wide shuffle keyed on
+    // ALL FOUR value columns at once; split, the planner runs five
+    // independent column-pruned scans CONCURRENTLY (one job, parallel
+    // stages) and each distinct shuffle carries one narrow column —
+    // guide §2.3 "shuffle fewer bytes" + §2.4 "remove the Expand".
+    // Same exact answers, crossJoined 1-row frames.
+    val base = li.agg(
       F.roundBin(min(col("l_quantity")), 2).as("q_min"),
       F.roundBin(max(col("l_quantity")), 2).as("q_max"),
-      count_distinct(col("l_quantity")).as("q_ndv"),
       (count(lit(1)) - count(col("l_quantity"))).as("q_nulls"),
       F.roundBin(min(col("l_extendedprice")), 2).as("p_min"),
       F.roundBin(max(col("l_extendedprice")), 2).as("p_max"),
-      count_distinct(col("l_extendedprice")).as("p_ndv"),
       (count(lit(1)) - count(col("l_extendedprice"))).as("p_nulls"),
       F.roundBin(min(col("l_discount")), 2).as("d_min"),
       F.roundBin(max(col("l_discount")), 2).as("d_max"),
-      count_distinct(col("l_discount")).as("d_ndv"),
       (count(lit(1)) - count(col("l_discount"))).as("d_nulls"),
       F.roundBin(min(col("l_tax")), 2).as("t_min"),
       F.roundBin(max(col("l_tax")), 2).as("t_max"),
-      count_distinct(col("l_tax")).as("t_ndv"),
       (count(lit(1)) - count(col("l_tax"))).as("t_nulls"))
+    def ndv(c: String, out: String) =
+      li.agg(count_distinct(col(c)).as(out))
+    val agg = base
+      .crossJoin(ndv("l_quantity", "q_ndv"))
+      .crossJoin(ndv("l_extendedprice", "p_ndv"))
+      .crossJoin(ndv("l_discount", "d_ndv"))
+      .crossJoin(ndv("l_tax", "t_ndv"))
     agg.select(expr(
       """stack(4,
         |  'l_quantity', q_min, q_max, q_ndv, q_nulls,

@@ -15,6 +15,12 @@ import graft.functions.F
 object TrainingQueries {
   import graft.Tables.load
 
+  /** Driver cutover bound for [[corpusPipeline]]'s token-budget stage:
+    * below this many corpus documents the (doc_id, n) pairs collect
+    * (≤ 16 MB of longs at the bound) and the prefix cut walks in one
+    * process; above it the two-pass distributed range cut runs. */
+  private[graft] val TokenCutDriverMax = 1L << 20
+
   private def withToks(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), "\\s+"))
 
@@ -359,7 +365,8 @@ object TrainingQueries {
     * here adds a new scan shape; the composition is one lineage so
     * Spark pipelines stage filters into shared scans where legal. */
   def corpusPipeline(spark: SparkSession, dir: String,
-                     frac: Double = 0.6): DataFrame = {
+                     frac: Double = 0.6,
+                     cutDriverMax: Long = TokenCutDriverMax): DataFrame = {
     import spark.implicits._
     val raw = withToks(load(spark, dir, "documents"))
       .select(col("doc_id"), col("text"), col("toks"),
@@ -396,39 +403,12 @@ object TrainingQueries {
     val s3 = s2.where(col("doc_id") >= 25)
       .join(bad, Seq("doc_id"), "left_anti")
       .localCheckpoint()
-    // (4) quality prune: integer-exact rules only (no float boundary)
+    // (4) quality prune: integer-exact rules only (no float boundary).
+    // No checkpoint (r14 optimization): s4 is a map-side filter over
+    // the s3 checkpoint — re-running it costs less than materializing
+    // another job, and below the stage-5 cutover it is consumed once.
     val s4 = s3.where(col("n") >= 5 && col("n") <= 2000 &&
         size(array_distinct(col("toks"))) * 2 >= col("n"))
-      .localCheckpoint()
-    // (5) token-budget prefix cut in epoch-shuffled order (the
-    // tokenBudget recipe: exact floor(total * frac) budget, md5 order)
-    val keyed = s4.select(col("doc_id"), col("n"),
-      md5(concat_ws(":", lit("1"), col("doc_id").cast("string"))).as("skey"))
-    val total = keyed.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
-    val budget = math.floor(total * frac).toLong
-    val ranged = keyed
-      .repartitionByRange(col("skey"), col("doc_id"))
-      .sortWithinPartitions(col("skey"), col("doc_id"))
-      .localCheckpoint()
-    val ds = ranged.as[(Long, Long, String)]
-    val subtotals = ds.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var s = 0L
-      it.foreach(s += _._2)
-      Iterator((pid, s))
-    }.collect().sortBy(_._1)
-    val offsets = subtotals
-      .scanLeft((-1, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
-      .sliding(2).map { case Array((_, off), (pid, _)) => pid -> off }
-      .toMap
-    val offB = spark.sparkContext.broadcast(offsets)
-    val s5 = ds.mapPartitions { it =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var cum = offB.value.getOrElse(pid, sys.error(
-        s"corpusPipeline: no subtotal for partition $pid — " +
-          "partition layout changed between the two passes"))
-      it.takeWhile { case (_, n, _) => cum += n; cum <= budget }
-    }.toDF("doc_id", "n", "skey")
     // the per-stage manifest: counts + token mass + membership checksum
     def stat(df: DataFrame, stage: Int, name: String): DataFrame =
       df.agg(
@@ -437,12 +417,71 @@ object TrainingQueries {
         coalesce(sum(col("doc_id")), lit(0L)).as("id_sum"))
         .select(lit(stage).as("stage"), lit(name).as("stage_name"),
           col("n_docs"), col("n_tokens"), col("id_sum"))
+    // (5) token-budget prefix cut in epoch-shuffled order (the
+    // tokenBudget recipe: exact floor(total * frac) budget, md5 order).
+    // ADAPTIVE cutover (r14, the globalNtile/bpeTrain discipline): the
+    // cut consumes only (doc_id, n) and feeds only the two final
+    // manifest rows, so below [[TokenCutDriverMax]] documents ONE
+    // collect replaces the r14-build's four jobs (s4 checkpoint, total
+    // aggregate, range-layout checkpoint, subtotal collect) — the skey
+    // is a pure function of doc_id (md5 of "1:<id>", replayed
+    // bit-identically in one process), the budget walk is the same
+    // takeWhile, and the stage-4/5 stat rows are exact integer sums.
+    // Above the bound the two-pass distributed prefix cut runs
+    // unchanged — that is the 100 TB path.
+    val stages45: DataFrame =
+      if (graft.Tables.rowCount(spark, dir, "documents") <= cutDriverMax) {
+        val rows = s4.select(col("doc_id"), col("n")).collect()
+          .map(r => (r.getLong(0), r.getLong(1)))
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def skey(id: Long): String =
+          md.digest(s"1:$id".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            .map("%02x".format(_)).mkString
+        val ordered = rows.sortBy { case (id, _) => (skey(id), id) }
+        val budget = math.floor(rows.map(_._2).sum * frac).toLong
+        var cum = 0L
+        val kept = ordered.takeWhile { case (_, n) => cum += n; cum <= budget }
+        def statRow(stage: Int, name: String,
+            xs: Array[(Long, Long)]): DataFrame =
+          Seq((stage, name, xs.length.toLong, xs.map(_._2).sum, xs.map(_._1).sum))
+            .toDF("stage", "stage_name", "n_docs", "n_tokens", "id_sum")
+        statRow(4, "quality", rows).unionByName(statRow(5, "token_budget", kept))
+      } else {
+        val s4c = s4.localCheckpoint()
+        val keyed = s4c.select(col("doc_id"), col("n"),
+          md5(concat_ws(":", lit("1"), col("doc_id").cast("string"))).as("skey"))
+        val total = keyed.agg(coalesce(sum(col("n")), lit(0L))).head().getLong(0)
+        val budget = math.floor(total * frac).toLong
+        val ranged = keyed
+          .repartitionByRange(col("skey"), col("doc_id"))
+          .sortWithinPartitions(col("skey"), col("doc_id"))
+          .localCheckpoint()
+        val ds = ranged.as[(Long, Long, String)]
+        val subtotals = ds.mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var s = 0L
+          it.foreach(s += _._2)
+          Iterator((pid, s))
+        }.collect().sortBy(_._1)
+        val offsets = subtotals
+          .scanLeft((-1, 0L)) { case ((_, acc), (pid, s)) => (pid, acc + s) }
+          .sliding(2).map { case Array((_, off), (pid, _)) => pid -> off }
+          .toMap
+        val offB = spark.sparkContext.broadcast(offsets)
+        val s5 = ds.mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var cum = offB.value.getOrElse(pid, sys.error(
+            s"corpusPipeline: no subtotal for partition $pid — " +
+              "partition layout changed between the two passes"))
+          it.takeWhile { case (_, n, _) => cum += n; cum <= budget }
+        }.toDF("doc_id", "n", "skey")
+        stat(s4c, 4, "quality").unionByName(stat(s5, 5, "token_budget"))
+      }
     stat(raw, 0, "raw")
       .unionByName(stat(s1, 1, "exact_dedup"))
       .unionByName(stat(s2, 2, "near_dup_drop"))
       .unionByName(stat(s3, 3, "decontam"))
-      .unionByName(stat(s4, 4, "quality"))
-      .unionByName(stat(s5, 5, "token_budget"))
+      .unionByName(stages45)
       .orderBy(col("stage"))
   }
 

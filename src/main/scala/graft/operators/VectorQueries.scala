@@ -1274,15 +1274,36 @@ object VectorQueries {
   def annLshScored(spark: SparkSession, dir: String, k: Int): DataFrame =
     annLsh(spark, dir, k = k)
 
+  /** Memoized batch LSH INDEX — the (vec_id, v, b0..bL) signature
+    * table, once per (app, dir, bits, tables): this is the maintained
+    * artifact the probe reads (the streaming twin [[streamAnnDrain]]
+    * persists exactly this layout incrementally; at 100 TB it is a
+    * table written once partitioned by (t, bucket)). Before r14 every
+    * ANN query re-ran the L signature kernels over the corpus — an
+    * index REBUILD per query, contradicting the documented
+    * probe-constant-work posture. The centroidCache discipline:
+    * build once, probe per query; [[annLsh]] itself still measures
+    * the full probe (multi-probe explode, posting join, candidate
+    * fetch, exact re-rank). */
+  private val lshIndexCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int, Int), DataFrame]
+  private def lshIndex(spark: SparkSession, dir: String,
+      bits: Int, tables: Int): DataFrame =
+    lshIndexCache.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, bits, tables), {
+        val base = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
+        val bucketCols = (0 until tables).map(t =>
+          F.hyperplaneBucket(col("v"), bits, t.toLong).as(s"b$t"))
+        base.select(col("vec_id") +: col("v") +: bucketCols: _*)
+          .localCheckpoint()
+      })
+
   def annLsh(spark: SparkSession, dir: String,
              targetBucket: Int = 64, tables: Int = 8,
              k: Int = 10): DataFrame = {
-    val base = emb(spark, dir).select(col("vec_id"), col("embedding").as("v"))
     val bits = sigBitsFor(corpusSize(spark, dir), targetBucket)
-    // one signature column per table; L fused kernel loops per row
-    val bucketCols = (0 until tables).map(t =>
-      F.hyperplaneBucket(col("v"), bits, t.toLong).as(s"b$t"))
-    val e = base.select(col("vec_id") +: col("v") +: bucketCols: _*)
+    val e = lshIndex(spark, dir, bits, tables)
+    val base = e.select(col("vec_id"), col("v"))
     val q = e.orderBy(col("vec_id")).limit(1)
     // multi-probe per table: the query's own bucket plus every
     // Hamming-distance-1 and -2 neighbor signature — recall insurance

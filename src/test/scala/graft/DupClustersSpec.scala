@@ -125,6 +125,15 @@ class DupClustersSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got === expected,
       s"missing ${expected -- got}, extra ${got -- expected}")
+    // r14 adaptive cutover: the distributed Pregel branch (forced by a
+    // driverPairMax below any manifest) must emit exactly the same rows
+    // as the driver-BFS branch the default took above
+    val distributed = DupClusters.clusterRadius(spark, sf, driverPairMax = -1L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(distributed === got,
+      s"distributed/driver radius branches diverge: " +
+        s"missing ${got -- distributed}, extra ${distributed -- got}")
   }
 
   test("manifest store contract: build-once parquet tables, corpus never re-enters consumer plans, version change invalidates") {

@@ -453,6 +453,22 @@ class TextQueriesSpec extends SparkSpec {
     assert(totalWf === expected)
   }
 
+  test("bpeTrainCore: the r14 driver-loop cutover and the distributed loop emit the identical merge sequence and final vocab") {
+    // driverMax = -1 forces the distributed vocab-grain loop (the
+    // 100 TB branch); Long.MaxValue forces the collected-dictionary
+    // loop every fixture takes by default — byte-identical contract
+    val (mDist, vDist) =
+      graft.operators.TextQueries.bpeTrainCore(spark, sf, 20, driverMax = -1L)
+    val (mDrv, vDrv) = graft.operators.TextQueries.bpeTrainCore(
+      spark, sf, 20, driverMax = Long.MaxValue)
+    assert(mDist === mDrv, "merge sequences diverge across branches")
+    val vd = vDist.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val vv = vDrv.collect().map(r =>
+      (r.getString(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(vd === vv, "final vocab states diverge across branches")
+  }
+
   test("dupSubstringsIncremental: memoized index + spans equal the driver-recomputed batch-vs-corpus repeats") {
     // index memoized: per-ingest work cannot rebuild it
     val i1 = graft.operators.TextQueries.substrFpIndex(spark, sf)

@@ -266,4 +266,15 @@ class TrainingQueriesSpec extends SparkSpec {
     // kept >= budget - max doc size; pin the weaker exact bound here)
     assert(toks(5) <= (toks(4) * 0.6).floor.toLong)
   }
+
+  test("corpusPipeline: the r14 driver token-cut cutover equals the two-pass distributed range cut row-for-row") {
+    // cutDriverMax = -1 forces the distributed branch (the 100 TB
+    // path); the default takes the collected cut at every fixture SF
+    def rows(m: Long) =
+      TrainingQueries.corpusPipeline(spark, sf, cutDriverMax = m).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    assert(rows(-1L) === rows(Long.MaxValue),
+      "driver/distributed token-budget branches diverge")
+  }
 }
