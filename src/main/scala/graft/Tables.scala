@@ -106,6 +106,25 @@ object Tables {
       // mis-sized small stages (dim aggregations, probe lists) stop
       // paying a full-width task-scheduling round.
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // ObjectHashAggregate falls back to SORT-BASED aggregation after
+      // 128 distinct keys per task (the Spark default, sized for
+      // unbounded collect_list buffers) — which charged a full
+      // 600k-row sort to the 252-group monthly qsketch rollup
+      // (measured 0.82 s → 0.50 s at sf0.1). The engine's object
+      // aggregates are bounded-buffer sketches (qsketch ≤ (sub+1)·64
+      // entries, HLL fixed registers, top-k ≤ k rows), so 4096
+      // in-flight buffers is a few MB per task at any scale; the knob
+      // is per-task keys, not global cardinality, so it is
+      // cluster-safe. Env-overridable like the AQE switch.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "4096"))
+      // Let the planner pick shuffled-hash join where its size checks
+      // pass (guide §3.1/§9): sort-merge's defensive sort costs more
+      // than a per-partition hash build whenever one side is
+      // moderately small, at any scale — spills are the guard, and
+      // AQE can still re-plan. Env-overridable for A/B.
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // modern parquet timestamps: the INT96 default is a deprecated
       // type with NO column statistics and no filter pushdown — any

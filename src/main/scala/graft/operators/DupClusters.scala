@@ -61,31 +61,72 @@ object DupClusters {
     math.min(1 << 14, math.max(4, target))
   }
 
-  /** Connected components of an undirected edge list (a, b) → rows
-    * (id, comp) where comp = min doc_id of the component. */
-  def components(edges: DataFrame, a: String, b: String): DataFrame =
-    componentsWithRounds(edges, a, b)._1
+  /** Driver cutover bound for [[components]]: a canonical edge
+    * manifest under this many rows (≤ 16 MB of long pairs) labels via
+    * one collect + union-find instead of rounds-many star-contraction
+    * jobs. Pair manifests are result-sized by construction; the
+    * distributed loop stays the 100 TB path and the spec pins both
+    * label sets equal (plus the r9 union-find oracle). */
+  private[graft] val ComponentsDriverEdgeMax = 1L << 20
 
-  /** [[components]] plus the number of large-star/small-star rounds it
-    * took — exposed so DupClustersSpec can pin the O(log n) round
-    * bound on an adversarial path graph. */
-  private[graft] def componentsWithRounds(
-      edges: DataFrame, a: String, b: String): (DataFrame, Int) = {
+  /** Connected components of an undirected edge list (a, b) → rows
+    * (id, comp) where comp = min doc_id of the component. Adaptive
+    * (r14): below [[ComponentsDriverEdgeMax]] canonical edges the
+    * labels come from an in-process union-find with min-id roots —
+    * identical output, zero loop jobs. */
+  def components(edges: DataFrame, a: String, b: String,
+      driverEdgeMax: Long = ComponentsDriverEdgeMax): DataFrame = {
     val spark = edges.sparkSession
-    import org.apache.spark.sql.expressions.Window
-    // Canonical directed form (u > v), self-loops dropped, deduped;
-    // materialized once — counting it to size the loop's shuffles must
-    // not re-run pair detection.
-    val init = edges
+    import spark.implicits._
+    val init = canonicalEdges(edges, a, b)
+    val n = init.count()
+    if (n <= driverEdgeMax) {
+      val es = init.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (u, v) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      es.flatMap { case (u, v) => Seq(u, v) }.distinct
+        .map(id => (id, find(id))).toSeq.toDF("id", "comp")
+    } else starLoop(init, n)._1
+  }
+
+  /** Canonical directed form (u > v), self-loops dropped, deduped;
+    * materialized once — counting it to size the loop's shuffles (or
+    * take the driver cutover) must not re-run pair detection. */
+  private def canonicalEdges(
+      edges: DataFrame, a: String, b: String): DataFrame =
+    edges
       .select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
       .where(col("u") =!= col("v")).distinct()
       .localCheckpoint()
+
+  /** [[components]] plus the number of large-star/small-star rounds it
+    * took — exposed so DupClustersSpec can pin the O(log n) round
+    * bound on an adversarial path graph (always the distributed
+    * branch). */
+  private[graft] def componentsWithRounds(
+      edges: DataFrame, a: String, b: String): (DataFrame, Int) = {
+    val init = canonicalEdges(edges, a, b)
+    starLoop(init, init.count())
+  }
+
+  /** The large-star/small-star contraction loop over the canonical
+    * checkpointed edge set — the 100 TB branch. */
+  private def starLoop(init: DataFrame, nEdges: Long): (DataFrame, Int) = {
+    val spark = init.sparkSession
+    import org.apache.spark.sql.expressions.Window
     // AQE is OFF inside the loop: the plan shape is identical every
     // round and the shuffle width is already sized to the data here,
     // so AQE's per-stage re-planning round-trips (× stages × rounds)
     // buy nothing and dominated the measured round cost.
     graft.Tables.withConfs(spark,
-      "spark.sql.shuffle.partitions" -> partitionsForEdges(2 * init.count()).toString,
+      "spark.sql.shuffle.partitions" -> partitionsForEdges(2 * nEdges).toString,
       "spark.sql.adaptive.enabled" -> "false") {
       val wU = Window.partitionBy(col("u"))
       var e = init

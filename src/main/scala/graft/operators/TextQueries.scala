@@ -1263,17 +1263,47 @@ object TextQueries {
     * keeps its n − ⌈t·n⌉ + 1 globally-rarest shingles; lower t ⇒
     * longer prefixes ⇒ more candidates — the inherent
     * threshold/candidate-count tradeoff of the AllPairs family. */
+  /** Memoized shingle document-frequency table — the GLOBAL rarity
+    * order every prefix filter sorts by. A pure function of the corpus
+    * snapshot and exactly the kind of statistic ANALYZE maintains (the
+    * saltedJoin hotKeyCache discipline): at 100 TB the df table is the
+    * maintained vocab-grain artifact the AllPairs docstrings already
+    * promise; before r14 every prefix-filtered query re-aggregated it
+    * from a fresh corpus explode (~0.4 s of the gate, × 3 live
+    * consumers). Checkpointed, vocab-grain (27k rows at sf0.1). */
+  private val shingleDfCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (String, DataFrame)]
+  private def shingleDf(spark: SparkSession, dir: String): DataFrame = {
+    val key = (spark.sparkContext.applicationId, dir)
+    val ver = DupClusters.corpusVersion(dir)
+    shingleDfCache.get(key) match {
+      case Some((v, df)) if v == ver => df
+      case _ =>
+        val df = simJoinSets(spark, dir)
+          .select(explode(col("s")).as("h"))
+          .groupBy(col("h")).agg(count(lit(1)).as("df"))
+          .localCheckpoint()
+        shingleDfCache.put(key, (ver, df))
+        df
+    }
+  }
+
   private[graft] def prefixCandidates(spark: SparkSession, dir: String, t: Double): DataFrame = {
     val shingles = simJoinSets(spark, dir)
       .select(col("doc_id"), explode(col("s")).as("h"))
-    val dfreq = shingles.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // no broadcast hint: vocab-grain is broadcastable at fixture scale
+    // (AQE sees the checkpoint's true size and picks BHJ) but a 100 TB
+    // shingle vocabulary must be allowed to shuffle-join
+    val dfreq = shingleDf(spark, dir)
+    // slice to the prefix INSIDE the projection, before the explode:
+    // the Generate then emits only the n − ⌈t·n⌉ + 1 prefix elements
+    // per doc instead of carrying the full sorted array through its
+    // output projection (the q_dsir_sample explode lesson, r13)
     val prefixes = shingles.join(dfreq, Seq("h"))
       .groupBy(col("doc_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(df, h))), x -> x.h)")
-        .as("sh"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sh"))
       .select(col("doc_id"),
-        explode(slice(col("sh"), lit(1),
-          (size(col("sh")) - ceil(size(col("sh")) * lit(t)) + 1).cast("int")))
+        explode(expr(s"transform(slice(sh, 1, cast(size(sh) - ceil(size(sh) * ${t}D) + 1 as int)), x -> x.h)"))
           .as("h"))
     // the self-join would otherwise re-plan the whole shingle+df+
     // prefix pipeline per branch (no CSE across self-join sides —
@@ -1887,14 +1917,14 @@ object TextQueries {
     val sets = simJoinSets(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shingles = sets.select(col("doc_id"), explode(col("s")).as("h"))
-    val dfTab = shingles.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // shared memoized df statistic (see [[shingleDf]]) — byte-identical
+    // to the per-invocation aggregate it replaces
+    val dfTab = shingleDf(spark, dir)
     val prefixes = shingles.join(dfTab, Seq("h"))
       .groupBy(col("doc_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(df, h))), x -> x.h)")
-        .as("sh"))
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("sh"))
       .select(col("doc_id").as("a_id"),
-        explode(slice(col("sh"), lit(1),
-          (size(col("sh")) - ceil(size(col("sh")) * lit(t)) + 1).cast("int")))
+        explode(expr(s"transform(slice(sh, 1, cast(size(sh) - ceil(size(sh) * ${t}D) + 1 as int)), x -> x.h)"))
           .as("h"))
     val cand = prefixes
       .join(shingles.select(col("doc_id").as("b_id"), col("h")), Seq("h"))

@@ -47,6 +47,20 @@ class DupClustersSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(1) === 1L, s"vertex ${r.getLong(0)}"))
   }
 
+  test("components: the r14 union-find cutover equals the star-contraction loop label-for-label") {
+    import spark.implicits._
+    // chain + triangle + isolated pair, shuffled edge orientations
+    val edges = (Seq((2L, 1L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (21L, 20L)) ++
+      (30 until 60).map(i => (i.toLong, i.toLong + 1))).toDF("a", "b")
+    val driver = DupClusters.components(edges, "a", "b").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val distributed = DupClusters
+      .components(edges, "a", "b", driverEdgeMax = -1L).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(driver === distributed)
+  }
+
   test("cosineClusters: members partition the cosine-pair vertices") {
     val pairs = graft.operators.VectorQueries.cosineDedup(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
