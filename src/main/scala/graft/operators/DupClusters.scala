@@ -66,8 +66,10 @@ object DupClusters {
     * one collect + union-find instead of rounds-many star-contraction
     * jobs. Pair manifests are result-sized by construction; the
     * distributed loop stays the 100 TB path and the spec pins both
-    * label sets equal (plus the r9 union-find oracle). */
-  private[graft] val ComponentsDriverEdgeMax = 1L << 20
+    * label sets equal (plus the r9 union-find oracle). Env-overridable
+    * (-1 forces the distributed branch). */
+  private[graft] val ComponentsDriverEdgeMax =
+    sys.env.getOrElse("SPARK_GRAFT_CC_DRIVER_MAX", (1L << 20).toString).toLong
 
   /** Connected components of an undirected edge list (a, b) → rows
     * (id, comp) where comp = min doc_id of the component. Adaptive
@@ -437,8 +439,10 @@ object DupClusters {
     * join+anti-join jobs of pure scheduling floor (measured ~0.2 s ×
     * 9 rounds at sf0.1's few-thousand-pair manifest). Above the bound
     * the distributed Pregel loop below runs unchanged — same seeds,
-    * same level semantics, spec-pinned identical. */
-  private[graft] val RadiusDriverPairMax = 1L << 20
+    * same level semantics, spec-pinned identical. Env-overridable
+    * (-1 forces the distributed branch). */
+  private[graft] val RadiusDriverPairMax =
+    sys.env.getOrElse("SPARK_GRAFT_RADIUS_DRIVER_MAX", (1L << 20).toString).toLong
 
   /** BFS levels on the collected symmetric adjacency — one pass per
     * level, min-distance = first-reach level, exactly the distributed

@@ -166,8 +166,11 @@ object TextQueries {
     * trainer takes (the dictionary, not the token stream, is the
     * training input, and it is vocab-grain: sublinear in corpus size).
     * ~256k (word, seq, wf) rows is ≈ 15 MB of driver heap. Above it,
-    * the distributed vocab-grain loop below runs unchanged. */
-  private val BpeDriverVocabMax = 1L << 18
+    * the distributed vocab-grain loop below runs unchanged.
+    * Env-overridable (set to -1 to force the distributed branch, e.g.
+    * for probing its scaling curve). */
+  private val BpeDriverVocabMax =
+    sys.env.getOrElse("SPARK_GRAFT_BPE_DRIVER_MAX", (1L << 18).toString).toLong
 
   /** Byte-wise UTF-8 comparison — Spark/DuckDB string ORDER BY
     * semantics (binary collation), which Java's UTF-16 compareTo

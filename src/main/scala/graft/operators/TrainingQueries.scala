@@ -18,8 +18,10 @@ object TrainingQueries {
   /** Driver cutover bound for [[corpusPipeline]]'s token-budget stage:
     * below this many corpus documents the (doc_id, n) pairs collect
     * (≤ 16 MB of longs at the bound) and the prefix cut walks in one
-    * process; above it the two-pass distributed range cut runs. */
-  private[graft] val TokenCutDriverMax = 1L << 20
+    * process; above it the two-pass distributed range cut runs.
+    * Env-overridable (-1 forces the distributed branch). */
+  private[graft] val TokenCutDriverMax =
+    sys.env.getOrElse("SPARK_GRAFT_TOKENCUT_DRIVER_MAX", (1L << 20).toString).toLong
 
   private def withToks(df: DataFrame): DataFrame =
     df.withColumn("toks", split(col("text"), "\\s+"))
